@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One engine operator: a DataFrame builder plus (when SQL-expressible) a
+  * DuckDB oracle query over the same parquet tables. Column names/types in
+  * both must match exactly — the driver sorts columns by name and
+  * hash-compares values.
+  */
+final case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Loaders for the driver-generated test tables (TESTDATA.md). */
+object Tables {
+  val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
+    // long (spark.sql.legacy.parquet.nanosAsLong=true, set in every session
+    // builder). Normalize to a microsecond TimestampType column; DuckDB's
+    // CAST(ts AS TIMESTAMP) truncates ns→µs the same way (`div` truncates
+    // for positive epochs).
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}
+
+/** Tuned local session for tests; Verify/Bench build their own (driver
+  * contract) with the same switches. AQE is on everywhere: it coalesces
+  * post-shuffle partitions and splits skewed ones — the Spark-native
+  * re-expression of the reference's skew-tolerant shuffle service
+  * (/root/reference/spark-code/.../CherryShuffleService.scala).
+  */
+object GraftSession {
+  def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.C — event-stream analytics (batch twins of the streaming pipeline in
+  * graft.streaming.EventsStream). Tumbling windows, JSON props extraction,
+  * gap-based sessionization.
+  */
+object EventsOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // Tumbling 1-hour window counts/sums per event type — the batch twin of
+    // the streaming windowed aggregation.
+    "e01_windowed_agg" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "events")
+          .groupBy(
+            window(col("ts"), "1 hour").getField("start").as("window_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+          .orderBy("window_start", "event_type"),
+      oracle = Some("""
+        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_type, count(*) AS cnt, round(sum(value), 2) AS total
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // JSON-ish props field extraction (regexp on both sides — no JSON
+    // extension dependency in the oracle) + bucketed aggregation.
+    "e02_json_extract" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "events")
+          .withColumn("k",
+            regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+          .groupBy((col("k") % 10).as("kbucket"))
+          .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+          .orderBy("kbucket"),
+      oracle = Some("""
+        SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10
+                 AS kbucket,
+               count(*) AS cnt, round(sum(value), 2) AS total
+        FROM events GROUP BY 1 ORDER BY kbucket""")),
+
+    // Gap-based sessionization (30-min inactivity gap) per user, fully
+    // window-functional: new-session flag via lag, session id via running
+    // sum — partitioned by user_id, so it scales with user cardinality.
+    "e03_sessionize" -> QueryDef(
+      build = (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("double") - col("prev_ts").cast("double") > 1800,
+              lit(1L)).otherwise(lit(0L)))
+          .withColumn("session_id", sum("new_session").over(byUser))
+          .groupBy("user_id")
+          .agg(max("session_id").as("n_sessions"),
+               count(lit(1)).as("n_events"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(CAST(ts AS TIMESTAMP))
+                           - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id,
+                 sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged)
+        SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+               count(*) AS n_events
+        FROM sess GROUP BY user_id ORDER BY user_id"""))
+  )
+}

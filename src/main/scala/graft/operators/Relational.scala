@@ -1,0 +1,597 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.AggFns.{dsum, dsumRaw}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.A — the relational-analytics surface (TPC-style) mirroring the
+  * reference's TPC-DS + reviews workloads
+  * (/root/reference/tpc-ds-gen/TPCDSPreparation.scala,
+  * /root/reference/README.md "Available Workloads").
+  *
+  * Everything is declarative DataFrame API so Catalyst handles pushdown,
+  * pruning and join selection; dims (region/nation/supplier/part) are
+  * broadcast-hinted where the 100 TB plan needs it. Derived float columns
+  * are rounded identically on both sides; every query ends with a
+  * deterministic ORDER BY (unique tie-break keys).
+  */
+object Relational {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+  private def ts(x: String): Column = lit(x).cast("timestamp")
+  private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---------------------------------------------------------------- q01
+    "q01_pricing_summary" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") <= ts("2001-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            dsum(col("l_extendedprice")).as("sum_base_price"),
+            dsum(revenue).as("sum_disc_price"),
+            dsum(revenue * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_extendedprice"), 4).as("avg_price"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus,
+          round(sum(l_quantity), 2) AS sum_qty,
+          CAST(round(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_base_price,
+          CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_disc_price,
+          CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS sum_charge,
+          round(avg(l_quantity), 4) AS avg_qty,
+          round(avg(l_extendedprice), 4) AS avg_price,
+          round(avg(l_discount), 4) AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")),
+
+    // ---------------------------------------------------------------- q02
+    // Filter + projection pushdown: the scan must read only 4 columns
+    // (ReadSchema) with PushedFilters on p_size/p_type.
+    "q02_filter_project" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "part")
+          .filter(col("p_size") > 25 && col("p_type") === "PROMO")
+          .select("p_partkey", "p_brand", "p_retailprice")
+          .orderBy("p_partkey"),
+      oracle = Some("""
+        SELECT p_partkey, p_brand, p_retailprice
+        FROM part WHERE p_size > 25 AND p_type = 'PROMO'
+        ORDER BY p_partkey""")),
+
+    // ---------------------------------------------------------------- q03
+    "q03_top_orders" -> QueryDef(
+      build = (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        val o = t(s, d, "orders").filter(col("o_orderdate") < ts("1998-01-01"))
+        val l = t(s, d, "lineitem").filter(col("l_shipdate") > ts("1996-01-01"))
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate")
+          .agg(dsum(revenue).as("rev"))
+          .orderBy(desc("rev"), asc("l_orderkey"))
+          .limit(10)
+      },
+      oracle = Some("""
+        SELECT l_orderkey, o_orderdate,
+               CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1996-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY rev DESC, l_orderkey LIMIT 10""")),
+
+    // ---------------------------------------------------------------- q04
+    // Left-semi join (EXISTS with a correlated non-equi predicate).
+    "q04_order_priority" -> QueryDef(
+      build = (s, d) => {
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= ts("1996-07-01") &&
+                  col("o_orderdate") < ts("1996-10-01"))
+        val l = t(s, d, "lineitem")
+        o.join(l,
+            col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+            "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate <  TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")),
+
+    // ---------------------------------------------------------------- q05
+    // 6-table join: facts shuffle on keys, dims broadcast. Flagship.
+    "q05_region_volume" -> QueryDef(
+      build = (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01") &&
+                  col("o_orderdate") < ts("1997-01-01"))
+        val l = t(s, d, "lineitem")
+        val su = t(s, d, "supplier")
+        val n = t(s, d, "nation")
+        val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su),
+            col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(dsum(revenue).as("rev"))
+          .orderBy(desc("rev"), asc("n_name"))
+      },
+      oracle = Some("""
+        SELECT n_name, CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name ORDER BY rev DESC, n_name""")),
+
+    // ---------------------------------------------------------------- q06
+    "q06_revenue_filter" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                  col("l_shipdate") < ts("1997-01-01") &&
+                  col("l_discount").between(0.05, 0.07) &&
+                  col("l_quantity") < 24)
+          .agg(dsum(col("l_extendedprice") * col("l_discount")).as("rev")),
+      oracle = Some("""
+        SELECT CAST(round(sum(CAST(round(l_extendedprice * l_discount, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")),
+
+    // ---------------------------------------------------------------- q07
+    // Window rank: top-3 customers by account balance per nation. Window
+    // partitions by a bounded key (nation) — scales without a global sort.
+    "q07_window_topn" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("n_name")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        t(s, d, "customer")
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .select("n_name", "c_custkey", "c_name", "c_acctbal", "rk")
+          .orderBy("n_name", "rk")
+      },
+      oracle = Some("""
+        SELECT n_name, c_custkey, c_name, c_acctbal, rk FROM (
+          SELECT n_name, c_custkey, c_name, c_acctbal,
+                 CAST(row_number() OVER (PARTITION BY n_name
+                      ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rk
+          FROM customer JOIN nation ON c_nationkey = n_nationkey) z
+        WHERE rk <= 3 ORDER BY n_name, rk""")),
+
+    // ---------------------------------------------------------------- q08
+    // Share-of-total per year for one nation's suppliers.
+    "q08_yearly_share" -> QueryDef(
+      build = (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val su = t(s, d, "supplier")
+        val n = t(s, d, "nation")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(round(
+            dsumRaw(when(col("n_name") === "NATION_7", revenue).otherwise(lit(0.0)))
+              .cast("double") / dsumRaw(revenue).cast("double"), 6).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               round(CAST(sum(CAST(round(CASE WHEN n_name = 'NATION_7' THEN l_extendedprice * (1 - l_discount) ELSE 0 END, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(30,6))) AS DOUBLE), 6) AS mkt_share
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY o_year""")),
+
+    // ---------------------------------------------------------------- q09
+    // Profit by (supplier nation, order year).
+    "q09_product_profit" -> QueryDef(
+      build = (s, d) => {
+        val l = t(s, d, "lineitem")
+        val o = t(s, d, "orders")
+        val p = t(s, d, "part").filter(col("p_name").contains("a"))
+        val su = t(s, d, "supplier")
+        val n = t(s, d, "nation")
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(dsum(revenue -
+            col("p_retailprice") * lit(0.6) * col("l_quantity")).as("profit"))
+          .orderBy(asc("nation"), desc("o_year"))
+      },
+      oracle = Some("""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount) - p_retailprice * 0.6 * l_quantity, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS profit
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%a%'
+        GROUP BY 1, 2 ORDER BY nation, o_year DESC""")),
+
+    // ---------------------------------------------------------------- q10
+    "q10_returned_items" -> QueryDef(
+      build = (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+          .filter(col("o_orderdate") >= ts("1996-10-01") &&
+                  col("o_orderdate") < ts("1997-01-01"))
+        val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        val n = t(s, d, "nation")
+        c.join(o, col("c_custkey") === col("o_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+          .agg(dsum(revenue).as("rev"))
+          .orderBy(desc("rev"), asc("c_custkey"))
+          .limit(20)
+      },
+      oracle = Some("""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY rev DESC, c_custkey LIMIT 20""")),
+
+    // ---------------------------------------------------------------- q11
+    // HAVING vs scalar-subquery threshold; the scalar stays in-plan as a
+    // broadcast cross join (no driver-side collect).
+    "q11_important_balance" -> QueryDef(
+      build = (s, d) => {
+        val l = t(s, d, "lineitem")
+        val bySupp = l.groupBy("l_suppkey")
+          .agg(dsumRaw(col("l_extendedprice")).as("raw_value"))
+        val total = l.agg((dsumRaw(col("l_extendedprice")) *
+          lit(new java.math.BigDecimal("0.012"))).as("threshold"))
+        bySupp.crossJoin(broadcast(total))
+          .filter(col("raw_value") > col("threshold"))
+          .select(col("l_suppkey"),
+            round(col("raw_value"), 2).cast("double").as("value"))
+          .orderBy(desc("value"), asc("l_suppkey"))
+      },
+      oracle = Some("""
+        SELECT l_suppkey, CAST(round(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS value
+        FROM lineitem GROUP BY l_suppkey
+        HAVING sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))) >
+               (SELECT sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))) * 0.012 FROM lineitem)
+        ORDER BY value DESC, l_suppkey""")),
+
+    // ---------------------------------------------------------------- q12
+    // Conditional counts (CASE) over a join.
+    "q12_priority_case" -> QueryDef(
+      build = (s, d) => {
+        val o = t(s, d, "orders")
+        val l = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                  col("l_shipdate") < ts("1997-01-01"))
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("high_line_count"),
+            count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1))
+              .as("low_line_count"))
+          .orderBy("l_linestatus")
+      },
+      oracle = Some("""
+        SELECT l_linestatus,
+               count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
+                 AS high_line_count,
+               count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+                 AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ---------------------------------------------------------------- q13
+    // Left outer join + two-level aggregation (customer order distribution).
+    "q13_customer_distribution" -> QueryDef(
+      build = (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders").filter(col("o_orderpriority") =!= "5-LOW")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count("o_orderkey").as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      oracle = Some("""
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey) z
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // ---------------------------------------------------------------- q14
+    // LIKE-conditional share of total (promo revenue share).
+    "q14_promo_share" -> QueryDef(
+      build = (s, d) => {
+        val l = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-03-01") &&
+                  col("l_shipdate") < ts("1996-05-01"))
+        val p = t(s, d, "part")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(round(
+            dsumRaw(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0)))
+              .cast("double") * lit(100.0) /
+              dsumRaw(revenue).cast("double"), 4).as("promo_share"))
+      },
+      oracle = Some("""
+        SELECT round(100.0 * CAST(sum(CAST(round(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0 END, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(30,6))) AS DOUBLE), 4) AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+          AND l_shipdate <  TIMESTAMP '1996-05-01'""")),
+
+    // ---------------------------------------------------------------- q15
+    // Agg subquery + join-to-max (top supplier by period revenue).
+    "q15_top_supplier" -> QueryDef(
+      build = (s, d) => {
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= ts("1996-01-01") &&
+                  col("l_shipdate") < ts("1996-04-01"))
+          .groupBy("l_suppkey")
+          .agg(dsumRaw(revenue).as("total_rev"))
+        val mx = rev.agg(max("total_rev").as("max_rev"))
+        t(s, d, "supplier")
+          .join(rev, col("s_suppkey") === col("l_suppkey"))
+          .crossJoin(broadcast(mx))
+          .filter(col("total_rev") === col("max_rev"))
+          .select(col("s_suppkey"), col("s_name"),
+            round(col("total_rev"), 2).cast("double").as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      oracle = Some("""
+        WITH rev AS (
+          SELECT l_suppkey, sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(30,6))) AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(round(total_rev, 2) AS DOUBLE) AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        ORDER BY s_suppkey""")),
+
+    // ---------------------------------------------------------------- q16
+    // Count-distinct per group with an exclusion filter.
+    "q16_supplier_cnt" -> QueryDef(
+      build = (s, d) => {
+        val p = t(s, d, "part")
+          .filter(col("p_brand") =!= "Brand#1" &&
+                  col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        val l = t(s, d, "lineitem")
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type", "p_size")
+          .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
+      },
+      oracle = Some("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,10,15,20,25,30,35)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // ---------------------------------------------------------------- q17
+    // Correlated scalar subquery (per-part average) — decorrelated into an
+    // aggregate + re-join, which is exactly how it should run at scale.
+    "q17_small_qty_avg" -> QueryDef(
+      build = (s, d) => {
+        val l = t(s, d, "lineitem")
+        val p = t(s, d, "part").filter(col("p_brand") === "Brand#3")
+        val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+          .agg((avg("l_quantity") * lit(0.5)).as("half_avg"))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(avgQty, col("l_partkey") === col("ap_partkey"))
+          .filter(col("l_quantity") < col("half_avg"))
+          .agg(round(sum("l_extendedprice") / lit(7.0), 2).as("avg_yearly"))
+      },
+      oracle = Some("""
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#3'
+          AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)""")),
+
+    // ---------------------------------------------------------------- q18
+    // IN-subquery with HAVING (large-volume orders).
+    "q18_large_orders" -> QueryDef(
+      build = (s, d) => {
+        val l = t(s, d, "lineitem")
+        val big = l.groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("tot_qty"))
+          .filter(col("tot_qty") > 120)
+          .select(col("l_orderkey").as("big_orderkey"))
+        val o = t(s, d, "orders")
+        val c = t(s, d, "customer")
+        o.join(big, col("o_orderkey") === col("big_orderkey"), "left_semi")
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(100)
+      },
+      oracle = Some("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""")),
+
+    // ---------------------------------------------------------------- q19
+    // Disjunctive (OR-of-ANDs) join predicate.
+    "q19_disjunctive_join" -> QueryDef(
+      build = (s, d) => {
+        val l = t(s, d, "lineitem")
+        val p = t(s, d, "part")
+        val cond =
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 30))
+        l.join(broadcast(p), col("l_partkey") === col("p_partkey") && cond)
+          .agg(dsum(revenue).as("rev"))
+      },
+      oracle = Some("""
+        SELECT CAST(round(sum(CAST(round(l_extendedprice * (1 - l_discount), 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS rev
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+         AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+               AND l_quantity BETWEEN 20 AND 30))""")),
+
+    // ---------------------------------------------------------------- q20
+    // UNION ALL of two branches + aggregation.
+    "q20_union_blend" -> QueryDef(
+      build = (s, d) => {
+        val o = t(s, d, "orders")
+        val hi = o.filter(col("o_totalprice") > 300000)
+          .select(lit("high").as("src"), col("o_totalprice").as("val"))
+        val ur = o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(lit("urgent").as("src"), col("o_totalprice").as("val"))
+        hi.unionAll(ur)
+          .groupBy("src")
+          .agg(count(lit(1)).as("cnt"), dsum(col("val")).as("total"))
+          .orderBy("src")
+      },
+      oracle = Some("""
+        SELECT src, count(*) AS cnt, CAST(round(sum(CAST(round(val, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS total FROM (
+          SELECT 'high' AS src, o_totalprice AS val FROM orders
+          WHERE o_totalprice > 300000
+          UNION ALL
+          SELECT 'urgent' AS src, o_totalprice AS val FROM orders
+          WHERE o_orderpriority = '1-URGENT') z
+        GROUP BY src ORDER BY src""")),
+
+    // ---------------------------------------------------------------- q21
+    // ROLLUP multi-level aggregation.
+    "q21_rollup" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+               count(lit(1)).as("cnt"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("sum_qty"), col("cnt"))
+          .orderBy("returnflag", "linestatus"),
+      oracle = Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus""")),
+
+    // ---------------------------------------------------------------- q22
+    // Anti join + scalar-subquery filter (idle rich customers).
+    "q22_anti_join" -> QueryDef(
+      build = (s, d) => {
+        val c = t(s, d, "customer")
+        val o = t(s, d, "orders")
+        val avgBal = c.filter(col("c_acctbal") > 0.0)
+          .agg(avg("c_acctbal").as("avg_bal"))
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("c_mktsegment")
+      },
+      oracle = Some("""
+        SELECT c_mktsegment, count(*) AS numcust,
+               CAST(round(sum(CAST(round(c_acctbal, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ---------------------------------------------------------------- q23
+    "q23_distinct" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .select("l_returnflag", "l_linestatus", "l_linenumber")
+          .distinct()
+          .orderBy("l_returnflag", "l_linestatus", "l_linenumber"),
+      oracle = Some("""
+        SELECT DISTINCT l_returnflag, l_linestatus, l_linenumber
+        FROM lineitem ORDER BY 1, 2, 3""")),
+
+    // ---------------------------------------------------------------- q24
+    // Global top-k: sort + limit with unique tie-break (TakeOrderedAndProject
+    // — no full global sort materialization).
+    "q24_sort_limit" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderdate")
+          .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+          .limit(50),
+      oracle = Some("""
+        SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"""))
+  )
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** §2.B — deterministic re-expression of the reference's own workloads:
+  * /root/reference/synthetic_workload.py (keyed payloads → groupByKey →
+  * per-key counts) and /root/reference/skewed_synthetic_workload.py (same
+  * with a hot key holding a `skewness` fraction of all rows).
+  *
+  * The reference does this with RDD groupByKey — which shuffles every
+  * payload byte. Here it's a declarative groupBy(count), so Spark runs a
+  * partial (map-side) aggregation and shuffles only per-key counters: the
+  * 100 TB-safe formulation of the same computation. Skew is absorbed by
+  * AQE skew handling + the fact that counters, not payloads, move.
+  */
+object ShuffleWorkloads {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // synthetic_workload.py:29-35 — x % partitions as key, count per key.
+    "s01_synthetic_groupby" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy((col("l_orderkey") % 100).as("key"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy("key"),
+      oracle = Some("""
+        SELECT l_orderkey % 100 AS key, count(*) AS cnt
+        FROM lineitem GROUP BY 1 ORDER BY key""")),
+
+    // skewed_synthetic_workload.py:29-35 — a fraction of rows collapse to
+    // hot key 1. ~30% of rows land on one key; AQE splits the skewed
+    // partition at scale.
+    "s02_skewed_groupby" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy(when(col("l_orderkey") % 10 < 3, lit(1L))
+            .otherwise(col("l_orderkey") % 100).as("key"))
+          .agg(count(lit(1)).as("cnt"),
+               graft.functions.AggFns.dsum(col("l_extendedprice")).as("payload"))
+          .orderBy("key"),
+      oracle = Some("""
+        SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+                    ELSE l_orderkey % 100 END AS key,
+               count(*) AS cnt, CAST(round(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS payload
+        FROM lineitem GROUP BY 1 ORDER BY key""")),
+
+    // synthetic_workload.py:31 (commented `data.join(data)`) — keyed
+    // self-join cardinality. Pure shuffle-join stress.
+    "s03_shuffle_join" -> QueryDef(
+      build = (s, d) => {
+        val l = t(s, d, "lineitem")
+        val a = l.select((col("l_orderkey") % 10000).as("k"))
+        val b = l.select((col("l_orderkey") % 10000).as("k2"))
+        a.join(b, col("k") === col("k2"))
+          .agg(count(lit(1)).as("cnt"))
+      },
+      oracle = Some("""
+        SELECT count(*) AS cnt
+        FROM (SELECT l_orderkey % 10000 AS k FROM lineitem) a
+        JOIN (SELECT l_orderkey % 10000 AS k2 FROM lineitem) b
+          ON a.k = b.k2""")),
+
+    // Explicit repartition-by-key then aggregate: partitioning reuse — the
+    // groupBy rides the repartition's hash partitioning, one shuffle total.
+    "s04_repartition_agg" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .repartition(col("l_suppkey"))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("cnt"),
+               graft.functions.AggFns.dsum(col("l_extendedprice")).as("total"))
+          .orderBy("l_suppkey"),
+      oracle = Some("""
+        SELECT l_suppkey, count(*) AS cnt,
+               CAST(round(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""))
+  )
+}

@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.E — similarity search over the `embeddings` table (64-dim float).
+  *
+  * a01 is the correctness baseline: broadcast the (small) query set and
+  * scan candidates once — O(n·q) map-side, no shuffle until top-k. a02/a03
+  * are the scale path: LSH / IVF bucketing prunes the candidate set so the
+  * per-query work is a bucket, not the corpus.
+  */
+object Similarity {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  private val QUERY_IDS_BELOW = 5L
+  private val TOPK = 10
+
+  private def queriesDf(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < QUERY_IDS_BELOW)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+
+  /** Deterministic seeded hyperplanes (LCG — engine-independent). */
+  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    var state = 42L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Array.fill(nPlanes)(Array.fill(dim)(next()))
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---------------------------------------------------------------- a01
+    // Brute-force cosine top-k per query: broadcast queries × scan corpus.
+    "a01_ann_bruteforce" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = queriesDf(e)
+        val c = e.filter(col("vec_id") >= QUERY_IDS_BELOW)
+        val w = Window.partitionBy("q_id").orderBy(desc("raw_score"), asc("vec_id"))
+        c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"),
+            VectorFns.cosine(col("qv"), col("embedding")).as("raw_score"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= TOPK)
+          .select(col("q_id"), col("vec_id"),
+            round(col("raw_score"), 4).as("score"), col("rk"))
+          .orderBy("q_id", "rk")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < $QUERY_IDS_BELOW),
+             c AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id >= $QUERY_IDS_BELOW),
+             sc AS (SELECT q_id, vec_id,
+                      list_cosine_similarity(qv::DOUBLE[],
+                                             embedding::DOUBLE[]) AS raw_score
+                    FROM q CROSS JOIN c)
+        SELECT q_id, vec_id, round(raw_score, 4) AS score,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY raw_score DESC, vec_id) AS BIGINT) AS rk
+        FROM sc
+        QUALIFY rk <= $TOPK
+        ORDER BY q_id, rk""")),
+
+    // ---------------------------------------------------------------- a02
+    // Random-hyperplane LSH: 8 sign bits → bucket id; queries probe their
+    // bucket only. Seeded planes ⇒ deterministic; rows-only check.
+    "a02_ann_lsh" -> QueryDef(
+      build = (s, d) => {
+        val planes = hyperplanes(8, 64)
+        def bucketOf(emb: org.apache.spark.sql.Column) =
+          planes.zipWithIndex.map { case (p, i) =>
+            val dotP = VectorFns.dot(emb, typedLit(p.toSeq))
+            when(dotP >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+          }.reduce(_ bitwiseOR _)
+        val e = t(s, d, "embeddings")
+          .withColumn("bucket", bucketOf(col("embedding")))
+        val q = e.filter(col("vec_id") < QUERY_IDS_BELOW)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("bucket").as("q_bucket"))
+        val c = e.filter(col("vec_id") >= QUERY_IDS_BELOW)
+        val w = Window.partitionBy("q_id").orderBy(desc("raw_score"), asc("vec_id"))
+        c.join(broadcast(q), col("bucket") === col("q_bucket"))
+          .select(col("q_id"), col("vec_id"),
+            VectorFns.cosine(col("qv"), col("embedding")).as("raw_score"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= TOPK)
+          .select(col("q_id"), col("vec_id"),
+            round(col("raw_score"), 4).as("score"), col("rk"))
+          .orderBy("q_id", "rk")
+      }),
+
+    // ---------------------------------------------------------------- a03
+    // IVF-style coarse quantization: vec_id 0..7 act as the (given) coarse
+    // centroids; every vector is assigned to its nearest centroid cell and
+    // queries search only their cell. Rows-only check (argmax assignment).
+    "a03_ivf_centroids" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val cent = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+        val wAssign = Window.partitionBy("vec_id")
+          .orderBy(desc("cscore"), asc("cent_id"))
+        val assigned = e.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"),
+            VectorFns.cosine(col("embedding"), col("cv")).as("cscore"))
+          .withColumn("ark", row_number().over(wAssign))
+          .filter(col("ark") === 1)
+          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        val q = assigned.filter(col("vec_id") < QUERY_IDS_BELOW)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("cell").as("q_cell"))
+        val c = assigned.filter(col("vec_id") >= QUERY_IDS_BELOW)
+        val w = Window.partitionBy("q_id").orderBy(desc("raw_score"), asc("vec_id"))
+        c.join(broadcast(q), col("cell") === col("q_cell"))
+          .select(col("q_id"), col("vec_id"),
+            VectorFns.cosine(col("qv"), col("embedding")).as("raw_score"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= TOPK)
+          .select(col("q_id"), col("vec_id"),
+            round(col("raw_score"), 4).as("score"), col("rk"))
+          .orderBy("q_id", "rk")
+      }),
+
+    // ---------------------------------------------------------------- a04
+    // Per-cluster vector stats (norm distribution) — aggregation over
+    // vectors, SQL-oracled.
+    "a04_pairwise_label" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "embeddings")
+          .select(col("label"), VectorFns.norm(col("embedding")).as("nrm"))
+          .groupBy("label")
+          .agg(count(lit(1)).as("n"),
+            round(avg("nrm"), 4).as("avg_norm"),
+            round(min("nrm"), 4).as("min_norm"),
+            round(max("nrm"), 4).as("max_norm"))
+          .orderBy("label"),
+      oracle = Some("""
+        SELECT label, count(*) AS n,
+               round(avg(nrm), 4) AS avg_norm,
+               round(min(nrm), 4) AS min_norm,
+               round(max(nrm), 4) AS max_norm
+        FROM (SELECT label,
+                sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+                  AS nrm
+              FROM embeddings) z
+        GROUP BY label ORDER BY label"""))
+  )
+}

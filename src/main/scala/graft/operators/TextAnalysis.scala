@@ -1,0 +1,118 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.F — text analysis over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, n-gram frequencies. All
+  * builtins (split/filter/transform/regexp) — fully codegen'd, map-side
+  * linear; the only shuffles are the final aggregations.
+  */
+object TextAnalysis {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---------------------------------------------------------------- t01
+    "t01_token_count" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+            col("n_chars"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens,
+               n_chars
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t02
+    // Quality features: length, punctuation ratio, stopword ratio, and a
+    // keep/drop flag — the standard pre-training corpus filter shape.
+    "t02_quality_score" -> QueryDef(
+      build = (s, d) => {
+        val toks = TextFns.tokens(col("text"))
+        val stopArr = array(TextFns.stopwords.map(lit): _*)
+        val nTok = size(toks)
+        val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+        val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            length(col("text")).cast("long").as("len_chars"),
+            round(nPunct.cast("double") / length(col("text")), 4).as("punct_ratio"),
+            round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
+            (length(col("text")).between(50, 10000) &&
+              (nStop.cast("double") / nTok) >= 0.01).as("keep"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS len_chars,
+               round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                     AS DOUBLE) / length(text), 4) AS punct_ratio,
+               round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     tok -> tok IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                     / len(string_split_regex(lower(trim(text)), '\s+')), 4)
+                 AS stopword_ratio,
+               (length(text) BETWEEN 50 AND 10000 AND
+                CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     tok -> tok IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                     / len(string_split_regex(lower(trim(text)), '\s+')) >= 0.01)
+                 AS keep
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t03
+    // Language-ID heuristic: build per-lang distinctive-token profiles from
+    // the labeled corpus (top-10 by lang-frequency lift), score each doc by
+    // profile overlap, argmax. Rows-only (two-phase trained heuristic, not
+    // SQL-oracle-able deterministically).
+    "t03_lang_id" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val docToks = docs.select(col("doc_id"), col("lang"),
+          explode(TextFns.tokens(col("text"))).as("tok"))
+        val byLangTok = docToks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        val wProfile = Window.partitionBy("lang").orderBy(desc("n"), asc("tok"))
+        val profiles = byLangTok
+          .withColumn("prk", row_number().over(wProfile))
+          .filter(col("prk") <= 10)
+          .select(col("lang").as("p_lang"), col("tok"))
+        val scored = docToks.join(broadcast(profiles), Seq("tok"))
+          .groupBy("doc_id", "p_lang")
+          .agg(count(lit(1)).as("hits"))
+        val wPick = Window.partitionBy("doc_id").orderBy(desc("hits"), asc("p_lang"))
+        scored.withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("p_lang").as("pred_lang"))
+          .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+          .orderBy("doc_id")
+      }),
+
+    // ---------------------------------------------------------------- t04
+    // Corpus bigram frequency: per-doc shingling (map-side) + one count
+    // shuffle + deterministic top-100.
+    "t04_ngram_freq" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "documents")
+          .select(explode(TextFns.shingles(TextFns.tokens(col("text")), 2))
+            .as("ngram"))
+          .groupBy("ngram")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy(desc("freq"), asc("ngram"))
+          .limit(100),
+      oracle = Some("""
+        SELECT ngram, count(*) AS freq FROM (
+          SELECT unnest(list_transform(
+            generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+            i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                 string_split_regex(lower(trim(text)), '\s+')[i+1])) AS ngram
+          FROM documents) z
+        GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100"""))
+  )
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf tables, load the Spark parquet dump, sort columns by
+name + rows by all columns, and compare values exactly (report float
+deltas when inexact). Usage: compare.py <sfdir> <verify_outdir>
+"""
+import sys, json, glob
+import duckdb, pandas as pd, numpy as np
+
+sfdir, vout = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = f.split("/")[-1].removesuffix(".parquet")
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(f"{vout}/oracle_sql.json"))
+fail = ok = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        ddf = con.sql(sql).df()
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error {e}")
+        fail += 1
+        continue
+    sdf = pd.concat([pd.read_parquet(p) for p in
+                     sorted(glob.glob(f"{vout}/{name}/*.parquet"))],
+                    ignore_index=True) if glob.glob(f"{vout}/{name}/*.parquet") \
+        else pd.read_parquet(f"{vout}/{name}")
+    ddf = ddf.reindex(sorted(ddf.columns), axis=1)
+    sdf = sdf.reindex(sorted(sdf.columns), axis=1)
+    if list(ddf.columns) != list(sdf.columns):
+        print(f"FAIL {name}: columns duck={list(ddf.columns)} spark={list(sdf.columns)}")
+        fail += 1
+        continue
+    if len(ddf) != len(sdf):
+        print(f"FAIL {name}: rows duck={len(ddf)} spark={len(sdf)}")
+        fail += 1
+        continue
+    # normalize types for compare
+    def norm(df):
+        out = df.copy()
+        for c in out.columns:
+            if np.issubdtype(out[c].dtype, np.datetime64):
+                out[c] = out[c].astype("datetime64[us]")
+            elif out[c].dtype == object:
+                out[c] = out[c].astype(str)
+        return out.sort_values(list(out.columns)).reset_index(drop=True)
+    d, s = norm(ddf), norm(sdf)
+    bad = []
+    for c in d.columns:
+        if np.issubdtype(d[c].dtype, np.floating):
+            if not np.allclose(d[c], s[c], rtol=0, atol=0, equal_nan=True):
+                mx = np.nanmax(np.abs(d[c] - s[c]))
+                bad.append(f"{c} maxdiff={mx:.3e}")
+        else:
+            if not d[c].equals(s[c]):
+                n = int((d[c] != s[c]).sum())
+                bad.append(f"{c} {n} diffs e.g. duck={d[c][d[c]!=s[c]].head(2).tolist()} spark={s[c][d[c]!=s[c]].head(2).tolist()}")
+    if bad:
+        print(f"FAIL {name}: " + "; ".join(bad))
+        fail += 1
+    else:
+        ok += 1
+rows_only = [p.split('/')[-1] for p in glob.glob(f"{vout}/*")
+             if '/' in p and p.split('/')[-1] not in oracle
+             and p.split('/')[-1] != 'oracle_sql.json']
+print(f"\n{ok} ok, {fail} fail, rows-only (no oracle): {sorted(rows_only)}")
