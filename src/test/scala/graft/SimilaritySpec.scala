@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+class SimilaritySpec extends SparkSpecBase {
+
+  /** Planted vectors: vec 10 == vec 0 (cosine exactly 1), vec 11 is the
+    * negation of vec 0 (cosine -1), the rest deterministic pseudo-noise.
+    */
+  lazy val plantedDir: String = {
+    val dir = Files.createTempDirectory("graft-emb").toString
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def v(): Array[Float] = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    val v0 = v()
+    val rows = (Seq((0L, v0, 0)) ++ (1L to 9L).map(i => (i, v(), (i % 4).toInt)) ++
+      Seq((10L, v0.clone(), 1), (11L, v0.map(x => -x), 2)) ++
+      (12L to 40L).map(i => (i, v(), (i % 4).toInt)))
+      .toDF("vec_id", "embedding", "label")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("a01 brute force ranks the identical vector first with score 1.0") {
+    val rows = run("a01_ann_bruteforce", plantedDir).collect()
+    val top0 = rows.find(r => r.getAs[Long]("q_id") == 0L && r.getAs[Long]("rk") == 1L).get
+    assert(top0.getAs[Long]("vec_id") == 10L)
+    assert(top0.getAs[Double]("score") == 1.0)
+    // negated vector must rank last of any returned for q 0
+    val q0 = rows.filter(_.getAs[Long]("q_id") == 0L)
+    assert(!q0.take(q0.length - 1).exists(_.getAs[Long]("vec_id") == 11L))
+  }
+
+  test("a02 LSH bucket contains the identical vector (same hyperplane signs)") {
+    val rows = run("a02_ann_lsh", plantedDir).collect()
+    val q0 = rows.filter(r => r.getAs[Long]("q_id") == 0L)
+    assert(q0.nonEmpty)
+    assert(q0.head.getAs[Long]("vec_id") == 10L) // identical vec: same bucket, rank 1
+  }
+
+  test("a03 IVF assigns identical vectors to the same cell and finds the dup") {
+    val rows = run("a03_ivf_centroids", plantedDir).collect()
+    val q0 = rows.filter(r => r.getAs[Long]("q_id") == 0L)
+    assert(q0.nonEmpty && q0.head.getAs[Long]("vec_id") == 10L)
+  }
+
+  test("a04 per-label stats cover every label on sf data") {
+    val rows = run("a04_pairwise_label").collect()
+    val labels = Tables(spark, sf, "embeddings").select("label").distinct().count()
+    assert(rows.length == labels)
+    assert(rows.forall(_.getAs[Double]("avg_norm") > 0))
+  }
+}

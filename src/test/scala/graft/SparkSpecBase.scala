@@ -1,0 +1,19 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all specs (sf0.001 data; 4 cores). */
+trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = GraftSession.local(4, "graft-test")
+  val sf: String = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    // session is shared across suites in one JVM — do not stop it here
+    super.afterAll()
+  }
+
+  def run(name: String, dir: String = sf) =
+    SparkEntry.queries(name)(spark, dir)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.{SessionEvent, SessionUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** §2.C streaming: drive the EventsStream pipelines through actual
+  * Structured Streaming micro-batches (MemoryStream → memory sink).
+  */
+class StreamingSpec extends SparkSpecBase {
+
+  test("windowedCounts aggregates tumbling windows over a real stream") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventsStream.windowedCounts(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:40:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 11:10:00"), "click", 5.0),
+        (Timestamp.valueOf("2024-01-01 10:20:00"), "view", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("win_counts").collect()
+        .map(r => (r.getAs[Timestamp]("window_start").toString,
+          r.getAs[String]("event_type")) ->
+          (r.getAs[Long]("cnt"), r.getAs[Double]("total"))).toMap
+      assert(out(("2024-01-01 10:00:00.0", "click")) == (2L, 3.0))
+      assert(out(("2024-01-01 11:00:00.0", "click")) == (1L, 5.0))
+      assert(out(("2024-01-01 10:00:00.0", "view")) == (1L, 3.0))
+    } finally q.stop()
+  }
+
+  test("sessionize splits on the inactivity gap and carries state across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventsStream.sessionize(input.toDS(), gapSec = 60)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      val t0 = 1700000000L * 1000000L // µs
+      input.addData(
+        SessionEvent(1L, t0, 1.0),
+        SessionEvent(1L, t0 + 30L * 1000000L, 1.0))   // same session
+      q.processAllAvailable()
+      input.addData(
+        SessionEvent(1L, t0 + 200L * 1000000L, 1.0),  // gap > 60s → new session
+        SessionEvent(2L, t0, 1.0))                    // separate user
+      q.processAllAvailable()
+      val out = spark.table("sessions").as[SessionUpdate].collect()
+      val u1 = out.filter(_.userId == 1L)
+      assert(u1.map(_.sessionId).max == 2L)
+      assert(u1.count(_.sessionId == 1L) == 2)
+      assert(out.filter(_.userId == 2L).forall(_.sessionId == 1L))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TextAndEventsSpec extends SparkSpecBase {
+
+  test("t01 token counts are positive and n_chars matches source") {
+    val rows = run("t01_token_count").collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    assert(rows.forall(_.getAs[Long]("n_tokens") > 0))
+  }
+
+  test("t02 ratios live in [0,1]") {
+    val rows = run("t02_quality_score").collect()
+    assert(rows.forall { r =>
+      val p = r.getAs[Double]("punct_ratio"); val s = r.getAs[Double]("stopword_ratio")
+      p >= 0 && p <= 1 && s >= 0 && s <= 1
+    })
+  }
+
+  test("t03 lang-id predicts a label for every doc") {
+    val rows = run("t03_lang_id").collect()
+    assert(rows.length == Tables(spark, sf, "documents").count())
+    val langs = Set("en", "de", "zh", "fr", "es")
+    assert(rows.forall(r => langs.contains(r.getAs[String]("pred_lang"))))
+  }
+
+  test("t04 bigram frequencies are sorted desc and bounded by 100") {
+    val rows = run("t04_ngram_freq").collect()
+    assert(rows.length <= 100)
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.sameElements(freqs.sortBy(-_)))
+  }
+
+  test("e01 window totals equal the table total") {
+    val win = run("e01_windowed_agg").collect()
+    assert(win.map(_.getAs[Long]("cnt")).sum == Tables(spark, sf, "events").count())
+  }
+
+  test("e03 session counts: users' events sum to table size") {
+    val rows = run("e03_sessionize").collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      Tables(spark, sf, "events").count())
+    assert(rows.forall(r => r.getAs[Long]("n_sessions") >= 1))
+  }
+
+  test("m02 feature vectors are 8-dim distributions summing to ~1") {
+    val rows = run("m02_feature_extract").collect()
+    assert(rows.forall { r =>
+      val f = r.getAs[scala.collection.Seq[Double]]("features")
+      f.length == 8 && math.abs(f.sum - 1.0) < 1e-9
+    })
+  }
+}
