@@ -3,23 +3,24 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `array<float>` embedding columns, built from codegen'd
-  * builtins (`zip_with`/`aggregate`/`transform`) — no UDFs, so the whole
-  * similarity pipeline stays inside WholeStageCodegen. All arithmetic is
-  * double-precision (floats are cast first) so results match a
-  * double-precision oracle.
+/** Vector math over `array<float>` embedding columns. The inner product
+  * is a native codegen'd Catalyst expression (graft.plans.DotProductExpr)
+  * — a tight primitive loop inside WholeStageCodegen, no per-element
+  * closures or boxing. All arithmetic is double-precision with sequential
+  * accumulation, so results match a double-precision oracle exactly.
   */
 object VectorFns {
 
-  /** Σ aᵢ·bᵢ in double precision, sequential fold (deterministic). */
+  import org.apache.spark.sql.GraftShim
+  import graft.plans.DotProductExpr
+
+  /** Σ aᵢ·bᵢ in double precision, sequential loop (deterministic). */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    GraftShim.column(DotProductExpr(
+      GraftShim.expression(a), GraftShim.expression(b)))
 
   /** Σ aᵢ² in double precision. */
-  def normSq(a: Column): Column =
-    aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+  def normSq(a: Column): Column = dot(a, a)
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
