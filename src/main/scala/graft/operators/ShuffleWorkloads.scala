@@ -78,6 +78,32 @@ object ShuffleWorkloads {
       oracle = Some("""
         SELECT l_suppkey, count(*) AS cnt,
                CAST(round(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS total
-        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey"""))
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")),
+
+    // Manual two-phase salted aggregation — the pre-AQE skew mitigation:
+    // phase 1 aggregates on (key, salt) spreading the hot key over 16
+    // reducers, phase 2 combines per key. Result is identical to the
+    // plain aggregation (the oracle is the plain aggregation).
+    "s05_salted_agg" -> QueryDef(
+      build = (s, d) => {
+        val salted = t(s, d, "lineitem")
+          .select(
+            when(col("l_orderkey") % 10 < 3, lit(1L))
+              .otherwise(col("l_orderkey") % 100).as("key"),
+            (col("l_linenumber") % 16).as("salt"),
+            col("l_extendedprice"))
+        val phase1 = salted.groupBy("key", "salt")
+          .agg(count(lit(1)).as("c"),
+               graft.functions.AggFns.dsumRaw(col("l_extendedprice")).as("p"))
+        phase1.groupBy("key")
+          .agg(sum("c").as("cnt"),
+               round(sum("p"), 2).cast("double").as("payload"))
+          .orderBy("key")
+      },
+      oracle = Some("""
+        SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+                    ELSE l_orderkey % 100 END AS key,
+               count(*) AS cnt, CAST(round(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS payload
+        FROM lineitem GROUP BY 1 ORDER BY key"""))
   )
 }

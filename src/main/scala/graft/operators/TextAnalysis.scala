@@ -113,6 +113,28 @@ object TextAnalysis {
             i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
                  string_split_regex(lower(trim(text)), '\s+')[i+1])) AS ngram
           FROM documents) z
-        GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100"""))
+        GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100""")),
+
+    // ---------------------------------------------------------------- r01
+    // Reviews-style analytics (the reference README's
+    // amazon_customer_reviews_workload surface): per-"product" (source)
+    // counts, language diversity, average length, deterministic top-k.
+    "r01_reviews_analytics" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "documents")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("lang").as("n_langs"),
+            round(avg("n_chars"), 4).as("avg_chars"),
+            max("n_chars").as("max_chars"))
+          .orderBy(desc("n_docs"), asc("source"))
+          .limit(10),
+      oracle = Some("""
+        SELECT source, count(*) AS n_docs,
+               count(DISTINCT lang) AS n_langs,
+               round(avg(n_chars), 4) AS avg_chars,
+               max(n_chars) AS max_chars
+        FROM documents GROUP BY source
+        ORDER BY n_docs DESC, source LIMIT 10"""))
   )
 }
