@@ -20,28 +20,33 @@ object Dedup {
   private val K = 32      // minhash signature length
   private val BANDS = 16  // bands of r = K/BANDS = 2 rows each
 
-  /** doc_id → exploded distinct 3-token shingles. */
-  private def docShingles(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(array_distinct(TextFns.shingles(TextFns.tokens(col("text")), 3)))
-          .as("sh"))
-
-  /** doc_id → (sig_0..sig_K-1) minhash signature, one shuffle. */
+  /** doc_id → K-element minhash signature array, computed entirely
+    * map-side by the codegen'd MinHashSigExpr (one tight k×n loop per
+    * row) — zero shuffle until the band join.
+    */
   private def minhashSigs(docs: DataFrame): DataFrame = {
-    val aggs = (0 until K).map(i =>
-      min(TextFns.saltedHash(col("sh"), i)).as(s"sig_$i"))
-    docShingles(docs).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    import org.apache.spark.sql.GraftShim
+    val shingleHashes = array_distinct(transform(
+      TextFns.shingles(TextFns.tokens(col("text")), 3), sh => xxhash64(sh)))
+    docs.select(col("doc_id"), shingleHashes.as("hs"))
+      .select(col("doc_id"), GraftShim.column(
+        graft.plans.MinHashSigExpr(GraftShim.expression(col("hs")), K)).as("sig"))
   }
 
   /** LSH candidate pairs: equal band-hash in ≥1 of BANDS bands. */
   private def lshCandidates(sigs: DataFrame): DataFrame = {
     val bandStructs = (0 until BANDS).map { j =>
       struct(lit(j).as("band"),
-        xxhash64(col(s"sig_${2 * j}"), col(s"sig_${2 * j + 1}")).as("bh"))
+        xxhash64(element_at(col("sig"), 2 * j + 1),
+          element_at(col("sig"), 2 * j + 2)).as("bh"))
     }
+    // repartition on the join keys: the expensive shingle→minhash map
+    // side lands below ONE Exchange, which ReuseExchange shares between
+    // both self-join branches, and the join itself needs no extra shuffle.
     val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bd"))
       .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      .repartition(col("band"), col("bh"))
     bands.alias("x")
       .join(bands.alias("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -117,6 +122,7 @@ object Dedup {
           .select(col("doc_id"), col("sim"), explode(array(chunkStructs: _*)).as("cd"))
           .select(col("doc_id"), col("sim"), col("cd.chunk").as("chunk"),
             col("cd.ch").as("ch"))
+          .repartition(col("chunk"), col("ch"))
         chunks.alias("x")
           .join(chunks.alias("y"),
             col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
@@ -125,7 +131,7 @@ object Dedup {
             bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
               .as("hamming"))
           .distinct()
-          .filter(col("hamming") <= 16)
+          .filter(col("hamming") <= 8)
           .orderBy("a_id", "b_id")
       }),
 
@@ -147,15 +153,23 @@ object Dedup {
               TextFns.shingles(TextFns.tokens(col("text")), 3),
               sh => xxhash64(sh))).as("sh"))
           .withColumn("sz", size(col("sh")))
-        val inv = sets.select(col("doc_id"), col("lang"), col("sz"),
+        // The inverted-index join shuffles only (doc_id, lang, h) — set
+        // sizes rejoin from a broadcast AFTER the count aggregation, so
+        // the wide shuffle rows carry no redundant payload.
+        val inv = sets.select(col("doc_id"), col("lang"),
           explode(col("sh")).as("h"))
+          .repartition(col("h"), col("lang"))
+        val sizes = sets.select(col("doc_id"), col("sz"))
         inv.alias("x")
           .join(inv.alias("y"),
             col("x.h") === col("y.h") && col("x.lang") === col("y.lang") &&
               col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-            col("x.sz").as("sza"), col("y.sz").as("szb"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .agg(count(lit(1)).as("inter"))
+          .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("sz", "sza")), Seq("a_id"))
+          .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("sz", "szb")), Seq("b_id"))
           .select(col("a_id"), col("b_id"),
             (col("inter").cast("double") /
               (col("sza") + col("szb") - col("inter"))).as("raw_j"))
