@@ -39,6 +39,7 @@ object Tables {
 object GraftSession {
   def local(cores: Int = 4, appName: String = "graft"): SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)

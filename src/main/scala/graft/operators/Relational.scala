@@ -592,6 +592,29 @@ object Relational {
           .limit(50),
       oracle = Some("""
         SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"""))
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""")),
+
+    // ---------------------------------------------------------------- q25
+    // Custom whole-operator plan node: per-group top-k via map-side
+    // bounded heaps (graft.plans.TopKPerGroup) instead of
+    // window(row_number) <= k — only k rows per group per partition reach
+    // the shuffle. Oracle is the window formulation.
+    "q25_topk_custom" -> QueryDef(
+      build = (s, d) => {
+        val o = t(s, d, "orders")
+          .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        TopK.perGroup(o, Seq("o_orderpriority"),
+            Seq("o_totalprice" -> false, "o_orderkey" -> true), 3)
+          .orderBy(asc("o_orderpriority"), desc("o_totalprice"),
+            asc("o_orderkey"))
+      },
+      oracle = Some("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+          SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders) z
+        WHERE rn <= 3
+        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""))
   )
 }
