@@ -222,6 +222,27 @@ object Dedup {
           FROM embeddings a JOIN embeddings b
             ON a.label = b.label AND a.vec_id < b.vec_id)
         SELECT a_id, b_id, round(raw_c, 4) AS cos
-        FROM p WHERE raw_c >= 0.3 ORDER BY a_id, b_id"""))
+        FROM p WHERE raw_c >= 0.3 ORDER BY a_id, b_id""")),
+
+    // ---------------------------------------------------------------- d07
+    // Rolling-hash winnowing fingerprints (Schleimer et al.): token-hash
+    // stream → minimum of every w-window → distinct minima are the doc's
+    // fingerprints. Map-side linear; docs sharing a fingerprint are dup
+    // candidates. Rows-only (fingerprint values depend on the engine's
+    // hash function, so no cross-engine oracle).
+    "d07_winnow_fingerprint" -> QueryDef(
+      build = (s, d) => {
+        val w = 8
+        val hs = transform(TextFns.tokens(col("text")), tk => xxhash64(tk))
+        val fps = array_distinct(transform(
+          sequence(lit(0), greatest(size(hs) - w, lit(0))),
+          i => array_min(slice(hs, i + lit(1), lit(w)))))
+        t(s, d, "documents")
+          .select(col("doc_id"), fps.as("fps"))
+          .select(col("doc_id"),
+            size(col("fps")).cast("long").as("n_fingerprints"),
+            array_min(col("fps")).as("min_fp"))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -68,6 +68,31 @@ object Multimodal {
             Row(id, fakeDecode(bytes).toSeq)
           }
         }(enc).orderBy("doc_id")
-      })
+      }),
+
+    // ---------------------------------------------------------------- m03
+    // Frame sampling over an opaque payload: every 256th offset yields a
+    // 64-byte "frame" (what a video frame-sampler would do per GOP);
+    // output frame count + digest of the sampled frames. Map-side only.
+    "m03_frame_sample" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "documents")
+          .withColumn("frames", expr(
+            "transform(sequence(0, greatest(cast(floor((length(text)-64)/256) as int), 0))," +
+              " i -> substring(text, i*256+1, 64))"))
+          .select(col("doc_id"),
+            size(col("frames")).cast("long").as("n_frames"),
+            md5(concat_ws("", col("frames")).cast("binary")).as("frames_sig"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(frames) AS BIGINT) AS n_frames,
+               md5(array_to_string(frames, '')) AS frames_sig
+        FROM (
+          SELECT doc_id, list_transform(
+            generate_series(0, greatest(CAST(floor((length(text)-64)/256) AS INT), 0)),
+            i -> substr(text, i*256+1, 64)) AS frames
+          FROM documents) z
+        ORDER BY doc_id"""))
   )
 }

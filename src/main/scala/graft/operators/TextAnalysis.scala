@@ -135,6 +135,27 @@ object TextAnalysis {
                round(avg(n_chars), 4) AS avg_chars,
                max(n_chars) AS max_chars
         FROM documents GROUP BY source
-        ORDER BY n_docs DESC, source LIMIT 10"""))
+        ORDER BY n_docs DESC, source LIMIT 10""")),
+
+    // ---------------------------------------------------------------- t05
+    // BPE-ish token counting: a GPT-2-style regex segmentation
+    // (contractions | letter runs | digit runs | punctuation runs) — the
+    // standard cheap token estimator for corpus budgeting.
+    "t05_bpe_tokens" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"),
+              lit("'s|'t|'re|'ve|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0)))
+              .cast("long").as("n_bpe_tokens"),
+            col("n_chars"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                 '''s|''t|''re|''ve|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
+                 AS BIGINT) AS n_bpe_tokens,
+               n_chars
+        FROM documents ORDER BY doc_id"""))
   )
 }

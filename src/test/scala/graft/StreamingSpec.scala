@@ -60,4 +60,22 @@ class StreamingSpec extends SparkSpecBase {
       assert(out.filter(_.userId == 2L).forall(_.sessionId == 1L))
     } finally q.stop()
   }
+
+  test("stream-static join enriches a stream against a dimension table") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = Seq((0, "NATION_A"), (1, "NATION_B")).toDF("nkey", "nname")
+    val input = MemoryStream[(Long, Int)]
+    val q = input.toDF().toDF("event_id", "nkey")
+      .join(dim, Seq("nkey")) // static side broadcast per micro-batch
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, 0), (11L, 1), (12L, 0), (13L, 9)) // 9: no dim match
+      q.processAllAvailable()
+      val out = spark.table("enriched").collect()
+      assert(out.length == 3)
+      assert(out.filter(_.getAs[String]("nname") == "NATION_A").length == 2)
+    } finally q.stop()
+  }
 }
