@@ -22,6 +22,15 @@ object TextFns {
     */
   def saltedHash(c: Column, salt: Int): Column = xxhash64(c, lit(salt))
 
+  /** Distinct hashed n-gram shingles of `text`, via the native
+    * NGramHashExpr (no per-shingle string building).
+    */
+  def shingleHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftShim
+    array_distinct(GraftShim.column(
+      graft.plans.NGramHashExpr(GraftShim.expression(tokens(text)), n)))
+  }
+
   /** Common stopword list used by quality scoring / lang-id heuristics. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 }

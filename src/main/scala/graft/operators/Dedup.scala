@@ -26,9 +26,7 @@ object Dedup {
     */
   private def minhashSigs(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.GraftShim
-    val shingleHashes = array_distinct(transform(
-      TextFns.shingles(TextFns.tokens(col("text")), 3), sh => xxhash64(sh)))
-    docs.select(col("doc_id"), shingleHashes.as("hs"))
+    docs.select(col("doc_id"), TextFns.shingleHashes(col("text"), 3).as("hs"))
       .select(col("doc_id"), GraftShim.column(
         graft.plans.MinHashSigExpr(GraftShim.expression(col("hs")), K)).as("sig"))
   }
@@ -104,17 +102,11 @@ object Dedup {
     // the chunks as candidate buckets and verify true hamming ≤ 16).
     "d04_dedup_simhash" -> QueryDef(
       build = (s, d) => {
-        val toks = t(s, d, "documents")
-          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
-          .withColumn("h", xxhash64(col("tok")))
-        val bitAggs = (0 until 64).map(i =>
-          sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1)
-            .otherwise(-1)).as(s"b_$i"))
-        val withBits = toks.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-        val simhash = (0 until 64).map(i =>
-          when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-          .reduce((a, b) => a.bitwiseOR(b))
-        val sigs = withBits.select(col("doc_id"), simhash.as("sim"))
+        import org.apache.spark.sql.GraftShim
+        // one-pass native signature — no explode, no 64-column groupBy
+        val sigs = t(s, d, "documents")
+          .select(col("doc_id"), GraftShim.column(graft.plans.SimHashExpr(
+            GraftShim.expression(TextFns.tokens(col("text"))))).as("sim"))
         val chunkStructs = (0 until 4).map(c =>
           struct(lit(c).as("chunk"),
             shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("ch")))
@@ -149,9 +141,7 @@ object Dedup {
         // the naive all-pairs formulation (modulo 64-bit hash collisions).
         val sets = t(s, d, "documents")
           .select(col("doc_id"), col("lang"),
-            array_distinct(transform(
-              TextFns.shingles(TextFns.tokens(col("text")), 3),
-              sh => xxhash64(sh))).as("sh"))
+            TextFns.shingleHashes(col("text"), 3).as("sh"))
           .withColumn("sz", size(col("sh")))
         // The inverted-index join shuffles only (doc_id, lang, h) — set
         // sizes rejoin from a broadcast AFTER the count aggregation, so
@@ -232,11 +222,12 @@ object Dedup {
     // hash function, so no cross-engine oracle).
     "d07_winnow_fingerprint" -> QueryDef(
       build = (s, d) => {
-        val w = 8
-        val hs = transform(TextFns.tokens(col("text")), tk => xxhash64(tk))
-        val fps = array_distinct(transform(
-          sequence(lit(0), greatest(size(hs) - w, lit(0))),
-          i => array_min(slice(hs, i + lit(1), lit(w)))))
+        import org.apache.spark.sql.GraftShim
+        // winnow over the ordered token-hash STREAM (dups kept — unlike
+        // shingleHashes, which dedupes for set semantics)
+        val fps = GraftShim.column(graft.plans.WinnowExpr(
+          GraftShim.expression(GraftShim.column(graft.plans.NGramHashExpr(
+            GraftShim.expression(TextFns.tokens(col("text"))), 1))), 8))
         t(s, d, "documents")
           .select(col("doc_id"), fps.as("fps"))
           .select(col("doc_id"),
