@@ -156,10 +156,10 @@ object Dedup {
               col("x.doc_id") < col("y.doc_id"))
           .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .agg(count(lit(1)).as("inter"))
-          .join(broadcast(sizes.withColumnRenamed("doc_id", "a_id")
-            .withColumnRenamed("sz", "sza")), Seq("a_id"))
-          .join(broadcast(sizes.withColumnRenamed("doc_id", "b_id")
-            .withColumnRenamed("sz", "szb")), Seq("b_id"))
+          .join(sizes.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("sz", "sza"), Seq("a_id"))
+          .join(sizes.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("sz", "szb"), Seq("b_id"))
           .select(col("a_id"), col("b_id"),
             (col("inter").cast("double") /
               (col("sza") + col("szb") - col("inter"))).as("raw_j"))

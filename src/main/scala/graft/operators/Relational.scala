@@ -232,7 +232,7 @@ object Relational {
         val su = t(s, d, "supplier")
         val n = t(s, d, "nation")
         l.join(o, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(p, col("l_partkey") === col("p_partkey")) // part scales with lineitem — let AQE pick the strategy
           .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("n_name").as("nation"),
@@ -362,7 +362,7 @@ object Relational {
           .filter(col("l_shipdate") >= ts("1996-03-01") &&
                   col("l_shipdate") < ts("1996-05-01"))
         val p = t(s, d, "part")
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
           .agg(round(
             dsumRaw(when(col("p_type") === "PROMO", revenue).otherwise(lit(0.0)))
               .cast("double") * lit(100.0) /
@@ -413,7 +413,7 @@ object Relational {
           .filter(col("p_brand") =!= "Brand#1" &&
                   col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
         val l = t(s, d, "lineitem")
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        l.join(p, col("l_partkey") === col("p_partkey"))
           .groupBy("p_brand", "p_type", "p_size")
           .agg(countDistinct("l_suppkey").as("supplier_cnt"))
           .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
@@ -490,7 +490,7 @@ object Relational {
             col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
             col("l_quantity").between(20, 30))
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey") && cond)
+        l.join(p, col("l_partkey") === col("p_partkey") && cond)
           .agg(dsum(revenue).as("rev"))
       },
       oracle = Some("""

@@ -1,0 +1,79 @@
+package graft
+
+import graft.plans.{DotProductExpr, MinHashSigExpr, NGramHashExpr, SimHashExpr, WinnowExpr}
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.functions._
+
+/** Direct behavior checks of the native Catalyst expressions. */
+class NativeExprSpec extends SparkSpecBase {
+
+  import spark.implicits._
+
+  private def ngrams(c: org.apache.spark.sql.Column, n: Int) =
+    GraftShim.column(NGramHashExpr(GraftShim.expression(c), n))
+
+  test("DotProductExpr matches a manual double fold and handles float arrays") {
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    val got = df.select(GraftShim.column(DotProductExpr(
+      GraftShim.expression(col("a")), GraftShim.expression(col("b")))))
+      .as[Double].head()
+    assert(got == (1.0 * 4 + 2.0 * 5 + 3.0 * 6))
+  }
+
+  test("NGramHashExpr: equal token sequences get equal hashes, order matters") {
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d")),
+      (3L, Seq("d", "c", "b", "a"))).toDF("id", "toks")
+    val rows = df.select(col("id"), ngrams(col("toks"), 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(rows(1L) == rows(2L))
+    assert(rows(1L) != rows(3L))
+    assert(rows(1L).length == 2) // 4 tokens → two 3-grams
+  }
+
+  test("NGramHashExpr with n=1 gives per-token hashes; shorter-than-n gives empty") {
+    val df = Seq((1L, Seq("x", "y")), (2L, Seq("x"))).toDF("id", "toks")
+    val h1 = df.filter(col("id") === 1).select(ngrams(col("toks"), 1))
+      .as[Seq[Long]].head()
+    assert(h1.length == 2 && h1.distinct.length == 2)
+    val h2 = df.filter(col("id") === 2).select(ngrams(col("toks"), 3))
+      .as[Seq[Long]].head()
+    assert(h2.isEmpty)
+  }
+
+  test("MinHashSigExpr: containment lifts signature agreement") {
+    val base = (1 to 40).map(i => s"tok$i")
+    val df = Seq((1L, base), (2L, base), (3L, base.map(_ + "zzz")))
+      .toDF("id", "toks")
+      .select(col("id"), ngrams(col("toks"), 1).as("hs"))
+      .select(col("id"), GraftShim.column(
+        MinHashSigExpr(GraftShim.expression(col("hs")), 32)).as("sig"))
+    val sigs = df.as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))                       // identical sets
+    assert(sigs(1L).intersect(sigs(3L)).isEmpty ||     // disjoint sets:
+      sigs(1L).intersect(sigs(3L)).length < 4)         // (near-)no agreement
+  }
+
+  test("SimHashExpr: identical token multisets → identical signature") {
+    val df = Seq(
+      (1L, Seq("a", "b", "a")), (2L, Seq("a", "b", "a")), (3L, Seq("q", "w", "e")))
+      .toDF("id", "toks")
+      .select(col("id"), GraftShim.column(SimHashExpr(
+        GraftShim.expression(col("toks")))).as("sim"))
+    val sims = df.as[(Long, Long)].collect().toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(1L) != sims(3L))
+  }
+
+  test("WinnowExpr: each fingerprint is a window minimum, count bounded") {
+    val hs = Seq(9L, 3L, 7L, 1L, 8L, 2L, 6L, 4L, 5L, 0L)
+    val df = Seq(Tuple1(hs)).toDF("hs")
+      .select(GraftShim.column(WinnowExpr(
+        GraftShim.expression(col("hs")), 4)).as("fps"))
+    val fps = df.as[Seq[Long]].head()
+    assert(fps.nonEmpty && fps.length <= hs.length - 4 + 1)
+    assert(fps.toSet.subsetOf(hs.toSet))
+    assert(fps.contains(0L)) // global min is always some window's min
+  }
+}
