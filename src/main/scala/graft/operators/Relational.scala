@@ -615,6 +615,60 @@ object Relational {
                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
           FROM orders) z
         WHERE rn <= 3
-        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey"""))
+        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""")),
+
+    // ---------------------------------------------------------------- q26
+    // Exact percentiles (sorted + interpolated — identical math to
+    // DuckDB's quantile_cont). For 100 TB use approx sketches (q28);
+    // exact percentile is the correctness baseline.
+    "q26_percentiles" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"),
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q27
+    // Fuzzy string matching: Levenshtein self-join on supplier names
+    // (edit distance ≤ 1). Entity-resolution primitive.
+    "q27_fuzzy_join" -> QueryDef(
+      build = (s, d) => {
+        val su = t(s, d, "supplier").select("s_suppkey", "s_name")
+        su.alias("x")
+          .join(su.alias("y"), col("x.s_suppkey") < col("y.s_suppkey"))
+          .filter(levenshtein(col("x.s_name"), col("y.s_name")) <= 1)
+          .select(col("x.s_suppkey").as("a_key"), col("y.s_suppkey").as("b_key"),
+            levenshtein(col("x.s_name"), col("y.s_name")).cast("long").as("dist"))
+          .orderBy("a_key", "b_key")
+      },
+      oracle = Some("""
+        SELECT x.s_suppkey AS a_key, y.s_suppkey AS b_key,
+               CAST(levenshtein(x.s_name, y.s_name) AS BIGINT) AS dist
+        FROM supplier x JOIN supplier y ON x.s_suppkey < y.s_suppkey
+        WHERE levenshtein(x.s_name, y.s_name) <= 1
+        ORDER BY a_key, b_key""")),
+
+    // ---------------------------------------------------------------- q28
+    // Sketch aggregation: HyperLogLog++ approximate distinct vs exact.
+    // Rows-only (sketch estimates are engine-specific); at 100 TB the
+    // sketch is the only option — single pass, constant memory,
+    // mergeable across partitions.
+    "q28_approx_distinct" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+            countDistinct("l_partkey").as("exact_parts"))
+          .orderBy("l_returnflag"))
   )
 }
