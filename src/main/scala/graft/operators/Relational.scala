@@ -290,10 +290,15 @@ object Relational {
         val l = t(s, d, "lineitem")
         val bySupp = l.groupBy("l_suppkey")
           .agg(dsumRaw(col("l_extendedprice")).as("raw_value"))
-        val total = l.agg((dsumRaw(col("l_extendedprice")) *
-          lit(new java.math.BigDecimal("0.012"))).as("threshold"))
+        // adaptive threshold: 1.01x the average per-supplier value, so the
+        // predicate is meaningful at any scale factor. Comparison in
+        // double over exact decimal sums -> engine-identical.
+        val total = l.agg(
+          dsumRaw(col("l_extendedprice")).cast("double").as("tot"),
+          countDistinct("l_suppkey").cast("double").as("nsupp"))
         bySupp.crossJoin(broadcast(total))
-          .filter(col("raw_value") > col("threshold"))
+          .filter(col("raw_value").cast("double") >
+            col("tot") * lit(1.01) / col("nsupp"))
           .select(col("l_suppkey"),
             round(col("raw_value"), 2).cast("double").as("value"))
           .orderBy(desc("value"), asc("l_suppkey"))
@@ -301,8 +306,9 @@ object Relational {
       oracle = Some("""
         SELECT l_suppkey, CAST(round(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS value
         FROM lineitem GROUP BY l_suppkey
-        HAVING sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))) >
-               (SELECT sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))) * 0.012 FROM lineitem)
+        HAVING CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))) AS DOUBLE) >
+               (SELECT CAST(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))) AS DOUBLE) * 1.01
+                       / count(DISTINCT l_suppkey) FROM lineitem)
         ORDER BY value DESC, l_suppkey""")),
 
     // ---------------------------------------------------------------- q12
@@ -554,9 +560,10 @@ object Relational {
         val o = t(s, d, "orders")
         val avgBal = c.filter(col("c_acctbal") > 0.0)
           .agg(avg("c_acctbal").as("avg_bal"))
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
         c.crossJoin(broadcast(avgBal))
           .filter(col("c_acctbal") > col("avg_bal"))
-          .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
           .groupBy("c_mktsegment")
           .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
           .orderBy("c_mktsegment")
@@ -567,7 +574,8 @@ object Relational {
         FROM customer
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
                            WHERE c_acctbal > 0.0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ---------------------------------------------------------------- q23
