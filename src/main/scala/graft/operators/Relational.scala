@@ -677,6 +677,27 @@ object Relational {
           .agg(
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
             countDistinct("l_partkey").as("exact_parts"))
-          .orderBy("l_returnflag"))
+          .orderBy("l_returnflag")),
+
+    // ---------------------------------------------------------------- q29
+    // Typed Aggregator (Dataset-API custom aggregation): quantity-weighted
+    // average price per return flag, with an exact decimal buffer so the
+    // merge is associative (partition-order-free, like AggFns.dsum).
+    "q29_typed_agg" -> QueryDef(
+      build = (s, d) => {
+        val wavg = udaf(graft.functions.TypedAggs.WeightedAvg)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("wavg_price"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(CAST(sum(CAST(round(l_extendedprice * l_quantity, 6)
+                              AS DECIMAL(30,6))) AS DOUBLE)
+                     / CAST(sum(CAST(round(l_quantity, 6)
+                              AS DECIMAL(30,6))) AS DOUBLE), 4) AS wavg_price
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 }

@@ -98,14 +98,17 @@ object TextAnalysis {
     // Corpus bigram frequency: per-doc shingling (map-side) + one count
     // shuffle + deterministic top-100.
     "t04_ngram_freq" -> QueryDef(
-      build = (s, d) =>
+      build = (s, d) => {
+        import org.apache.spark.sql.GraftShim
         t(s, d, "documents")
-          .select(explode(TextFns.shingles(TextFns.tokens(col("text")), 2))
+          .select(explode(GraftShim.column(graft.plans.NGramStringExpr(
+            GraftShim.expression(TextFns.tokens(col("text"))), 2)))
             .as("ngram"))
           .groupBy("ngram")
           .agg(count(lit(1)).as("freq"))
           .orderBy(desc("freq"), asc("ngram"))
-          .limit(100),
+          .limit(100)
+      },
       oracle = Some("""
         SELECT ngram, count(*) AS freq FROM (
           SELECT unnest(list_transform(

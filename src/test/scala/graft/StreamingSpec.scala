@@ -61,6 +61,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming file sink persists windowed aggregates with a checkpoint") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = EventsStream.windowedCounts(input.toDF().toDF("ts", "event_type", "value"))
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:45:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance the watermark (2h) so the 10:00 window closes and is emitted
+      input.addData((Timestamp.valueOf("2024-01-01 13:30:00"), "view", 9.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$dir/out")
+      assert(out.filter(col("event_type") === "click")
+        .head().getAs[Long]("cnt") == 2L)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream against a dimension table") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
