@@ -98,8 +98,8 @@ object Dedup {
 
     // ---------------------------------------------------------------- d04
     // SimHash near-dup: 64-bit signature from token hashes; pigeonhole
-    // blocking on 4×16-bit chunks (hamming ≤ 3 ⇒ one chunk equal; we use
-    // the chunks as candidate buckets and verify true hamming ≤ 16).
+    // blocking on 4×16-bit chunks (hamming ≤ 3 ⇒ one chunk equal; the
+    // chunks serve as candidate buckets, verified at true hamming ≤ 8).
     "d04_dedup_simhash" -> QueryDef(
       build = (s, d) => {
         import org.apache.spark.sql.GraftShim

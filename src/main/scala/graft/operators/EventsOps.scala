@@ -81,6 +81,49 @@ object EventsOps {
           FROM flagged)
         SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
                count(*) AS n_events
-        FROM sess GROUP BY user_id ORDER BY user_id"""))
+        FROM sess GROUP BY user_id ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- e04
+    // Funnel analysis: users who view → then click → then purchase, in
+    // event-time order. Three staged min-timestamp joins (each keyed by
+    // user_id) — the standard scalable funnel shape.
+    "e04_funnel" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "events")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("tv"))
+        val c = e.filter(col("event_type") === "click").alias("e")
+          .join(v, Seq("user_id"))
+          .filter(col("e.ts") > col("tv"))
+          .groupBy("user_id").agg(min("ts").as("tc"))
+        val p = e.filter(col("event_type") === "purchase").alias("e2")
+          .join(c, Seq("user_id"))
+          .filter(col("e2.ts") > col("tc"))
+          .select("user_id").distinct()
+        v.select(lit("viewed").as("stage"), lit(1L).as("ord"))
+          .groupBy("stage", "ord").agg(count(lit(1)).as("users"))
+          .unionAll(c.select(lit("clicked_after_view").as("stage"), lit(2L).as("ord"))
+            .groupBy("stage", "ord").agg(count(lit(1)).as("users")))
+          .unionAll(p.select(lit("purchased_after_click").as("stage"), lit(3L).as("ord"))
+            .groupBy("stage", "ord").agg(count(lit(1)).as("users")))
+          .orderBy("ord")
+      },
+      oracle = Some("""
+        WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+             c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+                   JOIN v ON e.user_id = v.user_id AND e.ts > v.tv
+                   WHERE e.event_type = 'click' GROUP BY e.user_id),
+             p AS (SELECT DISTINCT e.user_id FROM events e
+                   JOIN c ON e.user_id = c.user_id AND e.ts > c.tc
+                   WHERE e.event_type = 'purchase')
+        SELECT stage, ord, users FROM (
+          SELECT 'viewed' AS stage, CAST(1 AS BIGINT) AS ord,
+                 count(*) AS users FROM v
+          UNION ALL
+          SELECT 'clicked_after_view', CAST(2 AS BIGINT), count(*) FROM c
+          UNION ALL
+          SELECT 'purchased_after_click', CAST(3 AS BIGINT), count(*) FROM p) z
+        ORDER BY ord"""))
   )
 }

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * /root/reference/README.md "Available Workloads").
   *
   * Everything is declarative DataFrame API so Catalyst handles pushdown,
-  * pruning and join selection; dims (region/nation/supplier/part) are
-  * broadcast-hinted where the 100 TB plan needs it. Derived float columns
-  * are rounded identically on both sides; every query ends with a
-  * deterministic ORDER BY (unique tie-break keys).
+  * pruning and join selection; genuinely-small dims (region/nation/
+  * supplier) are broadcast-hinted, while tables that grow with the facts
+  * (part) are left to AQE. Derived float columns are rounded identically
+  * on both sides; every query ends with a deterministic ORDER BY (unique
+  * tie-break keys).
   */
 object Relational {
 
@@ -715,6 +716,34 @@ object Relational {
                               AS DECIMAL(30,6))) AS DOUBLE)
                      / CAST(sum(CAST(round(l_quantity, 6)
                               AS DECIMAL(30,6))) AS DOUBLE), 4) AS wavg_price
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q30
+    // Analytic window breadth: lag/lead/ntile over per-customer order
+    // history (bounded partitions — scales with customer cardinality).
+    "q30_window_funcs" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            col("o_totalprice"))
+          .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+          .withColumn("next_price", lead("o_totalprice", 1).over(w))
+          .withColumn("quartile", ntile(4).over(w).cast("long"))
+          .filter(col("o_custkey") % 100 === 0)
+          .select("o_custkey", "o_orderkey", "prev_price", "next_price", "quartile")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, prev_price, next_price, quartile FROM (
+          SELECT o_custkey, o_orderkey,
+                 lag(o_totalprice, 1) OVER w AS prev_price,
+                 lead(o_totalprice, 1) OVER w AS next_price,
+                 CAST(ntile(4) OVER w AS BIGINT) AS quartile
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) z
+        WHERE o_custkey % 100 = 0
+        ORDER BY o_custkey, o_orderkey"""))
   )
 }
