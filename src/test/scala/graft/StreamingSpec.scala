@@ -85,6 +85,29 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join correlates two event streams on key + time bound") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val views = MemoryStream[(Long, Timestamp)]
+    val cdf = clicks.toDF().toDF("c_user", "c_ts").withWatermark("c_ts", "1 hour")
+    val vdf = views.toDF().toDF("v_user", "v_ts").withWatermark("v_ts", "1 hour")
+    val q = vdf.join(cdf,
+        expr("v_user = c_user AND c_ts BETWEEN v_ts AND v_ts + INTERVAL 10 minutes"))
+      .writeStream.format("memory").queryName("vc_join")
+      .outputMode("append").start()
+    try {
+      views.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+                    (2L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      clicks.addData((1L, Timestamp.valueOf("2024-01-01 10:05:00")),  // in window
+                     (2L, Timestamp.valueOf("2024-01-01 10:30:00")))  // too late
+      q.processAllAvailable()
+      val out = spark.table("vc_join").collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[Long]("v_user") == 1L)
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream against a dimension table") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
