@@ -26,6 +26,29 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.count() == src.count())
   }
 
+  test("bucketed tables co-locate the join: no Exchange in the plan") {
+    val n = (math.random() * 1e9).toLong // unique table names per run
+    val lt = s"lineitem_b$n"; val ot = s"orders_b$n"
+    Tables(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(lt)
+    Tables(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(ot)
+    try {
+      val joined = spark.table(lt).join(spark.table(ot),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      assert(joined.count() == Tables(spark, sf, "lineitem").count())
+      val plan = joined.queryExecution.executedPlan.toString
+      // both sides pre-bucketed on the join key → no shuffle exchange
+      assert(!plan.contains("Exchange hashpartitioning"))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $lt")
+      spark.sql(s"DROP TABLE IF EXISTS $ot")
+    }
+  }
+
   test("partitioned parquet write prunes partitions on filtered read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables(spark, sf, "orders")
