@@ -88,9 +88,9 @@ object Dedup {
         GROUP BY 1 ORDER BY keep_id""")),
 
     // ---------------------------------------------------------------- d03
-    // MinHash + LSH near-dup candidates. shingle→minhash is map-side
-    // linear; the only shuffles are the signature groupBy and the
-    // (band,hash) bucket join. Never O(n²).
+    // MinHash + LSH near-dup candidates. shingle→minhash is entirely
+    // map-side (native expressions); the only shuffle is the (band,hash)
+    // bucket join. Never O(n²).
     "d03_dedup_minhash_lsh" -> QueryDef(
       build = (s, d) =>
         lshCandidates(minhashSigs(t(s, d, "documents")))
