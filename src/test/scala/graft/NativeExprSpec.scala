@@ -20,6 +20,13 @@ class NativeExprSpec extends SparkSpecBase {
     assert(got == (1.0 * 4 + 2.0 * 5 + 3.0 * 6))
   }
 
+  test("graft_dot is registered as a SQL function via GraftExtensions") {
+    val got = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+      .as[Double].head()
+    assert(got == 11.0)
+  }
+
   test("NGramHashExpr: equal token sequences get equal hashes, order matters") {
     val df = Seq(
       (1L, Seq("a", "b", "c", "d")),
