@@ -27,4 +27,17 @@ object VectorFns {
   /** Cosine similarity, computed as dot/(‖a‖·‖b‖) in double precision. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic seeded random hyperplanes for sign-LSH bucketing
+    * (LCG — engine-independent, reproducible across runs and engines, so
+    * LSH-bucketed results are stable and oracle-able where recall allows).
+    */
+  def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    var state = 42L
+    def next(): Double = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
+    }
+    Array.fill(nPlanes)(Array.fill(dim)(next()))
+  }
 }

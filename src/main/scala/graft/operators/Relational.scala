@@ -294,9 +294,14 @@ object Relational {
         // adaptive threshold: 1.01x the average per-supplier value, so the
         // predicate is meaningful at any scale factor. Comparison in
         // double over exact decimal sums -> engine-identical.
-        val total = l.agg(
-          dsumRaw(col("l_extendedprice")).cast("double").as("tot"),
-          countDistinct("l_suppkey").cast("double").as("nsupp"))
+        //
+        // Derived from bySupp itself (decimal sums re-sum exactly; group
+        // count == countDistinct) rather than re-aggregating lineitem, so
+        // the whole query reads the fact table ONCE: both consumers sit
+        // above the same shuffle and ReuseExchange shares the scan.
+        val total = bySupp.agg(
+          sum(col("raw_value")).cast("double").as("tot"),
+          count(lit(1)).cast("double").as("nsupp"))
         bySupp.crossJoin(broadcast(total))
           .filter(col("raw_value").cast("double") >
             col("tot") * lit(1.01) / col("nsupp"))
@@ -646,6 +651,39 @@ object Relational {
                round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // --------------------------------------------------------------- q26b
+    // The 100 TB percentile path: approx_percentile is a mergeable
+    // bounded-memory sketch (GK/KLL-style) — partial sketches combine
+    // map-side and only sketch summaries cross the shuffle, unlike exact
+    // percentile which buffers every value per group on one reducer. The
+    // sketch column is the headline operator; the exact aggregation here
+    // exists solely to bound the sketch error in-query (rel err <= 5%),
+    // which is what the oracle pins (all-TRUE).
+    "q26b_percentile_sketch" -> QueryDef(
+      build = (s, d) => {
+        def tolOk(approxC: Column, exactC: Column): Column =
+          abs(approxC.cast("double") - exactC.cast("double")) <=
+            abs(exactC.cast("double")) * lit(0.05)
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("a50"),
+            expr("approx_percentile(l_extendedprice, 0.9, 1000)").as("a90"),
+            expr("approx_percentile(l_quantity, 0.5, 1000)").as("aq50"),
+            expr("percentile(l_extendedprice, 0.5)").as("e50"),
+            expr("percentile(l_extendedprice, 0.9)").as("e90"),
+            expr("percentile(l_quantity, 0.5)").as("eq50"))
+          .select(col("l_returnflag"),
+            tolOk(col("a50"), col("e50")).as("p50_ok"),
+            tolOk(col("a90"), col("e90")).as("p90_ok"),
+            tolOk(col("aq50"), col("eq50")).as("p50_qty_ok"))
+          .orderBy("l_returnflag")
+      },
+      oracle = Some("""
+        SELECT l_returnflag, TRUE AS p50_ok, TRUE AS p90_ok,
+               TRUE AS p50_qty_ok
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // ---------------------------------------------------------------- q27
     // Fuzzy string matching: Levenshtein self-join on supplier names
     // (edit distance ≤ 1). Entity-resolution primitive.
@@ -685,9 +723,12 @@ object Relational {
 
     // ---------------------------------------------------------------- q28
     // Sketch aggregation: HyperLogLog++ approximate distinct vs exact.
-    // Rows-only (sketch estimates are engine-specific); at 100 TB the
-    // sketch is the only option — single pass, constant memory,
-    // mergeable across partitions.
+    // At 100 TB the sketch is the headline — single pass, constant
+    // memory, mergeable across partitions. The raw estimate is
+    // engine-specific, so the verified surface is `exact_parts` plus a
+    // `within_tol` bound on the sketch's relative error: HLL++ is
+    // deterministic for fixed data, so the oracle's all-TRUE column
+    // pins the sketch, not just the exact count.
     "q28_approx_distinct" -> QueryDef(
       build = (s, d) =>
         t(s, d, "lineitem")
@@ -695,7 +736,15 @@ object Relational {
           .agg(
             approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
             countDistinct("l_partkey").as("exact_parts"))
-          .orderBy("l_returnflag")),
+          .select(col("l_returnflag"), col("exact_parts"),
+            (abs(col("approx_parts").cast("double") -
+                 col("exact_parts").cast("double")) <=
+              col("exact_parts").cast("double") * lit(0.05)).as("within_tol"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS within_tol
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // ---------------------------------------------------------------- q29
     // Typed Aggregator (Dataset-API custom aggregation): quantity-weighted
@@ -744,6 +793,64 @@ object Relational {
           FROM orders
           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) z
         WHERE o_custkey % 100 = 0
-        ORDER BY o_custkey, o_orderkey"""))
+        ORDER BY o_custkey, o_orderkey""")),
+
+    // ---------------------------------------------------------------- q31
+    // CUBE multi-dimensional aggregation with grouping_id (TPC-DS-style;
+    // the reference's TPC-DS workload exercises grouping sets in
+    // q27/q36/q67, /root/reference/tpc-ds-gen/TPCDSPreparation.scala).
+    // gid encodes which dimensions are aggregated-out (returnflag = MSB),
+    // computed from grouping() bits identically on both engines so the
+    // encoding is engine-independent.
+    "q31_cube" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+            count(lit(1)).as("cnt"),
+            (grouping("l_returnflag") * 2 + grouping("l_linestatus"))
+              .cast("long").as("gid"))
+          .select(
+            coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+            coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+            col("gid"), col("sum_qty"), col("cnt"))
+          .orderBy("gid", "returnflag", "linestatus"),
+      oracle = Some("""
+        SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+               coalesce(l_linestatus, 'ALL') AS linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                    AS BIGINT) AS gid,
+               round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY gid, returnflag, linestatus""")),
+
+    // ---------------------------------------------------------------- q32
+    // INTERSECT / EXCEPT set operators (TPC-DS q8/q38/q87 shape):
+    // customers ordering in both 1996 and 1997, and in 1996 only. Both
+    // set ops are DISTINCT-semantics aggregations — one shuffle each on
+    // the compared columns, no row-pair blowup.
+    "q32_set_ops" -> QueryDef(
+      build = (s, d) => {
+        val o = t(s, d, "orders")
+        def custsIn(y: Int) =
+          o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+        val y96 = custsIn(1996)
+        val y97 = custsIn(1997)
+        y96.intersect(y97).select(lit("both").as("grp"), col("o_custkey"))
+          .unionAll(
+            y96.except(y97).select(lit("only_1996").as("grp"), col("o_custkey")))
+          .orderBy("grp", "o_custkey")
+      },
+      oracle = Some("""
+        SELECT 'both' AS grp, o_custkey FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          INTERSECT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997) a
+        UNION ALL
+        SELECT 'only_1996' AS grp, o_custkey FROM (
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+          EXCEPT
+          SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997) b
+        ORDER BY grp, o_custkey"""))
   )
 }

@@ -24,16 +24,6 @@ object Similarity {
     e.filter(col("vec_id") < QUERY_IDS_BELOW)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
 
-  /** Deterministic seeded hyperplanes (LCG — engine-independent). */
-  private def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
-    var state = 42L
-    def next(): Double = {
-      state = state * 6364136223846793005L + 1442695040888963407L
-      (state >>> 11).toDouble / (1L << 53).toDouble - 0.5
-    }
-    Array.fill(nPlanes)(Array.fill(dim)(next()))
-  }
-
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- a01
@@ -71,10 +61,13 @@ object Similarity {
 
     // ---------------------------------------------------------------- a02
     // Random-hyperplane LSH: 8 sign bits → bucket id; queries probe their
-    // bucket only. Seeded planes ⇒ deterministic; rows-only check.
+    // bucket only. The seeded LCG planes are engine-independent, so the
+    // SAME plane constants are inlined into the DuckDB oracle and the
+    // bucketed result is fully hash-verified (sign decisions are robust:
+    // a flip would need |dot| below float-accumulation noise).
     "a02_ann_lsh" -> QueryDef(
       build = (s, d) => {
-        val planes = hyperplanes(8, 64)
+        val planes = VectorFns.hyperplanes(8, 64)
         def bucketOf(emb: org.apache.spark.sql.Column) =
           planes.zipWithIndex.map { case (p, i) =>
             val dotP = VectorFns.dot(emb, typedLit(p.toSeq))
@@ -95,25 +88,68 @@ object Similarity {
           .select(col("q_id"), col("vec_id"),
             round(col("raw_score"), 4).as("score"), col("rk"))
           .orderBy("q_id", "rk")
+      },
+      oracle = Some {
+        val planes = VectorFns.hyperplanes(8, 64)
+        val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
+            p.mkString("[", ", ", "]") +
+            s"::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH e AS (
+          SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
+        q AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
+              FROM e WHERE vec_id < $QUERY_IDS_BELOW),
+        c AS (SELECT vec_id, embedding, bucket FROM e
+              WHERE vec_id >= $QUERY_IDS_BELOW),
+        sc AS (SELECT q_id, vec_id,
+                 list_cosine_similarity(qv::DOUBLE[],
+                                        embedding::DOUBLE[]) AS raw_score
+               FROM q JOIN c ON c.bucket = q.q_bucket)
+        SELECT q_id, vec_id, round(raw_score, 4) AS score,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY raw_score DESC, vec_id) AS BIGINT) AS rk
+        FROM sc
+        QUALIFY rk <= $TOPK
+        ORDER BY q_id, rk"""
       }),
 
     // ---------------------------------------------------------------- a03
-    // IVF-style coarse quantization: vec_id 0..7 act as the (given) coarse
-    // centroids; every vector is assigned to its nearest centroid cell and
-    // queries search only their cell. Rows-only check (argmax assignment).
+    // IVF with a TRAINED coarse quantizer: vec_id 0..7 seed the cells,
+    // then one distributed Lloyd (k-means) iteration refines them —
+    // assign all vectors to their nearest seed, average per cell
+    // (posexplode → per-dimension avg → rebuild the vector via an
+    // int→mean map; no collect_list ordering dependence, no driver
+    // collect), re-assign to the trained centroids, and queries search
+    // only their own cell. Every stage is one shuffle or a broadcast of
+    // the 8-row centroid table. Rows-only (float argmax assignment);
+    // SimilaritySpec asserts recall@10 against exact a01.
     "a03_ivf_centroids" -> QueryDef(
       build = (s, d) => {
         val e = t(s, d, "embeddings")
-        val cent = e.filter(col("vec_id") < 8)
+        def assign(cents: DataFrame): DataFrame = {
+          val wAssign = Window.partitionBy("vec_id")
+            .orderBy(desc("cscore"), asc("cent_id"))
+          e.crossJoin(broadcast(cents))
+            .select(col("vec_id"), col("embedding"), col("cent_id"),
+              VectorFns.cosine(col("embedding"), col("cv")).as("cscore"))
+            .withColumn("ark", row_number().over(wAssign))
+            .filter(col("ark") === 1)
+            .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        }
+        val seeds = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-        val wAssign = Window.partitionBy("vec_id")
-          .orderBy(desc("cscore"), asc("cent_id"))
-        val assigned = e.crossJoin(broadcast(cent))
-          .select(col("vec_id"), col("embedding"), col("label"), col("cent_id"),
-            VectorFns.cosine(col("embedding"), col("cv")).as("cscore"))
-          .withColumn("ark", row_number().over(wAssign))
-          .filter(col("ark") === 1)
-          .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+        // one Lloyd iteration: per-cell per-dimension mean
+        val trained = assign(seeds)
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos")
+          .agg(avg("v").as("mv"))
+          .groupBy("cell")
+          .agg(map_from_arrays(collect_list("pos"), collect_list("mv")).as("m"))
+          .select(col("cell").as("cent_id"),
+            expr("transform(sequence(0, 63), i -> m[cast(i AS int)])").as("cv"))
+        val assigned = assign(trained)
         val q = assigned.filter(col("vec_id") < QUERY_IDS_BELOW)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
             col("cell").as("q_cell"))

@@ -69,9 +69,10 @@ object TextAnalysis {
 
     // ---------------------------------------------------------------- t03
     // Language-ID heuristic: build per-lang distinctive-token profiles from
-    // the labeled corpus (top-10 by lang-frequency lift), score each doc by
-    // profile overlap, argmax. Rows-only (two-phase trained heuristic, not
-    // SQL-oracle-able deterministically).
+    // the labeled corpus (top-10 by lang-frequency count, unique
+    // tie-break), score each doc by profile overlap, argmax. Both phases
+    // are deterministic relational algebra over integer counts, so the
+    // whole two-phase heuristic carries a DuckDB oracle.
     "t03_lang_id" -> QueryDef(
       build = (s, d) => {
         val docs = t(s, d, "documents")
@@ -92,7 +93,35 @@ object TextAnalysis {
           .select(col("doc_id"), col("p_lang").as("pred_lang"))
           .join(docs.select("doc_id", "lang"), Seq("doc_id"))
           .orderBy("doc_id")
-      }),
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        bylang AS (
+          SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok),
+        prof AS (
+          SELECT lang AS p_lang, tok FROM (
+            SELECT lang, tok,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY n DESC, tok) AS prk
+            FROM bylang) z
+          WHERE prk <= 10),
+        scored AS (
+          SELECT doc_id, p_lang, count(*) AS hits
+          FROM toks JOIN prof USING (tok)
+          GROUP BY doc_id, p_lang),
+        pick AS (
+          SELECT doc_id, p_lang AS pred_lang FROM (
+            SELECT doc_id, p_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY hits DESC, p_lang) AS rk
+            FROM scored) z
+          WHERE rk = 1)
+        SELECT doc_id, pred_lang, lang
+        FROM pick JOIN documents USING (doc_id)
+        ORDER BY doc_id""")),
 
     // ---------------------------------------------------------------- t04
     // Corpus bigram frequency: per-doc shingling (map-side) + one count

@@ -64,6 +64,24 @@ class DedupSpec extends SparkSpecBase {
     assert(!j.contains((0L, 3L))) // same text but different lang block
   }
 
+  test("d06b bucketed pairs = subset of exact d06 with identical cosines; recall documented") {
+    def pairMap(name: String) = run(name).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        r.getAs[Double]("cos"))).toMap
+    val exact = pairMap("d06_dedup_embedding")
+    val lsh = pairMap("d06b_dedup_embedding_lsh")
+    // precision is exact: every surviving pair passed the same cosine
+    // verify, so values match d06 bit-for-bit
+    assert(lsh.forall { case (k, v) => exact.get(k).contains(v) })
+    val recall = lsh.size.toDouble / exact.size
+    info(f"d06b recall at cos>=0.3: $recall%.3f (${lsh.size}/${exact.size})")
+    // measured 0.79 on the synthetic corpus, whose 0.3 threshold sits
+    // barely above the intra-label background — the worst case for
+    // sign-LSH (see d06b scaladoc); at real near-dup thresholds (>=0.9)
+    // bucket recall approaches 1. Floor leaves margin for float wobble.
+    assert(recall >= 0.60)
+  }
+
   test("d06 embedding near-dups on real sf data stay within label blocks") {
     val e = Tables(spark, sf, "embeddings")
     val labels = e.select("vec_id", "label").collect()

@@ -44,6 +44,19 @@ class SimilaritySpec extends SparkSpecBase {
     assert(q0.nonEmpty && q0.head.getAs[Long]("vec_id") == 10L)
   }
 
+  test("a03 trained IVF keeps usable recall@10 vs exact a01 on sf data") {
+    def hits(name: String) = run(name).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = hits("a01_ann_bruteforce")
+    val ivf = hits("a03_ivf_centroids")
+    val recall = (ivf & exact).size.toDouble / exact.size
+    info(f"a03 recall@10 vs a01: $recall%.3f")
+    // single-cell probe of an 8-cell trained quantizer; measured 0.86 —
+    // queries share a cell with most true neighbors once the centroids
+    // are trained. Floor leaves margin for float-average wobble.
+    assert(recall >= 0.60)
+  }
+
   test("a04 per-label stats cover every label on sf data") {
     val rows = run("a04_pairwise_label").collect()
     val labels = Tables(spark, sf, "embeddings").select("label").distinct().count()
