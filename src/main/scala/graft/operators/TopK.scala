@@ -8,6 +8,13 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFi
   * TopKPerGroup): `TopK.perGroup(df, Seq("g"), Seq("x" -> false), 3)` =
   * "top 3 rows per g by x descending". Requires a session built with
   * GraftExtensions (all graft session builders register it).
+  *
+  * The sort order MUST be total within each group (append a unique key
+  * as the last order column, e.g. `Seq("x" -> false, "id" -> true)`).
+  * With ties at rank k the map-side partial heaps may retain different
+  * rows than a single-stage sort would, so the result at the tie
+  * boundary is otherwise nondeterministic (and differs from the
+  * window/row_number formulation it is meant to match).
   */
 object TopK {
 

@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   * evaluate a closure per element with boxing — fine for one vector, a
   * bottleneck for millions of candidate pairs. This expression generates a
   * tight primitive loop inside WholeStageCodegen: zero allocation per row.
-  * The math (sequential double accumulation) is bit-identical to the HOF
-  * formulation, so oracle comparisons are unaffected.
+  * For equal-length arrays of non-null elements the math (sequential
+  * double accumulation) matches the HOF formulation exactly; mismatched
+  * lengths and null elements yield NULL (the HOF result is NULL there
+  * too), never a silent partial sum.
   */
 case class DotProductExpr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,17 +34,26 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // NULL on length mismatch or null elements, not just null inputs
+  override def nullable: Boolean = true
+
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  private def elemNullable(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     val xf = elemIsFloat(left); val yf = elemIsFloat(right)
+    val checkNulls = elemNullable(left) || elemNullable(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xi * yi
@@ -60,13 +71,27 @@ case class DotProductExpr(left: Expression, right: Expression)
                  else s"$a.getDouble($i)"
       val getY = if (elemIsFloat(right)) s"(double) $b.getFloat($i)"
                  else s"$b.getDouble($i)"
+      // element null checks only compile in when the schema allows null
+      // elements — the common containsNull=false path stays a pure
+      // primitive loop
+      val nullCheck =
+        if (elemNullable(left) || elemNullable(right))
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |final int $n = Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $getX * $getY;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $s += $getX * $getY;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $s;
+         |  }
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

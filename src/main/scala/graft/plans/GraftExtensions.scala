@@ -14,8 +14,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProductExpr(children(0), children(1))))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        if (children.length != 2)
+          throw new IllegalArgumentException(
+            "graft_dot expects exactly 2 arguments: " +
+              s"graft_dot(array<float|double>, array<float|double>); " +
+              s"got ${children.length}")
+        DotProductExpr(children(0), children(1))
+      }))
     ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }

@@ -9,9 +9,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (possibly streaming) DataFrame so the same code runs in batch tests
   * and with `readStream`; specs drive them via MemoryStream.
   *
-  * Scale notes: watermarks bound state; windowed aggs are partial-agg
-  * friendly; sessionization state is per-user (bounded keys) with a
-  * processing-time-free event-time timeout.
+  * Scale notes: the windowed aggregation bounds its state with a
+  * watermark and is partial-agg friendly. Sessionization keeps one
+  * small fixed-size state record per user with NO timeout — state
+  * grows with the number of distinct users, not with event volume; a
+  * production deployment with an unbounded user space should add a
+  * watermark plus GroupStateTimeout.EventTimeTimeout to evict idle
+  * users' state.
   */
 object EventsStream {
 
@@ -35,7 +39,12 @@ object EventsStream {
 
   /** Gap-based sessionization with flatMapGroupsWithState: a new session
     * starts when an event arrives more than `gapSec` after the previous
-    * one. Emits one update per event (Update mode).
+    * one. Emits one update per event (Update mode). Events are sorted by
+    * ts within each micro-batch; an event arriving in a LATER batch with
+    * ts before the stored lastTs joins the current session and must not
+    * regress lastTs (the session frontier is monotone), or subsequent
+    * gap decisions would split sessions that already absorbed later
+    * events.
     */
   def sessionize(events: Dataset[SessionEvent], gapSec: Long = 1800)
       : Dataset[SessionUpdate] = {
@@ -55,7 +64,7 @@ object EventsStream {
               st = SessionState(st.sessionId + 1, e.tsMicros)
               n = 1L
             } else {
-              st = SessionState(st.sessionId, e.tsMicros)
+              st = SessionState(st.sessionId, math.max(st.lastTs, e.tsMicros))
               n += 1L
             }
             out += SessionUpdate(userId, st.sessionId, n)

@@ -27,6 +27,23 @@ class NativeExprSpec extends SparkSpecBase {
     assert(got == 11.0)
   }
 
+  test("graft_dot: mismatched lengths and null elements yield NULL, not a partial sum") {
+    val mismatch = spark.sql(
+      "SELECT graft_dot(array(1.0D, 2.0D), array(3.0D)) AS d").collect().head
+    assert(mismatch.isNullAt(0))
+    val nullElem = spark.sql(
+      "SELECT graft_dot(array(1.0D, CAST(NULL AS DOUBLE)), array(3.0D, 4.0D)) AS d")
+      .collect().head
+    assert(nullElem.isNullAt(0))
+  }
+
+  test("graft_dot with wrong arity fails with a clear signature error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0D)) AS d").collect()
+    }
+    assert(e.getMessage.contains("graft_dot expects exactly 2 arguments"))
+  }
+
   test("NGramHashExpr: equal token sequences get equal hashes, order matters") {
     val df = Seq(
       (1L, Seq("a", "b", "c", "d")),
