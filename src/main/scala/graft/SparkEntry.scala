@@ -10,6 +10,7 @@ object SparkEntry {
     operators.Relational.defs ++
     operators.ShuffleWorkloads.defs ++
     operators.EventsOps.defs ++
+    operators.TemporalJoins.defs ++
     operators.Dedup.defs ++
     operators.Similarity.defs ++
     operators.TextAnalysis.defs ++
