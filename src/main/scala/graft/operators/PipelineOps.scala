@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.I — training-data pipeline utilities over `documents`: reproducible
+  * sampling, exact stratified sampling, corpus TF-IDF, sequence/chunk
+  * packing, and PII-style redaction. All map-side or bounded-key window
+  * plans: sampling predicates are pure per-row hashes (zero shuffle),
+  * stratified sampling windows partition by `lang` (bounded cardinality),
+  * TF-IDF is two hash-agg shuffles, chunking is a per-row transform.
+  */
+object PipelineOps {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---------------------------------------------------------------- x01
+    // Reproducible corpus sampling: hash-mod on a stable key, the
+    // standard way to take the SAME sample on every run/engine/scale —
+    // a pure map-side predicate, no RNG state, no shuffle.
+    "x01_hash_sample" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "documents")
+          .filter(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 1) === "0")
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- x02
+    // Exact stratified sampling: keep the first ceil(20%) of each lang
+    // stratum under a deterministic hash order — proportional per
+    // stratum, reproducible, and windowed only by the bounded lang key.
+    "x02_stratified_sample" -> QueryDef(
+      build = (s, d) => {
+        val hx = md5(col("doc_id").cast("string").cast("binary"))
+        val w = Window.partitionBy("lang")
+        val wOrd = w.orderBy(col("hx"), col("doc_id"))
+        t(s, d, "documents")
+          .select(col("doc_id"), col("lang"), hx.as("hx"))
+          .withColumn("rk", row_number().over(wOrd).cast("long"))
+          .withColumn("n_stratum", count(lit(1)).over(w))
+          .filter(col("rk") <= ceil(col("n_stratum") * 0.2))
+          .select("lang", "doc_id", "rk")
+          .orderBy("lang", "rk")
+      },
+      oracle = Some("""
+        SELECT lang, doc_id, rk FROM (
+          SELECT lang, doc_id,
+                 CAST(row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                   AS rk,
+                 count(*) OVER (PARTITION BY lang) AS n_stratum
+          FROM documents) z
+        WHERE rk <= ceil(n_stratum * 0.2)
+        ORDER BY lang, rk""")),
+
+    // ---------------------------------------------------------------- x03
+    // Corpus TF-IDF: tf = term count / doc length, idf = ln(N/df).
+    // Two hash-aggregation shuffles ((doc,tok) then tok) plus a
+    // broadcast of the corpus size — the canonical scalable shape.
+    // Top-50 by score with unique tie-breaks.
+    "x03_tfidf" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).as("doc_len"),
+          explode(TextFns.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok", "doc_len")
+          .agg(count(lit(1)).as("n"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("docfreq"))
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        tf.join(df, Seq("tok"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("tok"),
+            round((col("n").cast("double") / col("doc_len")) *
+              log(col("n_docs").cast("double") / col("docfreq")), 4)
+              .as("tfidf"))
+          .orderBy(desc("tfidf"), asc("doc_id"), asc("tok"))
+          .limit(50)
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(string_split_regex(lower(trim(text)), '\s+')) AS doc_len,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        tf AS (
+          SELECT doc_id, tok, doc_len, count(*) AS n
+          FROM toks GROUP BY doc_id, tok, doc_len),
+        df AS (SELECT tok, count(*) AS docfreq FROM tf GROUP BY tok),
+        total AS (SELECT count(*) AS n_docs FROM documents)
+        SELECT doc_id, tok,
+               round((CAST(n AS DOUBLE) / doc_len) *
+                     ln(CAST(n_docs AS DOUBLE) / docfreq), 4) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN total
+        ORDER BY tfidf DESC, doc_id, tok LIMIT 50""")),
+
+    // ---------------------------------------------------------------- x05
+    // Sequence packing: split each doc's token stream into fixed-size
+    // chunks (64 tokens, stride 48 → 16-token overlap), the training-
+    // data chunking primitive. Per-row transform, zero shuffle; chunk
+    // content pinned via a digest.
+    "x05_chunk_pack" -> QueryDef(
+      build = (s, d) => {
+        val toks = TextFns.tokens(col("text"))
+        val n = size(toks)
+        val nChunks = when(n <= 64, lit(1L))
+          .otherwise(ceil((n - lit(64)).cast("double") / 48).cast("long") + 1)
+        t(s, d, "documents")
+          .select(col("doc_id"), toks.as("toks"), nChunks.as("n_chunks"))
+          .select(col("doc_id"), col("n_chunks"),
+            md5(concat_ws("|",
+              transform(sequence(lit(0), col("n_chunks").cast("int") - 1),
+                i => concat_ws(" ", slice(col("toks"), i * 48 + 1, lit(64)))))
+              .cast("binary")).as("chunks_sig"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id, n_chunks,
+               md5(array_to_string(list_transform(
+                 generate_series(0, CAST(n_chunks - 1 AS INT)),
+                 i -> array_to_string(list_slice(toks, i*48 + 1, i*48 + 64),
+                                      ' ')), '|')) AS chunks_sig
+        FROM (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(text)), '\s+') AS toks,
+                 CASE WHEN len(string_split_regex(lower(trim(text)), '\s+')) <= 64
+                      THEN CAST(1 AS BIGINT)
+                      ELSE CAST(ceil((len(string_split_regex(lower(trim(text)), '\s+')) - 64)
+                                     / 48.0) AS BIGINT) + 1 END AS n_chunks
+          FROM documents) z
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- x04
+    // PII-style redaction: mask digit runs, pin the redacted content via
+    // digest + per-doc redaction count. Pure map-side regexp (codegen'd).
+    "x04_redact" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            md5(regexp_replace(col("text"), "[0-9]+", "<NUM>").cast("binary"))
+              .as("redacted_sig"),
+            size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+              .cast("long").as("n_redactions"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g'))
+                 AS redacted_sig,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
+                 AS n_redactions
+        FROM documents ORDER BY doc_id"""))
+  )
+}

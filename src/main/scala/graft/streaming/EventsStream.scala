@@ -32,6 +32,17 @@ object EventsStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("cnt"), col("total"))
 
+  /** Streaming exact dedup on an id column: state holds one entry per id
+    * seen within the watermark horizon and is evicted past it — bounded
+    * state, the streaming twin of the batch d01 hash-dedup.
+    */
+  def dedupStream(events: DataFrame, idCol: String,
+                  tsCol: String = "ts",
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq(idCol))
+
   /** Per-user running session state. */
   final case class SessionState(sessionId: Long, lastTs: Long)
   final case class SessionEvent(userId: Long, tsMicros: Long, value: Double)

@@ -26,6 +26,20 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.count() == src.count())
   }
 
+  test("ORC round-trip preserves rows and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val src = Tables(spark, sf, "part")
+    src.write.mode("overwrite").orc(s"$dir/part")
+    val back = spark.read.orc(s"$dir/part")
+    assert(back.count() == src.count())
+    assert(back.schema == src.schema)
+    val filtered = back.filter(col("p_size") > 25).select("p_partkey", "p_size")
+    assert(filtered.count() == src.filter(col("p_size") > 25).count())
+    val plan = filtered.queryExecution.executedPlan.toString
+    // predicate + projection must reach the ORC scan, same as parquet
+    assert(plan.contains("PushedFilters: [IsNotNull(p_size), GreaterThan(p_size,25)]"))
+  }
+
   test("bucketed tables co-locate the join: no Exchange in the plan") {
     val n = (math.random() * 1e9).toLong // unique table names per run
     val lt = s"lineitem_b$n"; val ot = s"orders_b$n"

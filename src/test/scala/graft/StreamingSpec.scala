@@ -108,6 +108,30 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("dedupStream drops repeated ids within the watermark horizon") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = EventsStream.dedupStream(
+        input.toDF().toDF("doc_id", "ts", "text"), "doc_id")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+        (1L, Timestamp.valueOf("2024-01-01 10:01:00"), "a dup same batch"),
+        (2L, Timestamp.valueOf("2024-01-01 10:02:00"), "b"))
+      q.processAllAvailable()
+      input.addData( // dup arriving in a later micro-batch is dropped too
+        (1L, Timestamp.valueOf("2024-01-01 10:30:00"), "a dup later batch"),
+        (3L, Timestamp.valueOf("2024-01-01 10:31:00"), "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.sameElements(Array(1L, 2L, 3L)))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream against a dimension table") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
