@@ -104,6 +104,54 @@ object ShuffleWorkloads {
         SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
                     ELSE l_orderkey % 100 END AS key,
                count(*) AS cnt, CAST(round(sum(CAST(round(l_extendedprice, 6) AS DECIMAL(30,6))), 2) AS DOUBLE) AS payload
-        FROM lineitem GROUP BY 1 ORDER BY key"""))
+        FROM lineitem GROUP BY 1 ORDER BY key""")),
+
+    // Manual salted JOIN — the skew mitigation for joins (what the
+    // reference's shuffle service absorbs with task-aware block
+    // placement): the fact side gets a random-free deterministic salt,
+    // the (small but not broadcast-worthy) build side is replicated once
+    // per salt value, and the join key becomes (key, salt) so the hot
+    // key's rows spread over 16 reducers instead of one. Result is
+    // identical to the unsalted join — the oracle IS the unsalted join.
+    "s06_salted_join" -> QueryDef(
+      build = (s, d) => {
+        val nSalt = 16
+        // skewed fact: ~30% of lineitem rows collapse onto join key 1
+        val fact = t(s, d, "lineitem")
+          .select(
+            when(col("l_orderkey") % 10 < 3, lit(1L))
+              .otherwise(col("l_orderkey") % 100).as("key"),
+            (col("l_linenumber") % nSalt).as("salt"),
+            col("l_quantity"))
+        // build side: one row per key (0..99) with a weight; replicated
+        // across all salt values via explode — nSalt× a tiny table
+        val build = t(s, d, "orders")
+          .select((col("o_orderkey") % 100).as("key"))
+          .distinct()
+          .withColumn("weight", col("key").cast("double") + 1.0)
+          .withColumn("salt", explode(array((0 until nSalt).map(lit): _*)))
+        // shuffle_hash hint: at test scale Spark would auto-broadcast the
+        // tiny build side and skip the shuffle the salt exists to spread;
+        // at 100 TB a per-key build side is NOT broadcastable, so force
+        // the plan shape the salt is designed for
+        fact.join(build.hint("shuffle_hash"), Seq("key", "salt"))
+          .groupBy("key")
+          .agg(count(lit(1)).as("cnt"),
+            graft.functions.AggFns.dsum(col("l_quantity") * col("weight"))
+              .as("weighted_qty"))
+          .orderBy("key")
+      },
+      oracle = Some("""
+        SELECT f.key, count(*) AS cnt,
+               CAST(round(sum(CAST(round(f.l_quantity * b.weight, 6)
+                 AS DECIMAL(30,6))), 2) AS DOUBLE) AS weighted_qty
+        FROM (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+                          ELSE l_orderkey % 100 END AS key, l_quantity
+              FROM lineitem) f
+        JOIN (SELECT DISTINCT o_orderkey % 100 AS key,
+                     CAST(o_orderkey % 100 AS DOUBLE) + 1.0 AS weight
+              FROM orders) b
+          ON f.key = b.key
+        GROUP BY f.key ORDER BY f.key"""))
   )
 }
