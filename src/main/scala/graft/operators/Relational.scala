@@ -828,7 +828,11 @@ object Relational {
     // INTERSECT / EXCEPT set operators (TPC-DS q8/q38/q87 shape):
     // customers ordering in both 1996 and 1997, and in 1996 only. Both
     // set ops are DISTINCT-semantics aggregations — one shuffle each on
-    // the compared columns, no row-pair blowup.
+    // the compared columns, no row-pair blowup. (When BOTH results are
+    // needed from the same inputs, a single-scan conditional aggregation
+    // — groupBy(key).agg(max(year=1996), max(year=1997)) — halves the
+    // reads; kept as two genuine set operators here since that is the
+    // operator class under test.)
     "q32_set_ops" -> QueryDef(
       build = (s, d) => {
         val o = t(s, d, "orders")
@@ -851,6 +855,66 @@ object Relational {
           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
           EXCEPT
           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997) b
-        ORDER BY grp, o_custkey"""))
+        ORDER BY grp, o_custkey""")),
+
+    // ---------------------------------------------------------------- q35
+    // RANGE-frame running aggregate: cumulative order value per customer
+    // where same-date orders aggregate TOGETHER (RANGE, not ROWS,
+    // semantics — peers share the frame boundary). Window partitions by
+    // the bounded customer key.
+    "q35_window_range" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // RANGE needs a numeric order key; NTZ → LTZ → epoch seconds is
+        // value-preserving under the UTC session timezone, and peers
+        // (equal dates) stay peers
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").cast("timestamp_ltz").cast("long"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "orders")
+          .withColumn("running_total",
+            round(sum(round(col("o_totalprice"), 6).cast("decimal(30,6)"))
+              .over(w).cast("double"), 2))
+          .filter(col("o_custkey") % 100 === 0)
+          .select("o_custkey", "o_orderkey", "o_orderdate", "running_total")
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      oracle = Some("""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               round(CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(30,6)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 2) AS running_total
+        FROM orders
+        WHERE o_custkey % 100 = 0
+        ORDER BY o_custkey, o_orderdate, o_orderkey""")),
+
+    // ---------------------------------------------------------------- q36
+    // PIVOT: order counts and rounded value sums per (year × priority)
+    // — the wide-table reshaping operator. Spark's pivot with an explicit
+    // value list stays a single hash aggregation (map-side partial aggs
+    // carry one buffer slot per pivot value — no extra shuffle vs a
+    // plain groupBy). Oracle via conditional aggregation.
+    "q36_pivot" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "orders")
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .select(col("o_year"),
+            col("1-URGENT").as("urgent"), col("2-HIGH").as("high"),
+            col("3-MEDIUM").as("medium"),
+            col("4-NOT SPECIFIED").as("not_specified"), col("5-LOW").as("low"))
+          .orderBy("o_year"),
+      oracle = Some("""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+               count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+               count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+               count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
+                 AS not_specified,
+               count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+        FROM orders GROUP BY 1 ORDER BY o_year"""))
   )
 }
