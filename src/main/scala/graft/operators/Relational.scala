@@ -447,7 +447,10 @@ object Relational {
         val p = t(s, d, "part").filter(col("p_brand") === "Brand#3")
         val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
           .agg((avg("l_quantity") * lit(0.5)).as("half_avg"))
-        l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        // no broadcast hint: the brand filter keeps `part` small at test
+        // scale (AQE broadcasts it at runtime), but part grows with the
+        // facts, so a static hint would be wrong at 100 TB
+        l.join(p, col("l_partkey") === col("p_partkey"))
           .join(avgQty, col("l_partkey") === col("ap_partkey"))
           .filter(col("l_quantity") < col("half_avg"))
           .agg(round(sum("l_extendedprice") / lit(7.0), 2).as("avg_yearly"))

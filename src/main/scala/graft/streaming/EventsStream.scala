@@ -48,6 +48,55 @@ object EventsStream {
   final case class SessionEvent(userId: Long, tsMicros: Long, value: Double)
   final case class SessionUpdate(userId: Long, sessionId: Long, nEvents: Long)
 
+  /** Event-time row shape for the state-evicting sessionizer. */
+  final case class TsEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Production sessionization: same gap logic as [[sessionize]], but the
+    * input carries a real event-time column with a watermark and state
+    * uses GroupStateTimeout.EventTimeTimeout — a user idle past the gap
+    * (by watermark time) has their state REMOVED, so total state is
+    * bounded by concurrently-active users instead of all users ever
+    * seen. After eviction a returning user restarts at session 1 (session
+    * ids are unique per active era, which is what downstream windowed
+    * consumers key on).
+    */
+  def sessionizeEvicting(events: Dataset[TsEvent],
+                         gapSec: Long = 1800,
+                         watermark: String = "2 hours"): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue))
+            var n = 0L
+            val out = scala.collection.mutable.ArrayBuffer[SessionUpdate]()
+            evs.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val tsMicros = e.ts.getTime * 1000L
+              if (st.lastTs == Long.MinValue ||
+                  tsMicros - st.lastTs > gapSec * 1000000L) {
+                st = SessionState(st.sessionId + 1, tsMicros)
+                n = 1L
+              } else {
+                st = SessionState(st.sessionId, math.max(st.lastTs, tsMicros))
+                n += 1L
+              }
+              out += SessionUpdate(userId, st.sessionId, n)
+            }
+            state.update(st)
+            // evict once the watermark passes the session gap
+            state.setTimeoutTimestamp(st.lastTs / 1000L + gapSec * 1000L)
+            out.iterator
+          }
+      }
+  }
+
   /** Gap-based sessionization with flatMapGroupsWithState: a new session
     * starts when an event arrives more than `gapSec` after the previous
     * one. Emits one update per event (Update mode). Events are sorted by

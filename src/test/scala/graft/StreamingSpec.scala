@@ -108,6 +108,34 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("sessionizeEvicting removes idle users' state past the watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[EventsStream.TsEvent]
+    val q = EventsStream.sessionizeEvicting(input.toDS(),
+        gapSec = 60, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("evict_sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(EventsStream.TsEvent(1L,
+        Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // another user far ahead pushes the watermark way past user 1's
+      // gap → user 1's state times out and is removed
+      input.addData(EventsStream.TsEvent(2L,
+        Timestamp.valueOf("2024-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // user 1 returns: with state evicted they restart at session 1
+      input.addData(EventsStream.TsEvent(1L,
+        Timestamp.valueOf("2024-01-01 12:00:30"), 1.0))
+      q.processAllAvailable()
+      val u1 = spark.table("evict_sessions")
+        .as[SessionUpdate].collect().filter(_.userId == 1L)
+      assert(u1.length == 2)
+      assert(u1.forall(_.sessionId == 1L)) // restarted, not session 2
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated ids within the watermark horizon") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
