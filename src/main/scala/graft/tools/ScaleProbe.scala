@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe for the dedup pipeline: generates synthetic
+  * corpora (deterministic — no RNG state) at increasing sizes, runs the
+  * exact-dedup (d01) and MinHash-LSH (d03) operators, and prints
+  * per-size wall times. The point: d03's time must grow ~linearly with
+  * the corpus (bucketed LSH), not quadratically (all-pairs) — the
+  * load-bearing claim behind running it at 100 TB.
+  *
+  * Usage: sbt "runMain graft.tools.ScaleProbe [sizes...]"
+  *        (default sizes: 25000 50000 100000)
+  */
+object ScaleProbe {
+
+  /** Deterministic word-salad corpus: ~120 tokens/doc over a 5000-word
+    * vocab. Planted dup structure stays in PAIRS (every 97th doc is an
+    * exact copy of its predecessor, every 50th a near-dup of its
+    * predecessor with a few tokens changed) so the true pair count grows
+    * linearly with n — a generator that chains dups into one class would
+    * make the OUTPUT quadratic by construction and mask the plan's
+    * scaling. Pure column expressions — generated distributed, never
+    * collected.
+    */
+  private def gen(spark: SparkSession, n: Long, dir: String): Unit = {
+    val base = spark.range(n).select(
+      col("id").as("doc_id"),
+      // dups re-generate their predecessor's token seeds
+      when((col("id") % 50 === 0 || col("id") % 97 === 0) && col("id") > 0,
+        col("id") - 1).otherwise(col("id")).as("seed"),
+      // %97 wins: exact copy; %50: near-dup (periodic token change)
+      (col("id") % 50 === 0 && col("id") % 97 =!= 0 && col("id") > 0)
+        .as("isNear"))
+    val docs = base.select(
+      col("doc_id"),
+      concat_ws(" ", expr(
+        // token i of doc `seed`; near-dups replace tokens 5, 25, ...
+        """transform(sequence(0, 119), i ->
+             concat('w', pmod(xxhash64(seed, CAST(i AS LONG) +
+               CASE WHEN isNear AND i % 20 = 5 THEN 7777 ELSE 0 END), 5000)))
+        """)).as("text"),
+      lit("en").as("lang"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("source", lit("probe"))
+    docs.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
+                else Seq(25000L, 50000L, 100000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = graft.GraftSession.local(cpus.toInt, "scale-probe")
+    spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
+    println(f"${"docs"}%9s ${"d01_s"}%8s ${"d03_s"}%8s ${"d03_pairs"}%10s")
+    for (n <- sizes) {
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def time[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (_, tD01) = time(
+        graft.SparkEntry.queries("d01_dedup_exact")(spark, dir).count())
+      val (pairs, tD03) = time(
+        graft.SparkEntry.queries("d03_dedup_minhash_lsh")(spark, dir).count())
+      println(f"$n%9d $tD01%8.2f $tD03%8.2f $pairs%10d")
+    }
+    spark.stop()
+  }
+}
