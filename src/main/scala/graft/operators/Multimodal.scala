@@ -94,6 +94,35 @@ object Multimodal {
           FROM documents) z
         ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- m04
+    // "Resize"/downsample plumbing: a fixed-size thumbnail signature from
+    // an arbitrary-length payload — every stride-th byte, 32 samples
+    // (what an image thumbnailer's sampling grid does per axis). Pure
+    // map-side; the digest pins the exact sampled bytes.
+    "m04_resize_stub" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "documents")
+          .withColumn("stride",
+            greatest(floor(length(col("text")) / 32), lit(1)).cast("int"))
+          .withColumn("thumb", expr(
+            "concat_ws('', transform(sequence(0, 31), " +
+              "i -> substring(text, i * stride + 1, 1)))"))
+          .select(col("doc_id"),
+            length(col("thumb")).cast("long").as("n_samples"),
+            md5(col("thumb").cast("binary")).as("thumb_sig"))
+          .orderBy("doc_id"),
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(strlen(thumb) AS BIGINT) AS n_samples,
+               md5(thumb) AS thumb_sig
+        FROM (
+          SELECT doc_id,
+                 array_to_string(list_transform(range(0, 32),
+                   i -> substr(text, CAST(i * greatest(strlen(text) // 32, 1)
+                                          + 1 AS INT), 1)), '') AS thumb
+          FROM documents) z
+        ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- m03
     // Frame sampling over an opaque payload: every 256th offset yields a
     // 64-byte "frame" (what a video frame-sampler would do per GOP);

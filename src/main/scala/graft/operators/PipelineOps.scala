@@ -141,6 +141,46 @@ object PipelineOps {
           FROM documents) z
         ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- x06
+    // End-to-end corpus prep — the composition a real training-data run
+    // executes as ONE Spark job: quality filter (t02's keep rule) →
+    // exact dedup (keep the lowest doc_id per content hash) →
+    // reproducible hash sample. Three narrow stages: a map-side filter,
+    // one hash-agg shuffle joined back map-side, and a map-side sampling
+    // predicate — the whole pipeline is a single linear pass + one
+    // shuffle at any scale.
+    "x06_corpus_pipeline" -> QueryDef(
+      build = (s, d) => {
+        val toks = TextFns.tokens(col("text"))
+        val stopArr = array(TextFns.stopwords.map(lit): _*)
+        val nStop = size(filter(toks, t => array_contains(stopArr, t)))
+        val quality = t(s, d, "documents")
+          .filter(length(col("text")).between(50, 10000) &&
+            nStop.cast("double") / size(toks) >= 0.01)
+        val keepers = quality
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(min("doc_id").as("keep_id"))
+          .select(col("keep_id").as("doc_id"))
+        quality.join(keepers, Seq("doc_id"), "left_semi")
+          .filter(substring(md5(col("doc_id").cast("string").cast("binary")),
+            1, 1).isin("0", "1", "2", "3"))
+          .select("doc_id", "lang", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH quality AS (
+          SELECT * FROM documents
+          WHERE length(text) BETWEEN 50 AND 10000
+            AND CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  tok -> tok IN ('the','a','of','and','to','in'))) AS DOUBLE)
+                / len(string_split_regex(lower(trim(text)), '\s+')) >= 0.01),
+        keepers AS (
+          SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text))
+        SELECT q.doc_id, q.lang, q.source, q.n_chars
+        FROM quality q JOIN keepers k ON q.doc_id = k.doc_id
+        WHERE substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+        ORDER BY q.doc_id""")),
+
     // ---------------------------------------------------------------- x04
     // PII-style redaction: mask digit runs, pin the redacted content via
     // digest + per-doc redaction count. Pure map-side regexp (codegen'd).

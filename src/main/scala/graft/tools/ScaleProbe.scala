@@ -47,24 +47,43 @@ object ScaleProbe {
     docs.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** Deterministic float embeddings: 64 dims derived from xxhash64 —
+    * uniform in [-1, 1), labeled into 10 pseudo-clusters.
+    */
+  private def genEmb(spark: SparkSession, n: Long, dir: String): Unit =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("""transform(sequence(0, 63), i ->
+           CAST(pmod(xxhash64(id, CAST(i AS LONG)), 2000) / 1000.0 - 1.0
+                AS FLOAT))""").as("embedding"),
+      pmod(col("id"), lit(10)).cast("int").as("label"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                 else Seq(25000L, 50000L, 100000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.local(cpus.toInt, "scale-probe")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
-    println(f"${"docs"}%9s ${"d01_s"}%8s ${"d03_s"}%8s ${"d03_pairs"}%10s")
+    println(f"${"docs"}%9s ${"d01_s"}%8s ${"d03_s"}%8s ${"d03_pairs"}%10s " +
+      f"${"a01_s"}%8s ${"a02_s"}%8s")
     for (n <- sizes) {
       val dir = s"/tmp/graft-probe-$n"
       gen(spark, n, dir)
-      def time[A](f: => A): (A, Double) = {
-        val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
-      }
+      genEmb(spark, n, dir)
       val (_, tD01) = time(
         graft.SparkEntry.queries("d01_dedup_exact")(spark, dir).count())
       val (pairs, tD03) = time(
         graft.SparkEntry.queries("d03_dedup_minhash_lsh")(spark, dir).count())
-      println(f"$n%9d $tD01%8.2f $tD03%8.2f $pairs%10d")
+      val (_, tA01) = time(
+        graft.SparkEntry.queries("a01_ann_bruteforce")(spark, dir).count())
+      val (_, tA02) = time(
+        graft.SparkEntry.queries("a02_ann_lsh")(spark, dir).count())
+      println(f"$n%9d $tD01%8.2f $tD03%8.2f $pairs%10d $tA01%8.2f $tA02%8.2f")
     }
     spark.stop()
   }
