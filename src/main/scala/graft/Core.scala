@@ -54,4 +54,31 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** The conf profile for a real multi-executor cluster at large scale.
+    * Returns a configured builder (caller adds master/deploy specifics).
+    * Differences from `local` that matter at 100 TB:
+    *  - shuffle.partitions sized ~2–3× total cores and then left to AQE
+    *    coalescing (here 2000 as a sane 1000-executor default);
+    *  - runtime bloom-filter join pruning ON with a creation-side budget
+    *    large enough for a filtered fact side (semi-join reduction
+    *    before the shuffle — the biggest shuffle-byte lever on selective
+    *    fact-fact joins);
+    *  - 256 MB scan partitions so a 100 TB table makes ~400k tasks, not
+    *    4M;
+    *  - skew-join splitting + partition coalescing (AQE) as in local.
+    */
+  def clusterBuilder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "2000")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "128MB")
+      .config("spark.sql.files.maxPartitionBytes", "256MB")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
 }

@@ -63,6 +63,31 @@ class SourcesSpec extends SparkSpecBase {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // isolated SessionState on the shared context: the bloom confs are
+    // runtime SQL confs, so newSession + conf.set scopes them here
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    // shrink the app-side threshold so sf0.001 data qualifies; disable
+    // broadcast so the join actually shuffles (the case the filter
+    // exists for)
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val l = Tables(s2, sf, "lineitem")
+    val o = Tables(s2, sf, "orders").filter(col("o_totalprice") > 400000)
+    val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+    val cnt = j.collect().head.getAs[Long]("cnt")
+    val plan = j.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain")) // runtime bloom filter injected
+    // and it must not change the result
+    val plain = Tables(spark, sf, "lineitem").join(
+      Tables(spark, sf, "orders").filter(col("o_totalprice") > 400000),
+      col("l_orderkey") === col("o_orderkey")).count()
+    assert(cnt == plain)
+  }
+
   test("partitioned parquet write prunes partitions on filtered read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables(spark, sf, "orders")
