@@ -306,6 +306,87 @@ object Dedup {
                TRUE AS fp_ok
         FROM documents ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d08
+    // Transitive dup GROUPS: connected components over the verified
+    // near-dup pair graph (d03's output), so each dup cluster keeps one
+    // representative (its min doc_id) — the step that turns pairs into a
+    // keep/drop decision. Iterative min-label propagation: each round is
+    // one join + one min-aggregation, all shuffles keyed by doc_id.
+    // 8 rounds resolves components of diameter <= 8 — near-dup clusters
+    // are tiny in practice (and here); a corpus with longer dup chains
+    // would use the large-star/small-star variant (same primitive,
+    // O(log n) rounds). Oracle: recursive-CTE transitive closure.
+    "d08_dedup_groups" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val cands = lshCandidates(minhashSigs(docs))
+        val sets = docs.select(col("doc_id"),
+          TextFns.shingleHashes(col("text"), 3).as("sh"))
+        val edges = cands
+          .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+            Seq("a_id"))
+          .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+            Seq("b_id"))
+          .select(col("a_id"), col("b_id"),
+            size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
+            size(col("a_sh")).as("sza"), size(col("b_sh")).as("szb"))
+          .filter(col("inter").cast("double") /
+            (col("sza") + col("szb") - col("inter")) >= 0.5)
+          .select(col("a_id"), col("b_id"))
+        // undirected adjacency, then propagate the min label. Iterative
+        // plans MUST truncate lineage each round: `labels` feeds both
+        // union branches, so without it the plan doubles per iteration
+        // (2^8 copies of the LSH pipeline — measured 180 s at sf0.1 vs
+        // ~3 s with persist + localCheckpoint). persist() keeps the
+        // candidate graph materialized across rounds; localCheckpoint
+        // makes each round's labels a concrete RDD.
+        val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+          .persist()
+        var labels = adj.select(col("src").as("doc_id"))
+          .distinct()
+          .withColumn("lbl", col("doc_id"))
+          .localCheckpoint()
+        for (_ <- 1 to 8) {
+          val viaNeighbor = adj
+            .join(labels.withColumnRenamed("doc_id", "dst2"),
+              col("dst") === col("dst2"))
+            .select(col("src").as("doc_id"), col("lbl"))
+          labels = labels.unionAll(viaNeighbor)
+            .groupBy("doc_id")
+            .agg(min("lbl").as("lbl"))
+            .localCheckpoint()
+        }
+        adj.unpersist()
+        labels.select(col("doc_id"), col("lbl").as("group_rep"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+                   i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+2])) AS sh
+          FROM documents),
+        edges AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+        adj AS (
+          SELECT a_id AS src, b_id AS dst FROM edges
+          UNION ALL SELECT b_id, a_id FROM edges),
+        reach AS (
+          WITH RECURSIVE r(doc_id, lbl) AS (
+            SELECT src, src FROM adj
+            UNION
+            SELECT a.src, r.lbl FROM adj a JOIN r ON a.dst = r.doc_id)
+          SELECT * FROM r)
+        SELECT doc_id, min(lbl) AS group_rep
+        FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+
     // --------------------------------------------------------------- d06b
     // The 100 TB path for embedding near-dup: (label × hyperplane-LSH
     // bucket) blocking with 1-bit multi-probe, then the SAME exact cosine
