@@ -347,7 +347,16 @@ object Dedup {
           .distinct()
           .withColumn("lbl", col("doc_id"))
           .localCheckpoint()
-        for (_ <- 1 to 8) {
+        // labels only decrease, so an unchanged exact sum == fixpoint ==
+        // the true transitive closure; the round cap is a runaway guard
+        // (a graph that hasn't converged by then needs the
+        // large-star/small-star O(log n) formulation instead)
+        def lblSum(): java.math.BigDecimal = labels
+          .agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
+        var prevSum = lblSum()
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 16) {
           val viaNeighbor = adj
             .join(labels.withColumnRenamed("doc_id", "dst2"),
               col("dst") === col("dst2"))
@@ -356,6 +365,10 @@ object Dedup {
             .groupBy("doc_id")
             .agg(min("lbl").as("lbl"))
             .localCheckpoint()
+          val newSum = lblSum()
+          converged = newSum == prevSum
+          prevSum = newSum
+          rounds += 1
         }
         adj.unpersist()
         labels.select(col("doc_id"), col("lbl").as("group_rep"))
