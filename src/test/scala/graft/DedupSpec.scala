@@ -64,6 +64,16 @@ class DedupSpec extends SparkSpecBase {
     assert(!j.contains((0L, 3L))) // same text but different lang block
   }
 
+  test("d08 groups are transitive: exact dups + a chained near-dup share one rep") {
+    // planted: 0,1,3 identical text; 2 near-dup of 0 → component {0,1,2,3}
+    // via transitivity; 4 unrelated and 5 (token-reversed: different
+    // 3-gram shingles) never enter the pair graph
+    val reps = run("d08_dedup_groups", plantedDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_rep")).toMap
+    assert(reps.keySet == Set(0L, 1L, 2L, 3L))
+    assert(reps.values.toSet == Set(0L))
+  }
+
   test("d06b bucketed pairs = subset of exact d06 with identical cosines; recall documented") {
     def pairMap(name: String) = run(name).collect()
       .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class PipelineOpsSpec extends SparkSpecBase {
+
+  test("x01 hash sample is a deterministic subset (~1/16) of the corpus") {
+    val a = run("x01_hash_sample").collect().map(_.getAs[Long]("doc_id"))
+    val b = run("x01_hash_sample").collect().map(_.getAs[Long]("doc_id"))
+    assert(a.sameElements(b)) // reproducible
+    val total = Tables(spark, sf, "documents").count()
+    assert(a.length > 0 && a.length < total / 4) // genuinely sampling
+  }
+
+  test("x02 stratified sample keeps ceil(20%) of every lang stratum") {
+    val strata = Tables(spark, sf, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val sampled = run("x02_stratified_sample").collect()
+      .groupBy(_.getAs[String]("lang")).view.mapValues(_.length).toMap
+    strata.foreach { case (lang, n) =>
+      assert(sampled(lang) == math.ceil(n * 0.2).toLong,
+        s"stratum $lang: got ${sampled(lang)} of $n")
+    }
+  }
+
+  test("x06 pipeline output is a subset of the quality-filtered dedup keepers") {
+    val out = run("x06_corpus_pipeline").collect().map(_.getAs[Long]("doc_id"))
+    // every surviving doc is its own exact-dedup representative
+    val keepIds = run("d01_dedup_exact").collect()
+      .map(_.getAs[Long]("keep_id")).toSet
+    assert(out.forall(keepIds.contains))
+    // and passes the sampling predicate
+    assert(out.forall { id =>
+      "0123".contains(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.charAt(0))
+    })
+  }
+
+  test("x05 chunking: n_chunks matches the token count formula") {
+    val rows = run("x05_chunk_pack").collect()
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(rows.forall { r =>
+      val n = toks(r.getAs[Long]("doc_id"))
+      val expected = if (n <= 64) 1L else math.ceil((n - 64) / 48.0).toLong + 1
+      r.getAs[Long]("n_chunks") == expected
+    })
+  }
+}
