@@ -124,6 +124,46 @@ object EventsOps {
           SELECT 'clicked_after_view', CAST(2 AS BIGINT), count(*) FROM c
           UNION ALL
           SELECT 'purchased_after_click', CAST(3 AS BIGINT), count(*) FROM p) z
-        ORDER BY ord"""))
+        ORDER BY ord""")),
+
+    // ---------------------------------------------------------------- e05
+    // Time-series gap fill: per-user hourly event counts with the
+    // missing hours inside each user's active span filled with 0 — the
+    // resample step every downstream time-series model needs. The hour
+    // grid is generated per user from its own (min, max) span via
+    // sequence+explode (distributed, proportional to true span length),
+    // then a left join pulls in the observed counts. All shuffles keyed
+    // by the bounded user_id.
+    "e05_gap_fill" -> QueryDef(
+      build = (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("user_id") % 50 === 0)
+          .select(col("user_id"),
+            floor(col("ts").cast("double") / 3600).cast("long").as("hr"))
+        val counts = ev.groupBy("user_id", "hr").agg(count(lit(1)).as("n"))
+        val grid = counts.groupBy("user_id")
+          .agg(min("hr").as("h0"), max("hr").as("h1"))
+          .select(col("user_id"),
+            explode(sequence(col("h0"), col("h1"))).as("hr"))
+        grid.join(counts, Seq("user_id", "hr"), "left_outer")
+          .select(col("user_id"), col("hr"),
+            coalesce(col("n"), lit(0L)).as("cnt"))
+          .orderBy("user_id", "hr")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id,
+                 CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+                   AS hr
+          FROM events WHERE user_id % 50 = 0),
+        counts AS (SELECT user_id, hr, count(*) AS n FROM ev GROUP BY 1, 2),
+        grid AS (
+          SELECT user_id, unnest(generate_series(h0, h1)) AS hr FROM (
+            SELECT user_id, min(hr) AS h0, max(hr) AS h1
+            FROM counts GROUP BY user_id) z)
+        SELECT g.user_id, g.hr, coalesce(c.n, 0) AS cnt
+        FROM grid g LEFT JOIN counts c
+          ON g.user_id = c.user_id AND g.hr = c.hr
+        ORDER BY g.user_id, g.hr"""))
   )
 }

@@ -918,6 +918,35 @@ object Relational {
                count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED')
                  AS not_specified,
                count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
-        FROM orders GROUP BY 1 ORDER BY o_year"""))
+        FROM orders GROUP BY 1 ORDER BY o_year""")),
+
+    // ---------------------------------------------------------------- q37
+    // FULL OUTER join: per-nation wealthy-customer vs wealthy-supplier
+    // counts — either side may miss a nation, both sides survive. Two
+    // hash-agg shuffles + one key-partitioned join, no blowup.
+    "q37_full_outer" -> QueryDef(
+      build = (s, d) => {
+        val c = t(s, d, "customer").filter(col("c_acctbal") > 7000)
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+        val su = t(s, d, "supplier").filter(col("s_acctbal") > 7000)
+          .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+        c.join(su, col("c_nationkey") === col("s_nationkey"), "full_outer")
+          .select(
+            coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+            coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy("nationkey")
+      },
+      oracle = Some("""
+        SELECT coalesce(c.k, s.k) AS nationkey,
+               coalesce(c.n_cust, 0) AS n_cust,
+               coalesce(s.n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer
+              WHERE c_acctbal > 7000 GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier
+              WHERE s_acctbal > 7000 GROUP BY 1) s
+          ON c.k = s.k
+        ORDER BY nationkey"""))
   )
 }

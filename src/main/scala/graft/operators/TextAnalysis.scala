@@ -147,6 +147,41 @@ object TextAnalysis {
           FROM documents) z
         GROUP BY ngram ORDER BY freq DESC, ngram LIMIT 100""")),
 
+    // ---------------------------------------------------------------- t06
+    // Per-doc token Shannon entropy (nats): H = ln(T) - Σ n·ln(n) / T
+    // over token frequencies — the vocabulary-diversity quality signal.
+    // Σ n·ln(n) goes through the exact-decimal sum (round(6) per term)
+    // so the aggregation is partition-order-free like every money sum.
+    "t06_token_entropy" -> QueryDef(
+      build = (s, d) => {
+        val tf = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok")
+          .agg(count(lit(1)).as("n"))
+        tf.groupBy("doc_id")
+          .agg(sum("n").as("tot"),
+            sum(round(col("n") * log(col("n").cast("double")), 6)
+              .cast("decimal(30,6)")).as("s"))
+          .select(col("doc_id"),
+            round(log(col("tot").cast("double")) -
+              col("s").cast("double") / col("tot"), 4).as("entropy"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tf AS (
+          SELECT doc_id, tok, count(*) AS n FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+            FROM documents) z
+          GROUP BY doc_id, tok),
+        agg AS (
+          SELECT doc_id, sum(n) AS tot,
+                 sum(CAST(round(n * ln(n), 6) AS DECIMAL(30,6))) AS s
+          FROM tf GROUP BY doc_id)
+        SELECT doc_id,
+               round(ln(tot) - CAST(s AS DOUBLE) / tot, 4) AS entropy
+        FROM agg ORDER BY doc_id""")),
+
     // ---------------------------------------------------------------- r01
     // Reviews-style analytics (the reference README's
     // amazon_customer_reviews_workload surface): per-"product" (source)
