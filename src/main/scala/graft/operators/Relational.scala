@@ -947,6 +947,34 @@ object Relational {
              (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier
               WHERE s_acctbal > 7000 GROUP BY 1) s
           ON c.k = s.k
-        ORDER BY nationkey"""))
+        ORDER BY nationkey""")),
+
+    // ---------------------------------------------------------------- q38
+    // Frequency-sketch heavy hitters: approx_top_k (mergeable bounded
+    // top-k frequency sketch) completes the sketch triad next to HLL
+    // distinct (q28) and percentile sketches (q26b). Verified surface:
+    // the exact top-1 part must be tracked by the sketch with its exact
+    // count (the sketch is exact while distinct keys <= maxItemsTracked,
+    // which holds at verify scale; at 100 TB only the tracked-set
+    // membership is guaranteed and the count becomes an overestimate).
+    "q38_heavy_hitters" -> QueryDef(
+      build = (s, d) => {
+        val l = t(s, d, "lineitem")
+        val approx = l.agg(expr("approx_top_k(l_partkey, 10, 10000)").as("tk"))
+        val top1 = l.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("l_partkey")).limit(1)
+          .select(col("l_partkey").as("top_key"), col("n").as("top_n"))
+        top1.crossJoin(broadcast(approx))
+          .select(
+            exists(col("tk"), e => e.getField("item") === col("top_key"))
+              .as("top1_tracked"),
+            coalesce(
+              element_at(filter(col("tk"),
+                e => e.getField("item") === col("top_key")), 1)
+                .getField("count") === col("top_n"),
+              lit(false)).as("top1_count_exact"))
+      },
+      oracle = Some("""
+        SELECT TRUE AS top1_tracked, TRUE AS top1_count_exact"""))
   )
 }
