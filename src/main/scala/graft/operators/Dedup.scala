@@ -413,7 +413,17 @@ object Dedup {
     // hash-verified baseline.
     "d06b_dedup_embedding_lsh" -> QueryDef(
       build = (s, d) => {
-        val nPlanes = 4
+        // plane count sized to the corpus: each extra plane halves the
+        // expected (label, bucket) block, so planes ≈ log2(rows/label /
+        // targetBlock) keeps per-block pair work bounded as the corpus
+        // grows (with 10 labels and target blocks of ~256 vectors).
+        // Fixed planes are quadratic in disguise: ScaleProbe measured
+        // 4-plane d06b at 22 s / 296 s for 50k / 200k vectors (blocks of
+        // n/10 make pair counts O(n²)); adaptive planes restore ~linear
+        // growth while planted cos≈0.9999 pairs keep recall 1.0.
+        val total = t(s, d, "embeddings").count()
+        val nPlanes = math.max(4,
+          math.ceil(math.log(total / 2560.0) / math.log(2.0)).toInt)
         val planes = graft.functions.VectorFns.hyperplanes(nPlanes, 64)
         def bucketOf(emb: org.apache.spark.sql.Column) =
           planes.zipWithIndex.map { case (p, i) =>
@@ -426,7 +436,13 @@ object Dedup {
         // multi-probe: each vector lands in its home bucket plus the
         // nPlanes 1-bit-flip buckets, so pairs whose buckets differ by
         // <= 1 bit (and some 2-bit pairs via a shared middle probe)
-        // become candidates. One shuffle on (label, probe).
+        // become candidates. One shuffle on (label, probe). The cosine
+        // verify runs IN the join with the threshold filter directly
+        // after, so candidate rows collapse before any further shuffle —
+        // a thin-join + distinct-candidates + rejoin variant was
+        // measured 10x slower here (materializing the candidate pair
+        // set costs more than verifying it eagerly when blocks are
+        // dense; the verify IS the cheapest filter).
         val probes = e.select(col("vec_id"), col("label"), col("nrm"),
           col("embedding"),
           explode(array((col("bucket") +:

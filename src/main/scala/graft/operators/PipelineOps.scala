@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * packing, and PII-style redaction. All map-side or bounded-key window
   * plans: sampling predicates are pure per-row hashes (zero shuffle),
   * stratified sampling windows partition by `lang` (bounded cardinality),
-  * TF-IDF is two hash-agg shuffles, chunking is a per-row transform.
+  * TF-IDF is a chain of hash aggregations keyed by (doc,term)/term plus
+  * a broadcast of the corpus size, chunking is a per-row transform.
   */
 object PipelineOps {
 

@@ -48,15 +48,24 @@ object ScaleProbe {
   }
 
   /** Deterministic float embeddings: 64 dims derived from xxhash64 —
-    * uniform in [-1, 1), labeled into 10 pseudo-clusters.
+    * uniform in [-1, 1). Labels come in blocks of 100 ids; every id with
+    * id % 100 == 50 is a near-copy of its predecessor (one dim nudged by
+    * +0.01 → cosine ≈ 0.9999, a REALISTIC near-dup) so d06b's bucket
+    * recall can be measured at production-like thresholds.
     */
   private def genEmb(spark: SparkSession, n: Long, dir: String): Unit =
     spark.range(n).select(
       col("id").as("vec_id"),
-      expr("""transform(sequence(0, 63), i ->
-           CAST(pmod(xxhash64(id, CAST(i AS LONG)), 2000) / 1000.0 - 1.0
-                AS FLOAT))""").as("embedding"),
-      pmod(col("id"), lit(10)).cast("int").as("label"))
+      when(col("id") % 100 === 50, col("id") - 1).otherwise(col("id"))
+        .as("seed"),
+      (col("id") % 100 === 50).as("isNear"))
+      .select(
+        col("vec_id"),
+        expr("""transform(sequence(0, 63), i ->
+             CAST(pmod(xxhash64(seed, CAST(i AS LONG)), 2000) / 1000.0 - 1.0
+                  + CASE WHEN isNear AND i = 0 THEN 0.01 ELSE 0.0 END
+                  AS FLOAT))""").as("embedding"),
+        pmod(floor(col("vec_id") / 100), lit(10)).cast("int").as("label"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
 
@@ -83,7 +92,15 @@ object ScaleProbe {
         graft.SparkEntry.queries("a01_ann_bruteforce")(spark, dir).count())
       val (_, tA02) = time(
         graft.SparkEntry.queries("a02_ann_lsh")(spark, dir).count())
-      println(f"$n%9d $tD01%8.2f $tD03%8.2f $pairs%10d $tA01%8.2f $tA02%8.2f")
+      // d06b bucket recall at a REALISTIC near-dup threshold: the
+      // corpus plants n/100 cos≈0.9999 pairs; count how many the
+      // LSH-blocked path surfaces (precision is exact by construction)
+      val (found, tD06b) = time(
+        graft.SparkEntry.queries("d06b_dedup_embedding_lsh")(spark, dir)
+          .filter(col("cos") >= 0.9).count())
+      val recall = found.toDouble / (n / 100)
+      println(f"$n%9d $tD01%8.2f $tD03%8.2f $pairs%10d $tA01%8.2f " +
+        f"$tA02%8.2f  d06b: $tD06b%.2fs recall@0.9=$recall%.3f")
     }
     spark.stop()
   }
