@@ -162,6 +162,11 @@ object PipelineOps {
           .groupBy(md5(col("text").cast("binary")).as("h"))
           .agg(min("doc_id").as("keep_id"))
           .select(col("keep_id").as("doc_id"))
+        // semi-join formulation on purpose: it reads `quality` twice but
+        // shuffles only (hash, doc_id); the single-scan alternative — a
+        // min-over-window partitioned by md5(text) — would push every
+        // text byte through the shuffle. At 100 TB payload bytes are the
+        // cost, not a second pruned scan.
         quality.join(keepers, Seq("doc_id"), "left_semi")
           .filter(substring(md5(col("doc_id").cast("string").cast("binary")),
             1, 1).isin("0", "1", "2", "3"))

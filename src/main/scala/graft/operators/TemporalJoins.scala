@@ -35,6 +35,9 @@ object TemporalJoins {
   def joinLatest(left: DataFrame, right: DataFrame, keys: Seq[String],
                  leftTs: String, rightTs: String,
                  payload: Seq[String]): DataFrame = {
+    require(!left.columns.exists(_.startsWith("__")),
+      "joinLatest reserves the __-prefix for internal columns; " +
+        s"rename: ${left.columns.filter(_.startsWith("__")).mkString(", ")}")
     val leftRest = left.columns.toSeq.filterNot(keys.contains)
     val rightKept = rightTs +: payload
 
