@@ -26,6 +26,28 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.count() == src.count())
   }
 
+  test("binaryFile source ingests opaque payloads with file metadata") {
+    val dir = Files.createTempDirectory("graft-bin").toString
+    val payloads = Map("a.bin" -> Array[Byte](1, 2, 3),
+      "b.bin" -> Array[Byte](9, 8, 7, 6))
+    payloads.foreach { case (name, bytes) =>
+      Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    // the multimodal ingestion path: one row per file with (path,
+    // modificationTime, length, content) — content is the opaque binary
+    // column the §2.G operators consume
+    val df = spark.read.format("binaryFile").load(dir)
+    assert(df.count() == payloads.size)
+    val got = df.collect().map { r =>
+      r.getAs[String]("path").split('/').last ->
+        r.getAs[Array[Byte]]("content").toSeq
+    }.toMap
+    payloads.foreach { case (name, bytes) =>
+      assert(got(name) == bytes.toSeq)
+    }
+    assert(df.filter(col("length") === 3).count() == 1) // metadata filter
+  }
+
   test("ORC round-trip preserves rows and pushes filters to the scan") {
     val dir = Files.createTempDirectory("graft-orc").toString
     val src = Tables(spark, sf, "part")
