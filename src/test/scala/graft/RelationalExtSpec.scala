@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic checks (beyond the DuckDB hash gate) for the round-2
+  * relational operators: frame semantics, grouping structure, pivot
+  * completeness, set-op disjointness.
+  */
+class RelationalExtSpec extends SparkSpecBase {
+
+  test("q35 RANGE frame: same-date peers share one running total") {
+    val rows = run("q35_window_range").collect()
+    val byCustDate = rows.groupBy(r =>
+      (r.getAs[Long]("o_custkey"), r.getAs[Any]("o_orderdate")))
+    // every peer group (same cust, same date) must report an identical
+    // running total — the defining difference between RANGE and ROWS
+    byCustDate.values.foreach { g =>
+      assert(g.map(_.getAs[Double]("running_total")).distinct.length == 1)
+    }
+    // and running totals never decrease along each customer's history
+    rows.groupBy(_.getAs[Long]("o_custkey")).values.foreach { g =>
+      // o_orderdate is TIMESTAMP_NTZ → LocalDateTime in collected rows
+      val totals = g.sortBy(r => (r.getAs[java.time.LocalDateTime]("o_orderdate")
+        .toString, r.getAs[Long]("o_orderkey")))
+        .map(_.getAs[Double]("running_total"))
+      assert(totals.zip(totals.drop(1)).forall { case (a, b) => b >= a - 1e-9 })
+    }
+  }
+
+  test("q31 CUBE: gid structure — one grand total, consistent subtotal sums") {
+    val rows = run("q31_cube").collect()
+    def cnt(gid: Long) = rows.filter(_.getAs[Long]("gid") == gid)
+      .map(_.getAs[Long]("cnt")).sum
+    assert(rows.count(_.getAs[Long]("gid") == 3L) == 1) // grand total
+    // every grouping level re-aggregates the same row population
+    assert(cnt(0) == cnt(1) && cnt(1) == cnt(2) && cnt(2) == cnt(3))
+  }
+
+  test("q36 pivot: priority columns partition each year's orders") {
+    val rows = run("q36_pivot").collect()
+    val o = Tables(spark, sf, "orders")
+    val byYear = o.groupBy(year(col("o_orderdate")).cast("long").as("y"))
+      .count().collect()
+      .map(r => r.getAs[Long]("y") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      val total = Seq("urgent", "high", "medium", "not_specified", "low")
+        .map(c => Option(r.getAs[Any](c)).fold(0L)(_.asInstanceOf[Long])).sum
+      assert(total == byYear(r.getAs[Long]("o_year")))
+    }
+  }
+
+  test("q32 set ops: 'both' and 'only_1996' are disjoint and cover 1996") {
+    val rows = run("q32_set_ops").collect()
+    val both = rows.filter(_.getAs[String]("grp") == "both")
+      .map(_.getAs[Long]("o_custkey")).toSet
+    val only = rows.filter(_.getAs[String]("grp") == "only_1996")
+      .map(_.getAs[Long]("o_custkey")).toSet
+    assert((both & only).isEmpty)
+    val y96 = Tables(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === 1996)
+      .select("o_custkey").distinct().collect()
+      .map(_.getAs[Long]("o_custkey")).toSet
+    assert((both | only) == y96)
+  }
+}
