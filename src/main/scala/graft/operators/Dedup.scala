@@ -20,6 +20,24 @@ object Dedup {
   private val K = 32      // minhash signature length
   private val BANDS = 16  // bands of r = K/BANDS = 2 rows each
 
+  /** Corpus row count for sizing decisions (d06b's adaptive plane count):
+    * Catalyst statistics when the relation carries an exact rowCount
+    * (ANALYZE'd tables / CBO), else one count() — metadata-only on
+    * parquet — memoized per path so repeated invocations in the same
+    * session never re-run the job.
+    */
+  private val rowCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def corpusRows(df: org.apache.spark.sql.DataFrame,
+                         key: String): Long =
+    rowCountCache.computeIfAbsent(key, { _ =>
+      val n: Long = df.queryExecution.optimizedPlan.stats.rowCount match {
+        case Some(rc) => rc.toLong
+        case None => df.count()
+      }
+      java.lang.Long.valueOf(n)
+    }).longValue()
+
   /** doc_id → K-element minhash signature array, computed entirely
     * map-side by the codegen'd MinHashSigExpr (one tight k×n loop per
     * row) — zero shuffle until the band join.
@@ -29,6 +47,38 @@ object Dedup {
     docs.select(col("doc_id"), TextFns.shingleHashes(col("text"), 3).as("hs"))
       .select(col("doc_id"), GraftShim.column(
         graft.plans.MinHashSigExpr(GraftShim.expression(col("hs")), K)).as("sig"))
+  }
+
+  /** SimHash near-dup pairs over any (doc_id, text) frame: one-pass
+    * native 64-bit signature (no explode, no 64-column groupBy),
+    * pigeonhole blocking on 4×16-bit chunks — hamming ≤ 3 GUARANTEES a
+    * shared chunk, so recall is 1 there; hamming 4..maxHamming pairs are
+    * found iff they also share a chunk (the operator's declared
+    * semantics) — then exact hamming verify on candidates only.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    import org.apache.spark.sql.GraftShim
+    val sigs = docs
+      .select(col("doc_id"), GraftShim.column(graft.plans.SimHashExpr(
+        GraftShim.expression(TextFns.tokens(col("text"))))).as("sim"))
+    val chunkStructs = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("ch")))
+    val chunks = sigs
+      .select(col("doc_id"), col("sim"), explode(array(chunkStructs: _*)).as("cd"))
+      .select(col("doc_id"), col("sim"), col("cd.chunk").as("chunk"),
+        col("cd.ch").as("ch"))
+      .repartition(col("chunk"), col("ch"))
+    chunks.alias("x")
+      .join(chunks.alias("y"),
+        col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("a_id", "b_id")
   }
 
   /** LSH candidate pairs: equal band-hash in ≥1 of BANDS bands. */
@@ -139,32 +189,13 @@ object Dedup {
     // SimHash near-dup: 64-bit signature from token hashes; pigeonhole
     // blocking on 4×16-bit chunks (hamming ≤ 3 ⇒ one chunk equal; the
     // chunks serve as candidate buckets, verified at true hamming ≤ 8).
+    // Pipeline factored as simhashPairs() so DedupSpec pins it with
+    // planted-truth corpora: identical-token-multiset docs MUST pair at
+    // hamming 0, the output MUST equal the brute-force
+    // hamming ≤ 8 ∧ shares-a-chunk pair set, and every hamming ≤ 3 pair
+    // MUST be present (the pigeonhole law).
     "d04_dedup_simhash" -> QueryDef(
-      build = (s, d) => {
-        import org.apache.spark.sql.GraftShim
-        // one-pass native signature — no explode, no 64-column groupBy
-        val sigs = t(s, d, "documents")
-          .select(col("doc_id"), GraftShim.column(graft.plans.SimHashExpr(
-            GraftShim.expression(TextFns.tokens(col("text"))))).as("sim"))
-        val chunkStructs = (0 until 4).map(c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("ch")))
-        val chunks = sigs
-          .select(col("doc_id"), col("sim"), explode(array(chunkStructs: _*)).as("cd"))
-          .select(col("doc_id"), col("sim"), col("cd.chunk").as("chunk"),
-            col("cd.ch").as("ch"))
-          .repartition(col("chunk"), col("ch"))
-        chunks.alias("x")
-          .join(chunks.alias("y"),
-            col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-            bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
-              .as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 8)
-          .orderBy("a_id", "b_id")
-      }),
+      build = (s, d) => simhashPairs(t(s, d, "documents"), 8)),
 
     // ---------------------------------------------------------------- d05
     // Exact n-gram Jaccard similarity join, blocked by lang. The verify
@@ -421,7 +452,9 @@ object Dedup {
         // 4-plane d06b at 22 s / 296 s for 50k / 200k vectors (blocks of
         // n/10 make pair counts O(n²)); adaptive planes restore ~linear
         // growth while planted cos≈0.9999 pairs keep recall 1.0.
-        val total = t(s, d, "embeddings").count()
+        // Corpus size via Catalyst stats / memoized metadata count — no
+        // extra job per invocation (see corpusRows).
+        val total = corpusRows(t(s, d, "embeddings"), s"$d/embeddings")
         val nPlanes = math.max(4,
           math.ceil(math.log(total / 2560.0) / math.log(2.0)).toInt)
         val planes = graft.functions.VectorFns.hyperplanes(nPlanes, 64)

@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
 
 /** §2.I — training-data pipeline utilities over `documents`: reproducible
   * sampling, exact stratified sampling, corpus TF-IDF, sequence/chunk
-  * packing, and PII-style redaction. All map-side or bounded-key window
-  * plans: sampling predicates are pure per-row hashes (zero shuffle),
-  * stratified sampling windows partition by `lang` (bounded cardinality),
-  * TF-IDF is a chain of hash aggregations keyed by (doc,term)/term plus
-  * a broadcast of the corpus size, chunking is a per-row transform.
+  * packing, and PII-style redaction. Scale shapes: sampling predicates
+  * are pure per-row hashes (zero shuffle), stratified sampling is a
+  * two-pass exact scheme partitioned by (lang × hash-prefix bucket) so no
+  * task ever sees a whole stratum, TF-IDF is a chain of hash aggregations
+  * keyed by (doc,term)/term plus a broadcast of the corpus size, chunking
+  * is a per-row transform.
   */
 object PipelineOps {
 
@@ -39,17 +40,45 @@ object PipelineOps {
 
     // ---------------------------------------------------------------- x02
     // Exact stratified sampling: keep the first ceil(20%) of each lang
-    // stratum under a deterministic hash order — proportional per
-    // stratum, reproducible, and windowed only by the bounded lang key.
+    // stratum under a deterministic hash order. TWO-PASS EXACT scheme —
+    // never a window partitioned by the bare bounded `lang` key (that
+    // shape funnels the whole table through one task per stratum; at
+    // 100 TB a single lang='en' task would sort tens of TB):
+    //   pass 1: exact row counts per (lang, 256-way md5-prefix bucket) —
+    //           one cheap hash aggregation, result is n_lang×256 rows;
+    //   pass 2: rank locally inside each (lang, bucket) partition and add
+    //           the exact offset of all lower buckets of the stratum.
+    // Because the bucket IS the leading 2 hex chars of the md5 sort key,
+    // the lexicographic hash order within a lang visits buckets in
+    // numeric order, so offset(bucket) + local_rank == the global
+    // per-stratum rank, exactly. Per-task work is O(rows/(langs·256))
+    // with the bucket fan-out tunable by prefix width; the offsets/count
+    // table is tiny and broadcast. Output is hash-identical to the
+    // single-window formulation the oracle keeps.
     "x02_stratified_sample" -> QueryDef(
       build = (s, d) => {
         val hx = md5(col("doc_id").cast("string").cast("binary"))
-        val w = Window.partitionBy("lang")
-        val wOrd = w.orderBy(col("hx"), col("doc_id"))
-        t(s, d, "documents")
+        val base = t(s, d, "documents")
           .select(col("doc_id"), col("lang"), hx.as("hx"))
-          .withColumn("rk", row_number().over(wOrd).cast("long"))
-          .withColumn("n_stratum", count(lit(1)).over(w))
+          .withColumn("bkt", conv(substring(col("hx"), 1, 2), 16, 10)
+            .cast("int"))
+        // pass 1: exact per-(lang,bucket) counts; offsets + stratum sizes
+        // via windows over the TINY counts table (n_lang×256 rows).
+        val wLang = Window.partitionBy("lang")
+        val counts = base.groupBy("lang", "bkt")
+          .agg(count(lit(1)).as("c"))
+          .withColumn("off", coalesce(sum("c").over(
+            wLang.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("n_stratum", sum("c").over(wLang))
+          .select("lang", "bkt", "off", "n_stratum")
+        // pass 2: local rank within (lang, bucket) + exact bucket offset
+        val wBkt = Window.partitionBy("lang", "bkt")
+          .orderBy(col("hx"), col("doc_id"))
+        base
+          .withColumn("lrk", row_number().over(wBkt).cast("long"))
+          .join(broadcast(counts), Seq("lang", "bkt"))
+          .withColumn("rk", col("off") + col("lrk"))
           .filter(col("rk") <= ceil(col("n_stratum") * 0.2))
           .select("lang", "doc_id", "rk")
           .orderBy("lang", "rk")
