@@ -994,13 +994,19 @@ object Relational {
         val top1 = l.groupBy("l_partkey").agg(count(lit(1)).as("n"))
           .orderBy(desc("n"), asc("l_partkey")).limit(1)
           .select(col("l_partkey").as("top_key"), col("n").as("top_n"))
+        // try_element_at (not element_at): when the top-1 key is NOT in the
+        // sketch's tracked set the filter yields an empty array, and under
+        // ANSI element_at(.., 1) THROWS rather than returning NULL — i.e. a
+        // query that passes at sf0.01 (all keys tracked) crashes at sf0.1+.
+        // try_element_at is total: empty -> NULL -> coalesce -> false, which
+        // is the documented semantics (count is only exact while tracked).
         top1.crossJoin(broadcast(approx))
           .select(
             exists(col("tk"), e => e.getField("item") === col("top_key"))
               .as("top1_tracked"),
             coalesce(
-              element_at(filter(col("tk"),
-                e => e.getField("item") === col("top_key")), 1)
+              try_element_at(filter(col("tk"),
+                e => e.getField("item") === col("top_key")), lit(1))
                 .getField("count") === col("top_n"),
               lit(false)).as("top1_count_exact"))
       },
