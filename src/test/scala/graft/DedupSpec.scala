@@ -55,6 +55,70 @@ class DedupSpec extends SparkSpecBase {
     assert(h01.isDefined && h01.get.getAs[Long]("hamming") == 0L)
   }
 
+  /** SimHash-pinning corpus: long docs (1000 tokens over a 50-word vocab)
+    * whose per-bit weighted margins are large, so a k-position edit flips
+    * only the few bits with near-zero margin — nested variants with
+    * k = 1,2,3,4,6,8,10,14,20,30 edited positions land pairs across the
+    * whole hamming range (0..8 and beyond), making both d04 contract
+    * assertions non-vacuous.
+    */
+  lazy val simhashDir: String = {
+    val dir = Files.createTempDirectory("graft-simhash").toString
+    import spark.implicits._
+    val vocab = (0 until 40).map(i => s"tok$i")
+    val base = (0 until 240).map(p => vocab((p * 7 + p * p % 13) % 40))
+    val editPos = (0 until 200).map(j => 20 + j)
+    def variant(k: Int): String =
+      base.zipWithIndex.map { case (t, p) =>
+        if (editPos.take(k).contains(p)) s"rep$p" else t
+      }.mkString(" ")
+    val docs = ((100L, base.mkString(" ")) +: (101L, base.mkString(" ")) +:
+      Seq(1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128, 160, 200)
+        .zipWithIndex.map { case (k, i) => ((102 + i).toLong, variant(k)) })
+      .map { case (id, txt) => (id, txt, "en", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d04 simhash == brute-force (hamming<=8 ∧ shares-a-chunk); pigeonhole complete at hamming<=3") {
+    import org.apache.spark.sql.GraftShim
+    import org.apache.spark.sql.functions.col
+    // ground-truth signatures via the same expression the operator uses —
+    // the brute-force PAIR SET below is computed in plain Scala, so the
+    // test pins the operator's blocking+verify pipeline, not the hash
+    val sigs = spark.read.parquet(s"$simhashDir/documents.parquet")
+      .select(col("doc_id"), GraftShim.column(graft.plans.SimHashExpr(
+        GraftShim.expression(graft.functions.TextFns.tokens(col("text")))))
+        .as("sim"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sim")).toMap
+    val ids = sigs.keys.toSeq.sorted
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b).toLong
+    def sharesChunk(a: Long, b: Long) = (0 until 4).exists(c =>
+      ((a >>> (c * 16)) & 0xFFFFL) == ((b >>> (c * 16)) & 0xFFFFL))
+    val allPairs = for (i <- ids; j <- ids if i < j)
+      yield ((i, j), hamming(sigs(i), sigs(j)))
+    val brute = allPairs.filter { case ((i, j), h) =>
+      h <= 8 && sharesChunk(sigs(i), sigs(j))
+    }.toMap
+    val got = run("d04_dedup_simhash", simhashDir).collect()
+      .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
+        r.getAs[Long]("hamming"))).toMap
+    // (a) output == brute-force hamming<=8 ∧ shares-a-chunk pair set
+    assert(got == brute)
+    // (b) pigeonhole law: hamming<=3 forces a shared 16-bit chunk, so
+    // EVERY such pair must be present — recall 1 in that band
+    val close = allPairs.filter(_._2 <= 3).map(_._1)
+    assert(close.forall(got.contains))
+    // non-vacuity: the planted corpus exercises hamming 0, the 1..3
+    // pigeonhole band, and the 4..8 shared-chunk band
+    val hs = allPairs.map(_._2)
+    info(s"hamming distribution: ${hs.groupBy(identity).view.mapValues(_.size).toMap.toSeq.sortBy(_._1)}")
+    assert(hs.contains(0L))
+    assert(hs.exists(h => h >= 1 && h <= 3))
+    assert(brute.values.exists(h => h >= 4 && h <= 8))
+  }
+
   test("d05 jaccard finds planted near-dup with high score, same-lang only") {
     val rows = run("d05_ngram_jaccard", plantedDir).collect()
     val j = rows.map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
