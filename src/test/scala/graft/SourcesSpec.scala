@@ -110,6 +110,36 @@ class SourcesSpec extends SparkSpecBase {
     assert(cnt == plain)
   }
 
+  test("JDBC round-trip via embedded Derby preserves rows and pushes predicates") {
+    // the external-store dimension-table path: write a dim to a JDBC
+    // database, read it back, and prove the filter runs IN the database
+    // (PushedFilters on the JDBC scan), not in Spark — at scale the
+    // point of a JDBC dim source is shipping predicates to the store
+    val db = Files.createTempDirectory("graft-derby").toString
+    val url = s"jdbc:derby:$db/nationdb;create=true"
+    val src = Tables(spark, sf, "nation")
+    src.write.format("jdbc")
+      .option("url", url).option("dbtable", "nation")
+      .mode("overwrite").save()
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "nation").load()
+    assert(back.count() == src.count())
+    assert(back.columns.sorted.sameElements(src.columns.sorted))
+    // values survive the type mapping both ways (Derby CLOB -> string)
+    val names = back.select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expect = src.select(col("n_nationkey").cast("long"), col("n_name"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(names == expect)
+    val filtered = back.filter(col("n_nationkey") >= 10)
+      .select("n_nationkey", "n_name")
+    assert(filtered.count() ==
+      src.filter(col("n_nationkey") >= 10).count())
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(n_nationkey,10)"))
+  }
+
   test("partitioned parquet write prunes partitions on filtered read") {
     val dir = Files.createTempDirectory("graft-part").toString
     Tables(spark, sf, "orders")
