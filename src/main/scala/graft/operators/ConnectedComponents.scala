@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components via alternating large-star /
+  * small-star edge rewrites (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14) — the scale-path replacement for
+  * naive min-label propagation, whose round count is the graph DIAMETER
+  * (a 64-deep dup chain = 64 joins). Star rounds contract path lengths
+  * multiplicatively, converging in O(log n) rounds regardless of
+  * diameter; DedupSpec pins a 64-deep chain to <= 10 rounds.
+  *
+  * Every round is hash-shuffle joins/aggregations keyed by node id —
+  * no collect_list adjacency (a hot node's neighbor set never has to
+  * fit in one row), no driver-side graph. Lineage is truncated per
+  * round with localCheckpoint, same as all iterative plans here.
+  */
+object ConnectedComponents {
+
+  /** @param edges undirected edge list with columns (a_id, b_id)
+    * @param maxRounds runaway guard; star CC converges in O(log n)
+    * @return (labels: (doc_id, group_rep = component min) for every node
+    *         that appears in `edges`, rounds actually run)
+    */
+  def run(edges: DataFrame, maxRounds: Int = 32): (DataFrame, Int) = {
+    // canonical directed form: u > v (edge points at the smaller id)
+    var e = edges
+      .filter(col("a_id") =!= col("b_id"))
+      .select(greatest(col("a_id"), col("b_id")).as("u"),
+        least(col("a_id"), col("b_id")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = edges
+      .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+      .distinct()
+      .localCheckpoint()
+    // fixpoint probe: (count, hash-sum) of the edge set — exact equality
+    // of consecutive rounds' sets is the convergence criterion, and this
+    // pair detects it without materializing either set on the driver
+    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var prev = sig(e)
+    var rounds = 0
+    var converged = e.isEmpty
+    while (!converged && rounds < maxRounds) {
+      // LARGE-STAR: for every node u, connect each strictly-larger
+      // neighbor to m(u) = min(N(u) ∪ {u}); emitted edges keep the
+      // big→small orientation because v > u >= m
+      val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = adj.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = adj.join(mins, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint()
+      // SMALL-STAR: all of u's neighbors are now < u; point each
+      // non-min neighbor AND u itself at m = min(N(u)) — v > m holds
+      // for every emitted edge, preserving the orientation invariant
+      val mins2 = ls.groupBy("u").agg(min("v").as("m"))
+      e = ls.join(mins2, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins2.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val cur = sig(e)
+      converged = cur == prev
+      prev = cur
+      rounds += 1
+    }
+    // converged edge set is a union of stars: every non-root points
+    // directly at its component min; roots label themselves
+    val labels = nodes
+      .join(e.select(col("u").as("doc_id"), col("v").as("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("group_rep"))
+    (labels, rounds)
+  }
+}

@@ -341,12 +341,13 @@ object Dedup {
     // Transitive dup GROUPS: connected components over the verified
     // near-dup pair graph (d03's output), so each dup cluster keeps one
     // representative (its min doc_id) — the step that turns pairs into a
-    // keep/drop decision. Iterative min-label propagation: each round is
-    // one join + one min-aggregation, all shuffles keyed by doc_id.
-    // 8 rounds resolves components of diameter <= 8 — near-dup clusters
-    // are tiny in practice (and here); a corpus with longer dup chains
-    // would use the large-star/small-star variant (same primitive,
-    // O(log n) rounds). Oracle: recursive-CTE transitive closure.
+    // keep/drop decision. CC runs the large-star/small-star algorithm
+    // (ConnectedComponents.scala): O(log n) rounds regardless of dup-
+    // chain depth, vs the diameter-many rounds of naive min-label
+    // propagation — the difference between 6 and 1000 shuffle rounds on
+    // a pathological chained corpus. Oracle: recursive-CTE transitive
+    // closure. The candidate graph is persisted so the first star round
+    // doesn't recompute the LSH pipeline per branch.
     "d08_dedup_groups" -> QueryDef(
       build = (s, d) => {
         val docs = t(s, d, "documents")
@@ -364,46 +365,11 @@ object Dedup {
           .filter(col("inter").cast("double") /
             (col("sza") + col("szb") - col("inter")) >= 0.5)
           .select(col("a_id"), col("b_id"))
-        // undirected adjacency, then propagate the min label. Iterative
-        // plans MUST truncate lineage each round: `labels` feeds both
-        // union branches, so without it the plan doubles per iteration
-        // (2^8 copies of the LSH pipeline — measured 180 s at sf0.1 vs
-        // ~3 s with persist + localCheckpoint). persist() keeps the
-        // candidate graph materialized across rounds; localCheckpoint
-        // makes each round's labels a concrete RDD.
-        val adj = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-          .unionAll(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
           .persist()
-        var labels = adj.select(col("src").as("doc_id"))
-          .distinct()
-          .withColumn("lbl", col("doc_id"))
-          .localCheckpoint()
-        // labels only decrease, so an unchanged exact sum == fixpoint ==
-        // the true transitive closure; the round cap is a runaway guard
-        // (a graph that hasn't converged by then needs the
-        // large-star/small-star O(log n) formulation instead)
-        def lblSum(): java.math.BigDecimal = labels
-          .agg(sum(col("lbl").cast("decimal(38,0)"))).head.getDecimal(0)
-        var prevSum = lblSum()
-        var converged = false
-        var rounds = 0
-        while (!converged && rounds < 16) {
-          val viaNeighbor = adj
-            .join(labels.withColumnRenamed("doc_id", "dst2"),
-              col("dst") === col("dst2"))
-            .select(col("src").as("doc_id"), col("lbl"))
-          labels = labels.unionAll(viaNeighbor)
-            .groupBy("doc_id")
-            .agg(min("lbl").as("lbl"))
-            .localCheckpoint()
-          val newSum = lblSum()
-          converged = newSum == prevSum
-          prevSum = newSum
-          rounds += 1
-        }
-        adj.unpersist()
-        labels.select(col("doc_id"), col("lbl").as("group_rep"))
-          .orderBy("doc_id")
+        val (labels, _) = ConnectedComponents.run(edges)
+        val out = labels.orderBy("doc_id")
+        edges.unpersist()
+        out
       },
       oracle = Some("""
         WITH sh AS (

@@ -138,6 +138,23 @@ class DedupSpec extends SparkSpecBase {
     assert(reps.values.toSet == Set(0L))
   }
 
+  test("CC star rounds: 64-deep chain + disjoint triangle, O(log) rounds not O(diameter)") {
+    import spark.implicits._
+    // worst case for min-label propagation: a path graph of diameter 64
+    // (would need 64 rounds there), plus a disjoint component to prove
+    // labels don't bleed across components
+    val chain = (0L until 64L).map(i => (i, i + 1))
+    val tri = Seq((900L, 901L), (901L, 902L), (902L, 900L))
+    val (labels, rounds) = graft.operators.ConnectedComponents.run(
+      (chain ++ tri).toDF("a_id", "b_id"))
+    val m = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.keySet == (0L to 64L).toSet ++ Set(900L, 901L, 902L))
+    assert((0L to 64L).forall(i => m(i) == 0L))
+    assert(Seq(900L, 901L, 902L).forall(i => m(i) == 900L))
+    info(s"star rounds for diameter-64 chain: $rounds")
+    assert(rounds <= 10) // log2(64) = 6 plus convergence-detection slack
+  }
+
   test("d06b bucketed pairs = subset of exact d06 with identical cosines; recall documented") {
     def pairMap(name: String) = run(name).collect()
       .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
