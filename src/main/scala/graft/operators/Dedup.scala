@@ -21,22 +21,19 @@ object Dedup {
   private val BANDS = 16  // bands of r = K/BANDS = 2 rows each
 
   /** Corpus row count for sizing decisions (d06b's adaptive plane count):
-    * Catalyst statistics when the relation carries an exact rowCount
-    * (ANALYZE'd tables / CBO), else one count() — metadata-only on
-    * parquet — memoized per path so repeated invocations in the same
-    * session never re-run the job.
+    * always a count() — metadata-only on parquet (row-group footers, no
+    * data pages) — NOT catalog statistics, which can be stale after an
+    * outdated ANALYZE and would silently mis-size the LSH plane count.
+    * Memoized per path so repeated invocations in a session never re-run
+    * the job; the cache assumes a path's files don't change mid-session
+    * (sizing-only: a stale entry affects recall/perf, never answers).
     */
   private val rowCountCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def corpusRows(df: org.apache.spark.sql.DataFrame,
                          key: String): Long =
-    rowCountCache.computeIfAbsent(key, { _ =>
-      val n: Long = df.queryExecution.optimizedPlan.stats.rowCount match {
-        case Some(rc) => rc.toLong
-        case None => df.count()
-      }
-      java.lang.Long.valueOf(n)
-    }).longValue()
+    rowCountCache.computeIfAbsent(key,
+      _ => java.lang.Long.valueOf(df.count())).longValue()
 
   /** doc_id → K-element minhash signature array, computed entirely
     * map-side by the codegen'd MinHashSigExpr (one tight k×n loop per

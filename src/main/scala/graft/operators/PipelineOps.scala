@@ -75,9 +75,17 @@ object PipelineOps {
         // pass 2: local rank within (lang, bucket) + exact bucket offset
         val wBkt = Window.partitionBy("lang", "bkt")
           .orderBy(col("hx"), col("doc_id"))
+        // null-safe join keys: a NULL lang is a legitimate stratum (the
+        // oracle's window keeps it as its own partition), and groupBy /
+        // partitionBy above already treat NULL as a group — a plain
+        // equi-join here would silently drop those rows. <=> is still an
+        // equi-join key for Catalyst, so this stays a broadcast hash join.
+        val cnt = counts.select(col("lang").as("c_lang"),
+          col("bkt").as("c_bkt"), col("off"), col("n_stratum"))
         base
           .withColumn("lrk", row_number().over(wBkt).cast("long"))
-          .join(broadcast(counts), Seq("lang", "bkt"))
+          .join(broadcast(cnt),
+            col("lang") <=> col("c_lang") && col("bkt") <=> col("c_bkt"))
           .withColumn("rk", col("off") + col("lrk"))
           .filter(col("rk") <= ceil(col("n_stratum") * 0.2))
           .select("lang", "doc_id", "rk")

@@ -24,6 +24,34 @@ class PipelineOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("x02 keeps a NULL lang as its own stratum (null-safe join keys)") {
+    import spark.implicits._
+    // planted corpus: 10 "aa", 5 "bb", 5 NULL-lang docs — the two-pass
+    // scheme's inner join must not drop the NULL stratum the oracle's
+    // window formulation keeps
+    val docs = ((0L until 10L).map(i => (i, Some("aa"))) ++
+      (10L until 15L).map(i => (i, Some("bb"))) ++
+      (15L until 20L).map(i => (i, Option.empty[String])))
+      .toDF("doc_id", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("x02null").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run("x02_stratified_sample", dir).collect()
+    val byLang = out.groupBy(r =>
+      Option(r.getAs[String]("lang"))).view.mapValues(_.length).toMap
+    assert(byLang(Some("aa")) == 2)   // ceil(10 * 0.2)
+    assert(byLang(Some("bb")) == 1)   // ceil(5 * 0.2)
+    assert(byLang(None) == 1)         // ceil(5 * 0.2) — NOT dropped
+    // and the NULL-stratum pick matches the single-window formulation
+    val expectNull = docs.filter(col("lang").isNull)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("hx"))
+      .orderBy("hx", "doc_id").limit(1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val gotNull = out.filter(r => r.getAs[String]("lang") == null)
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(gotNull == expectNull)
+  }
+
   test("x06 pipeline output is a subset of the quality-filtered dedup keepers") {
     val out = run("x06_corpus_pipeline").collect().map(_.getAs[Long]("doc_id"))
     // every surviving doc is its own exact-dedup representative
