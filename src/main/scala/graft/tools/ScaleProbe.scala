@@ -102,6 +102,26 @@ object ScaleProbe {
       println(f"$n%9d $tD01%8.2f $tD03%8.2f $pairs%10d $tA01%8.2f " +
         f"$tA02%8.2f  d06b: $tD06b%.2fs recall@0.9=$recall%.3f")
     }
+    // x02 stratified-sample skew leg: ONE stratum grows 10× while ten
+    // small strata stay fixed — µs/row must stay ~flat. The two-pass
+    // (lang × 256-bucket) scheme spreads the big stratum over 256
+    // parallel sort tasks; the single-window formulation it replaced
+    // would funnel it through one task (the r2 scale-killer).
+    println(f"${"big_stratum"}%12s ${"rows"}%9s ${"x02_s"}%8s ${"us_per_row"}%10s")
+    for (m <- Seq(100000L, 1000000L)) {
+      val dir = s"/tmp/graft-probe-x02-$m"
+      val n = m + 10000
+      spark.range(n).select(
+        col("id").as("doc_id"),
+        when(col("id") < 10000, concat(lit("l"), pmod(col("id"), lit(10))))
+          .otherwise(lit("big")).as("lang"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val (cnt, tX02) = time(
+        graft.SparkEntry.queries("x02_stratified_sample")(spark, dir).count())
+      println(f"$m%12d $n%9d $tX02%8.2f ${tX02 * 1e6 / n}%10.2f " +
+        f" (sampled $cnt)")
+    }
     spark.stop()
   }
 }
