@@ -123,8 +123,13 @@ object Similarity {
     // int→mean map; no collect_list ordering dependence, no driver
     // collect), re-assign to the trained centroids, and queries search
     // only their own cell. Every stage is one shuffle or a broadcast of
-    // the 8-row centroid table. Rows-only (float argmax assignment);
-    // SimilaritySpec asserts recall@10 against exact a01.
+    // the 8-row centroid table.
+    //
+    // Fully DuckDB-oracled: the trained means are quantized to 6 dp on
+    // BOTH sides, which absorbs double-summation-order noise (partition
+    // count, engine) before it can flip an argmax assignment — every
+    // downstream cosine then runs on bit-identical centroid vectors.
+    // SimilaritySpec additionally asserts recall@10 against exact a01.
     "a03_ivf_centroids" -> QueryDef(
       build = (s, d) => {
         val e = t(s, d, "embeddings")
@@ -144,7 +149,7 @@ object Similarity {
         val trained = assign(seeds)
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy("cell", "pos")
-          .agg(avg("v").as("mv"))
+          .agg(round(avg("v"), 6).as("mv"))
           .groupBy("cell")
           .agg(map_from_arrays(collect_list("pos"), collect_list("mv")).as("m"))
           .select(col("cell").as("cent_id"),
@@ -163,7 +168,54 @@ object Similarity {
           .select(col("q_id"), col("vec_id"),
             round(col("raw_score"), 4).as("score"), col("rk"))
           .orderBy("q_id", "rk")
-      }),
+      },
+      oracle = Some(s"""
+        WITH seeds AS (
+          SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 8),
+        a1 AS (
+          SELECT e.vec_id, e.embedding, s.cent_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], s.cv)
+                   AS cscore
+          FROM embeddings e CROSS JOIN seeds s),
+        asg1 AS (
+          SELECT vec_id, embedding, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cscore DESC, cent_id) AS ark FROM a1) z
+          WHERE ark = 1),
+        ex AS (
+          SELECT cell, unnest(embedding::DOUBLE[]) AS v,
+                 unnest(range(64)) AS pos
+          FROM asg1),
+        cents AS (
+          SELECT cell AS cent_id, list(mv ORDER BY pos) AS cv FROM (
+            SELECT cell, pos, round(avg(v), 6) AS mv
+            FROM ex GROUP BY cell, pos) m
+          GROUP BY cell),
+        a2 AS (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                   AS cscore
+          FROM embeddings e CROSS JOIN cents c),
+        asg2 AS (
+          SELECT vec_id, embedding, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cscore DESC, cent_id) AS ark FROM a2) z
+          WHERE ark = 1),
+        q AS (SELECT vec_id AS q_id, embedding AS qv, cell AS q_cell
+              FROM asg2 WHERE vec_id < $QUERY_IDS_BELOW),
+        c AS (SELECT vec_id, embedding, cell FROM asg2
+              WHERE vec_id >= $QUERY_IDS_BELOW),
+        sc AS (SELECT q_id, c.vec_id,
+                 list_cosine_similarity(qv::DOUBLE[],
+                                        c.embedding::DOUBLE[]) AS raw_score
+               FROM q JOIN c ON c.cell = q.q_cell)
+        SELECT q_id, vec_id, round(raw_score, 4) AS score,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY raw_score DESC, vec_id) AS BIGINT) AS rk
+        FROM sc
+        QUALIFY rk <= $TOPK
+        ORDER BY q_id, rk""")),
 
     // ---------------------------------------------------------------- a04
     // Per-cluster vector stats (norm distribution) — aggregation over
