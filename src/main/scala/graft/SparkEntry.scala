@@ -15,7 +15,8 @@ object SparkEntry {
     operators.Similarity.defs ++
     operators.TextAnalysis.defs ++
     operators.PipelineOps.defs ++
-    operators.Multimodal.defs
+    operators.Multimodal.defs ++
+    operators.TrainingPipeline.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

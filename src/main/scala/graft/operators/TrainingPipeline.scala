@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFns
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.J — LLM-training-corpus preparation operators, the steps between a
+  * filtered/deduped corpus (§2.D/§2.I) and a training run. All four are
+  * exact, fully DuckDB-oracled, and shaped for 100 TB: every shuffle is
+  * keyed by doc_id / shingle-hash / (lang, bucket) — nothing funnels a
+  * corpus through one task or one driver.
+  */
+object TrainingPipeline {
+
+  private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
+
+  /** Tokens per training sequence for p02 (GPT-style concat-and-split). */
+  private val SEQ_LEN = 2048
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+
+    // ---------------------------------------------------------------- p01
+    // Test-set DECONTAMINATION: flag corpus docs sharing any 8-token
+    // shingle with a benchmark/eval set (here: every 97th doc stands in
+    // for the benchmark). The canonical pre-training hygiene step. Shape:
+    // explode to (doc, shingle-hash), inner-join the distinct benchmark
+    // shingle set on the hash, count per doc — shuffles keyed by the
+    // hash, so work scales with shingle count, never pairs of docs.
+    // md5 keeps the key engine-portable for the oracle; production would
+    // use xxhash64 (8-byte keys) with identical plan shape.
+    "p01_decontaminate" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        def shingled(df: DataFrame) = df
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+          .select(col("doc_id"), explode(TextFns.shingles(col("tk"), 8)).as("g"))
+          .select(col("doc_id"), md5(col("g")).as("h"))
+        val bench = shingled(docs.filter(col("doc_id") % 97 === 0))
+          .select("h").distinct()
+        val corp = shingled(docs.filter(col("doc_id") % 97 =!= 0))
+        corp.join(bench, "h")
+          .groupBy("doc_id")
+          .agg(countDistinct("h").as("n_shared"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, md5(array_to_string(t[i+1:i+8], ' ')) AS h
+          FROM tk, unnest(range(len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8),
+        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+        corp AS (SELECT doc_id, h FROM sh WHERE doc_id % 97 <> 0)
+        SELECT c.doc_id, CAST(count(DISTINCT c.h) AS BIGINT) AS n_shared
+        FROM corp c JOIN bench b ON c.h = b.h
+        GROUP BY c.doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- p02
+    // Training-SEQUENCE PACKING: lay the corpus out as one token stream
+    // per lang (deterministic md5 order) cut into SEQ_LEN-token training
+    // sequences; emit each doc's (bin, bin_off). Exact global prefix sums
+    // WITHOUT a per-lang single-task window — the same two-pass
+    // (lang × 256-bucket) offset scheme as x02: tiny per-bucket totals
+    // table broadcast back, local window per bucket. ~Flat per-row cost
+    // as any one lang grows (ScaleProbe-proven for the x02 twin).
+    "p02_seq_pack" -> QueryDef(
+      build = (s, d) => {
+        val base = t(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hx"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+          .withColumn("bkt", conv(substring(col("hx"), 1, 2), 16, 10)
+            .cast("int"))
+        val wLang = Window.partitionBy("lang")
+        val counts = base.groupBy("lang", "bkt")
+          .agg(sum("ntok").as("c"))
+          .withColumn("off", coalesce(sum("c").over(
+            wLang.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("lang").as("c_lang"), col("bkt").as("c_bkt"), col("off"))
+        val wBkt = Window.partitionBy("lang", "bkt")
+          .orderBy(col("hx"), col("doc_id"))
+        base
+          .withColumn("lpfx", coalesce(sum("ntok").over(
+            wBkt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .join(broadcast(counts),
+            col("lang") <=> col("c_lang") && col("bkt") <=> col("c_bkt"))
+          .withColumn("pfx", col("off") + col("lpfx"))
+          .select(col("lang"), col("doc_id"),
+            expr(s"pfx div $SEQ_LEN").as("bin"),
+            (col("pfx") % SEQ_LEN).as("bin_off"))
+          .orderBy("lang", "bin", "bin_off", "doc_id")
+      },
+      oracle = Some(s"""
+        SELECT lang, doc_id,
+               CAST(pfx // $SEQ_LEN AS BIGINT) AS bin,
+               CAST(pfx % $SEQ_LEN AS BIGINT) AS bin_off
+        FROM (
+          SELECT lang, doc_id,
+            coalesce(sum(ntok) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+          FROM (SELECT lang, doc_id,
+                  CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                    AS BIGINT) AS ntok
+                FROM documents) z) w
+        ORDER BY lang, bin, bin_off, doc_id""")),
+
+    // ---------------------------------------------------------------- p03
+    // DOMAIN MIXING: deterministically downsample each source to its
+    // target weight (here: weight class = source index mod 4 →
+    // 32/64/96/128 out of 256). Keep iff the doc's md5-derived uniform
+    // draw v ∈ [0,256) falls under the source's threshold — pure map-side
+    // filter, zero shuffle, reproducible across runs/engines; exactly how
+    // a 100 TB corpus gets re-weighted without a global sample() pass.
+    "p03_domain_mix" -> QueryDef(
+      build = (s, d) => {
+        val hx = md5(col("doc_id").cast("string").cast("binary"))
+        t(s, d, "documents")
+          .withColumn("v", conv(substring(hx, 1, 2), 16, 10).cast("int"))
+          .withColumn("k",
+            (substring(col("source"), 4, 10).cast("int") % 4 + 1) * 32)
+          .filter(col("v") < col("k"))
+          .select(col("doc_id"), col("source"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT doc_id, source,
+            16*(strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+             + (strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS v,
+            32 * ((CAST(substr(source, 4) AS INT) % 4) + 1) AS k
+          FROM documents)
+        SELECT doc_id, source FROM h WHERE v < k ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- p04
+    // REPETITION quality filter (Gopher-style): per-doc duplicate-token
+    // and top-bigram concentration, kept as exact integer counts (no
+    // cross-engine float rounding surface); `flagged` = dup-token
+    // fraction > 0.7 OR top-bigram fraction > 0.2 via integer cross-
+    // multiplication. Two hash-agg shuffles keyed by doc_id /
+    // (doc_id, bigram) — per-doc work, embarrassingly parallel.
+    "p04_repetition_score" -> QueryDef(
+      build = (s, d) => {
+        val tk = t(s, d, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+        val tstat = tk.select(col("doc_id"), explode(col("t")).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), countDistinct("w").as("n_distinct"))
+        val bstat = tk.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(TextFns.shingles(col("t"), 2)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max("c").as("top_bigram"), sum("c").as("n_bigram"))
+        tstat.join(bstat, Seq("doc_id"))
+          .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+            col("top_bigram"), col("n_bigram"),
+            ((col("n_tok") - col("n_distinct")) * 10 > col("n_tok") * 7 ||
+             col("top_bigram") * 10 > col("n_bigram") * 2)
+              .cast("int").as("flagged"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        tstat AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                 CAST(count(DISTINCT w) AS BIGINT) AS n_distinct
+          FROM (SELECT doc_id, unnest(t) AS w FROM tk) q GROUP BY doc_id),
+        bgc AS (
+          SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g, count(*) AS c
+          FROM tk, unnest(range(len(t) - 1)) AS u(i)
+          WHERE len(t) >= 2
+          GROUP BY doc_id, g),
+        bstat AS (
+          SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram,
+                 CAST(sum(c) AS BIGINT) AS n_bigram
+          FROM bgc GROUP BY doc_id)
+        SELECT t.doc_id, n_tok, n_distinct, top_bigram, n_bigram,
+               CAST((n_tok - n_distinct) * 10 > n_tok * 7
+                    OR top_bigram * 10 > n_bigram * 2 AS INT) AS flagged
+        FROM tstat t JOIN bstat b ON t.doc_id = b.doc_id
+        ORDER BY t.doc_id"""))
+  )
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TrainingPipelineSpec extends SparkSpecBase {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def plant(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tpipe").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src1"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("p01 flags the doc sharing an 8-gram with the benchmark, not the clean one") {
+    // doc 0 (0 % 97 == 0) is the planted benchmark; doc 1 embeds 8 of its
+    // consecutive tokens; doc 2 shares nothing
+    val bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val dir = plant(Seq(
+      0L -> bench,
+      1L -> ("xx yy alpha beta gamma delta epsilon zeta eta theta zz ww"),
+      2L -> ("uno dos tres cuatro cinco seis siete ocho nueve diez")))
+    val out = run("p01_decontaminate", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L) == 1L) // exactly the one embedded 8-gram survives intact
+  }
+
+  test("p02 bins equal a driver-side cumsum replay on real sf data") {
+    // exact replay: per lang, docs in (md5(doc_id), doc_id) order, running
+    // token total; bin = pfx / 2048, off = pfx % 2048
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"), r.getAs[Long]("n")))
+    val expected = toks.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+      var pfx = 0L
+      ds.sortBy(d => (md5hex(d._1.toString), d._1)).toSeq.map { case (id, _, n) =>
+        val r = (id, lang) -> ((pfx / 2048, pfx % 2048)); pfx += n; r
+      }
+    }.toMap
+    val got = run("p02_seq_pack").collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("lang")) ->
+        (r.getAs[Long]("bin"), r.getAs[Long]("bin_off"))).toMap
+    assert(got == expected)
+  }
+
+  test("p03 keeps exactly the docs whose md5 byte is under the source threshold") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+    val expected = docs.filter { case (id, src) =>
+      val v = Integer.parseInt(md5hex(id.toString).take(2), 16)
+      v < 32 * (src.drop(3).toInt % 4 + 1)
+    }.map(_._1).toSet
+    val got = run("p03_domain_mix").collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == expected && got.nonEmpty && got.size < docs.length)
+  }
+
+  test("p04 counts and flag match hand-computed values on a planted corpus") {
+    val dir = plant(Seq(
+      1L -> "a a a a a a",            // dup frac 5/6 > 0.7 -> flagged
+      2L -> "the quick brown fox jumps over lazy dogs")) // all distinct
+    val out = run("p04_repetition_score", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_distinct"),
+         r.getAs[Long]("top_bigram"), r.getAs[Long]("n_bigram"),
+         r.getAs[Int]("flagged"))).toMap
+    assert(out(1L) == ((6L, 1L, 5L, 5L, 1)))
+    assert(out(2L) == ((8L, 8L, 1L, 7L, 0)))
+  }
+}
