@@ -403,8 +403,12 @@ object Dedup {
     // collision probability (1 - θ/π per plane) — near 1 for real
     // near-dup thresholds (cos >= 0.9); at this synthetic corpus's loose
     // 0.3 threshold it is partial, and DedupSpec measures it against
-    // exact d06. Rows-only for that reason; d06 stays the exact,
-    // hash-verified baseline.
+    // exact d06. Fully DuckDB-oracled like a02: the seeded plane
+    // constants are inlined into the SQL, so the bucketed-and-probed
+    // result itself is hash-verified. The oracle pins nPlanes = 4 —
+    // what the adaptive sizing resolves to at the fixed 500-row
+    // embeddings table every SF ships (TESTDATA.md); the recall spec
+    // and ScaleProbe cover the larger-corpus sizing behavior.
     "d06b_dedup_embedding_lsh" -> QueryDef(
       build = (s, d) => {
         // plane count sized to the corpus: each extra plane halves the
@@ -457,6 +461,41 @@ object Dedup {
           .select(col("a_id"), col("b_id"), round(col("raw_c"), 4).as("cos"))
           .distinct()
           .orderBy("a_id", "b_id")
+      },
+      oracle = Some {
+        // same seeded planes the build uses when the adaptive sizing
+        // resolves to 4 (embeddings = 500 rows at every shipped SF);
+        // the cosine mirrors the build exactly: dot/(nrm_x*nrm_y) with
+        // sequential double accumulation on both engines.
+        val planes = graft.functions.VectorFns.hyperplanes(4, 64)
+        val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
+            p.mkString("[", ", ", "]") +
+            s"::DOUBLE[]) >= 0 THEN ${1 << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH e AS (
+          SELECT vec_id, label, embedding,
+                 sqrt(list_dot_product(embedding::DOUBLE[],
+                                       embedding::DOUBLE[])) AS nrm,
+                 $bucketSql AS bucket
+          FROM embeddings),
+        pr AS (
+          SELECT vec_id, label, embedding, nrm,
+                 CASE WHEN i = -1 THEN bucket
+                      ELSE xor(bucket, 1 << i) END AS probe
+          FROM e, unnest([-1, 0, 1, 2, 3]) AS u(i)),
+        cand AS (
+          SELECT x.vec_id AS a_id, y.vec_id AS b_id,
+                 list_dot_product(x.embedding::DOUBLE[],
+                                  y.embedding::DOUBLE[])
+                   / (x.nrm * y.nrm) AS raw_c
+          FROM pr x JOIN pr y
+            ON x.label = y.label AND x.probe = y.probe
+           AND x.vec_id < y.vec_id)
+        SELECT DISTINCT a_id, b_id, round(raw_c, 4) AS cos
+        FROM cand WHERE raw_c >= 0.3
+        ORDER BY a_id, b_id"""
       })
   )
 }
