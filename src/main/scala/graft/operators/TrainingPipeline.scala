@@ -188,6 +188,43 @@ object TrainingPipeline {
                CAST((n_tok - n_distinct) * 10 > n_tok * 7
                     OR top_bigram * 10 > n_bigram * 2 AS INT) AS flagged
         FROM tstat t JOIN bstat b ON t.doc_id = b.doc_id
-        ORDER BY t.doc_id"""))
+        ORDER BY t.doc_id""")),
+
+    // ---------------------------------------------------------------- p05
+    // CROSS-SOURCE OVERLAP matrix: distinct shared 8-gram shingles per
+    // source pair — "how much does src_i duplicate src_j", the corpus-
+    // composition diagnostic behind mix decisions. After the per-source
+    // distinct, each shingle carries at most one row per source, so the
+    // per-shingle self-join fans out to <= C(sources,2) pairs — bounded
+    // by the source count squared, never by docs. Shuffles keyed by
+    // shingle hash and (src_a, src_b) only.
+    "p05_source_overlap" -> QueryDef(
+      build = (s, d) => {
+        val sh = t(s, d, "documents")
+          .select(col("source"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+          .select(col("source"),
+            explode(TextFns.shingles(col("tk"), 8)).as("g"))
+          .select(col("source"), md5(col("g")).as("h"))
+          .distinct()
+        sh.alias("a").join(sh.alias("b"),
+            col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+          .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+          .agg(countDistinct(col("a.h")).as("shared"))
+          .orderBy("src_a", "src_b")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT source, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT source, md5(array_to_string(t[i+1:i+8], ' ')) AS h
+          FROM tk, unnest(range(len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8)
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(DISTINCT a.h) AS BIGINT) AS shared
+        FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+        ORDER BY src_a, src_b"""))
   )
 }

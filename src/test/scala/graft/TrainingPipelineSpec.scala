@@ -63,6 +63,23 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(got == expected && got.nonEmpty && got.size < docs.length)
   }
 
+  test("p05 counts exactly the shingles two sources share") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tpipe").toString
+    // srcA/srcB share the 8-gram "a b c d e f g h" (and only it —
+    // B shifts by one token so no other 8-gram aligns); srcC is disjoint
+    Seq(
+      (1L, "a b c d e f g h x1 x2", "srcA"),
+      (2L, "y0 a b c d e f g h", "srcB"),
+      (3L, "p q r s t u v w", "srcC"))
+      .toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run("p05_source_overlap", dir).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        r.getAs[Long]("shared")).toMap
+    assert(out == Map(("srcA", "srcB") -> 1L))
+  }
+
   test("p04 counts and flag match hand-computed values on a planted corpus") {
     val dir = plant(Seq(
       1L -> "a a a a a a",            // dup frac 5/6 > 0.7 -> flagged
