@@ -43,7 +43,7 @@ object ScaleProbe {
         """)).as("text"),
       lit("en").as("lang"))
       .withColumn("n_chars", length(col("text")).cast("long"))
-      .withColumn("source", lit("probe"))
+      .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
     docs.repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
@@ -79,7 +79,7 @@ object ScaleProbe {
     }
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     println(f"${"docs"}%9s ${"d01_s"}%8s ${"d03_s"}%8s ${"d03_pairs"}%10s " +
-      f"${"a01_s"}%8s ${"a02_s"}%8s")
+      f"${"a01_s"}%8s ${"a02_s"}%8s ${"p01_s"}%8s ${"p02_s"}%8s ${"p05_s"}%8s")
     for (n <- sizes) {
       val dir = s"/tmp/graft-probe-$n"
       gen(spark, n, dir)
@@ -99,8 +99,18 @@ object ScaleProbe {
         graft.SparkEntry.queries("d06b_dedup_embedding_lsh")(spark, dir)
           .filter(col("cos") >= 0.9).count())
       val recall = found.toDouble / (n / 100)
+      // training-prep ops on the same corpus: decontamination (inverted
+      // shingle join), sequence packing (two-pass prefix sums), source
+      // overlap (sources²-bounded fan-out) — all must grow ~linearly
+      val (_, tP01) = time(
+        graft.SparkEntry.queries("p01_decontaminate")(spark, dir).count())
+      val (_, tP02) = time(
+        graft.SparkEntry.queries("p02_seq_pack")(spark, dir).count())
+      val (_, tP05) = time(
+        graft.SparkEntry.queries("p05_source_overlap")(spark, dir).count())
       println(f"$n%9d $tD01%8.2f $tD03%8.2f $pairs%10d $tA01%8.2f " +
-        f"$tA02%8.2f  d06b: $tD06b%.2fs recall@0.9=$recall%.3f")
+        f"$tA02%8.2f $tP01%8.2f $tP02%8.2f $tP05%8.2f" +
+        f"  d06b: $tD06b%.2fs recall@0.9=$recall%.3f")
     }
     // x02 stratified-sample skew leg: ONE stratum grows 10× while ten
     // small strata stay fixed — µs/row must stay ~flat. The two-pass
