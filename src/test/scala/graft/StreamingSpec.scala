@@ -160,6 +160,35 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("decontaminateStream flags docs sharing an 8-gram with the static benchmark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta theta iota")
+      .toDF("text")
+    val benchHashes = graft.streaming.DocsStream.benchShingles(bench)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.DocsStream.decontaminateStream(
+        input.toDF().toDF("doc_id", "ts", "text"), benchHashes)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // shares TWO 8-grams with the benchmark -> must flag exactly once
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+          "alpha beta gamma delta epsilon zeta eta theta iota tail"),
+        (2L, Timestamp.valueOf("2024-01-01 10:01:00"),
+          "uno dos tres cuatro cinco seis siete ocho nueve"))
+      q.processAllAvailable()
+      input.addData( // contaminated doc in a later micro-batch
+        (3L, Timestamp.valueOf("2024-01-01 10:05:00"),
+          "pre alpha beta gamma delta epsilon zeta eta theta post"))
+      q.processAllAvailable()
+      val ids = spark.table("decon_stream").collect()
+        .map(_.getAs[Long]("doc_id")).sorted
+      assert(ids.sameElements(Array(1L, 3L)))
+    } finally q.stop()
+  }
+
   test("stream-static join enriches a stream against a dimension table") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
