@@ -155,6 +155,36 @@ class DedupSpec extends SparkSpecBase {
     assert(rounds <= 10) // log2(64) = 6 plus convergence-detection slack
   }
 
+  test("CC star labels == driver union-find on random graphs (property)") {
+    import spark.implicits._
+    // deterministic LCG so the property corpus is reproducible
+    var state = 12345L
+    def next(bound: Int): Int = {
+      state = state * 6364136223846793005L + 1442695040888963407L
+      ((state >>> 33) % bound).toInt
+    }
+    for (trial <- 1 to 5) {
+      val n = 40 + next(60)
+      val edges = Seq.fill(n)((next(80).toLong, next(80).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: classic driver-side union-find with path compression
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val comps = nodes.groupBy(find)
+      val expect = nodes.map(v => v -> comps(find(v)).min).toMap
+      val (labels, rounds) = graft.operators.ConnectedComponents.run(
+        edges.toDF("a_id", "b_id"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"trial $trial: n=$n rounds=$rounds")
+      assert(rounds <= 12, s"trial $trial took $rounds rounds")
+    }
+  }
+
   test("d06b bucketed pairs = subset of exact d06 with identical cosines; recall documented") {
     def pairMap(name: String) = run(name).collect()
       .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
