@@ -23,6 +23,20 @@ object Relational {
   private def ts(x: String): Column = lit(x).cast("timestamp")
   private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+
+  /** One SQL text, two engines — the q39 parity contract. */
+  private val RECURSIVE_CHAIN_SQL = """
+    WITH RECURSIVE chain(n_nationkey, root, depth) AS (
+      SELECT n_nationkey, n_nationkey, 0
+      FROM nation WHERE n_nationkey % 5 = 0
+      UNION ALL
+      SELECT n.n_nationkey, c.root, c.depth + 1
+      FROM nation n JOIN chain c ON n.n_nationkey = c.n_nationkey + 1
+      WHERE n.n_nationkey % 5 <> 0)
+    SELECT root, CAST(count(*) AS BIGINT) AS chain_len,
+           CAST(max(depth) AS BIGINT) AS max_depth
+    FROM chain GROUP BY root ORDER BY root"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- q01
@@ -1011,6 +1025,21 @@ object Relational {
               lit(false)).as("top1_count_exact"))
       },
       oracle = Some("""
-        SELECT TRUE AS top1_tracked, TRUE AS top1_count_exact"""))
+        SELECT TRUE AS top1_tracked, TRUE AS top1_count_exact""")),
+
+    // ---------------------------------------------------------------- q39
+    // Recursive CTE (Spark 4's WITH RECURSIVE): chain walk over nation —
+    // every 5th key roots a chain, successors attach by key adjacency.
+    // The IDENTICAL SQL text runs on Spark and DuckDB (shared constant),
+    // pinning engine parity for linear recursion: seed scan + per-step
+    // equi-join, depth bounded by the data (4 here). Iterative plans
+    // whose depth scales with data size use the dedicated operators
+    // instead (d08's star CC, e03's window sessionization).
+    "q39_recursive" -> QueryDef(
+      build = (s, d) => {
+        t(s, d, "nation").createOrReplaceTempView("nation")
+        s.sql(RECURSIVE_CHAIN_SQL)
+      },
+      oracle = Some(RECURSIVE_CHAIN_SQL))
   )
 }
