@@ -19,6 +19,17 @@ object TrainingPipeline {
   /** Tokens per training sequence for p02 (GPT-style concat-and-split). */
   private val SEQ_LEN = 2048
 
+  /** (key, md5(8-token shingle)) rows of a document frame — the shared
+    * building block of p01/p05/p06. md5 keeps the join key engine-
+    * portable for the oracles; production would use xxhash64 (8-byte
+    * keys) with the identical plan shape.
+    */
+  private def shingled(df: DataFrame, key: String): DataFrame =
+    df.select(col(key), TextFns.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(col(key), explode(TextFns.shingles(col("tk"), 8)).as("g"))
+      .select(col(key), md5(col("g")).as("h"))
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- p01
@@ -28,19 +39,12 @@ object TrainingPipeline {
     // explode to (doc, shingle-hash), inner-join the distinct benchmark
     // shingle set on the hash, count per doc — shuffles keyed by the
     // hash, so work scales with shingle count, never pairs of docs.
-    // md5 keeps the key engine-portable for the oracle; production would
-    // use xxhash64 (8-byte keys) with identical plan shape.
     "p01_decontaminate" -> QueryDef(
       build = (s, d) => {
         val docs = t(s, d, "documents")
-        def shingled(df: DataFrame) = df
-          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 8)
-          .select(col("doc_id"), explode(TextFns.shingles(col("tk"), 8)).as("g"))
-          .select(col("doc_id"), md5(col("g")).as("h"))
-        val bench = shingled(docs.filter(col("doc_id") % 97 === 0))
+        val bench = shingled(docs.filter(col("doc_id") % 97 === 0), "doc_id")
           .select("h").distinct()
-        val corp = shingled(docs.filter(col("doc_id") % 97 =!= 0))
+        val corp = shingled(docs.filter(col("doc_id") % 97 =!= 0), "doc_id")
         corp.join(bench, "h")
           .groupBy("doc_id")
           .agg(countDistinct("h").as("n_shared"))
@@ -200,13 +204,7 @@ object TrainingPipeline {
     // shingle hash and (src_a, src_b) only.
     "p05_source_overlap" -> QueryDef(
       build = (s, d) => {
-        val sh = t(s, d, "documents")
-          .select(col("source"), TextFns.tokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 8)
-          .select(col("source"),
-            explode(TextFns.shingles(col("tk"), 8)).as("g"))
-          .select(col("source"), md5(col("g")).as("h"))
-          .distinct()
+        val sh = shingled(t(s, d, "documents"), "source").distinct()
         sh.alias("a").join(sh.alias("b"),
             col("a.h") === col("b.h") && col("a.source") < col("b.source"))
           .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
@@ -225,6 +223,99 @@ object TrainingPipeline {
                CAST(count(DISTINCT a.h) AS BIGINT) AS shared
         FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
         GROUP BY a.source, b.source
-        ORDER BY src_a, src_b"""))
+        ORDER BY src_a, src_b""")),
+
+    // ---------------------------------------------------------------- p06
+    // END-TO-END prep flagship: repetition-quality gate (p04) →
+    // benchmark decontamination (p01) → exact dedup keep-min (d01) →
+    // domain mix (p03), composed as ONE declarative job so Catalyst
+    // shares the scans and pipelines the filters. Each stage's shuffle
+    // is keyed by doc_id / shingle-hash / content-hash — the whole
+    // pipeline is a DAG of hash-partitioned passes, no stage funnels
+    // the corpus through a single task or the driver. This is the job
+    // a user actually ships: corpus in, training-ready doc set out.
+    "p06_prep_pipeline" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        // stage 1: repetition gate (keep docs p04 would NOT flag)
+        val tk = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+        val tstat = tk.select(col("doc_id"), explode(col("t")).as("w"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"), countDistinct("w").as("n_distinct"))
+        val bstat = tk.filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(TextFns.shingles(col("t"), 2)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(max("c").as("top_bigram"), sum("c").as("n_bigram"))
+        val clean = tstat.join(bstat, Seq("doc_id"))
+          .filter(!((col("n_tok") - col("n_distinct")) * 10 > col("n_tok") * 7 ||
+            col("top_bigram") * 10 > col("n_bigram") * 2))
+          .select("doc_id")
+        // stage 2: decontamination vs the benchmark shingle set
+        val bench = shingled(docs.filter(col("doc_id") % 97 === 0), "doc_id")
+          .select("h").distinct()
+        val corp = docs.filter(col("doc_id") % 97 =!= 0)
+        val contaminated = shingled(corp, "doc_id")
+          .join(bench, "h").select("doc_id").distinct()
+        val surv1 = corp
+          .join(clean, Seq("doc_id"), "left_semi")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        // stage 3: exact dedup among survivors (keep min doc_id)
+        val keepers = surv1
+          .groupBy(md5(col("text").cast("binary")).as("hh"))
+          .agg(min("doc_id").as("doc_id")).select("doc_id")
+        val surv2 = surv1.join(keepers, Seq("doc_id"), "left_semi")
+        // stage 4: domain mix (deterministic md5 draw vs source weight)
+        val hx = md5(col("doc_id").cast("string").cast("binary"))
+        surv2
+          .withColumn("v", conv(substring(hx, 1, 2), 16, 10).cast("int"))
+          .withColumn("k",
+            (substring(col("source"), 4, 10).cast("int") % 4 + 1) * 32)
+          .filter(col("v") < col("k"))
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        tstat AS (
+          SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS n_distinct
+          FROM (SELECT doc_id, unnest(t) AS w FROM tk) q GROUP BY doc_id),
+        bgc AS (
+          SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g, count(*) AS c
+          FROM tk, unnest(range(len(t) - 1)) AS u(i)
+          WHERE len(t) >= 2 GROUP BY doc_id, g),
+        bstat AS (
+          SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigram
+          FROM bgc GROUP BY doc_id),
+        clean AS (
+          SELECT t.doc_id FROM tstat t JOIN bstat b ON t.doc_id = b.doc_id
+          WHERE NOT ((n_tok - n_distinct) * 10 > n_tok * 7
+                     OR top_bigram * 10 > n_bigram * 2)),
+        sh AS (
+          SELECT doc_id, md5(array_to_string(t[i+1:i+8], ' ')) AS h
+          FROM tk, unnest(range(len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8),
+        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+        contaminated AS (
+          SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.h = b.h
+          WHERE s.doc_id % 97 <> 0),
+        surv1 AS (
+          SELECT d.* FROM documents d
+          JOIN clean c ON d.doc_id = c.doc_id
+          WHERE d.doc_id % 97 <> 0
+            AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        keepers AS (
+          SELECT min(doc_id) AS doc_id FROM surv1 GROUP BY md5(text)),
+        surv2 AS (
+          SELECT s.* FROM surv1 s JOIN keepers k ON s.doc_id = k.doc_id)
+        SELECT doc_id, lang, source FROM surv2
+        WHERE 16*(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+            + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+            < 32 * ((CAST(substr(source, 4) AS INT) % 4) + 1)
+        ORDER BY doc_id"""))
   )
 }

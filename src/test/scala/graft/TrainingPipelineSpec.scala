@@ -80,6 +80,26 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(out == Map(("srcA", "srcB") -> 1L))
   }
 
+  test("p06 pipeline output is consistent with its component operators") {
+    val kept = run("p06_prep_pipeline").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.nonEmpty)
+    // mix stage: every kept doc also passes the standalone domain mix
+    val mixed = run("p03_domain_mix").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.subsetOf(mixed))
+    // decon stage: no kept doc is in the standalone contaminated set
+    val contaminated = run("p01_decontaminate").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.intersect(contaminated).isEmpty)
+    // quality stage: no kept doc is repetition-flagged
+    val flagged = run("p04_repetition_score").collect()
+      .filter(_.getAs[Int]("flagged") == 1).map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.intersect(flagged).isEmpty)
+    // benchmark docs themselves never survive
+    assert(kept.forall(_ % 97 != 0))
+  }
+
   test("p04 counts and flag match hand-computed values on a planted corpus") {
     val dir = plant(Seq(
       1L -> "a a a a a a",            // dup frac 5/6 > 0.7 -> flagged
