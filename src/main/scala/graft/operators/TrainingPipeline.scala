@@ -228,12 +228,14 @@ object TrainingPipeline {
     // ---------------------------------------------------------------- p06
     // END-TO-END prep flagship: repetition-quality gate (p04) →
     // benchmark decontamination (p01) → exact dedup keep-min (d01) →
-    // domain mix (p03), composed as ONE declarative job so Catalyst
-    // shares the scans and pipelines the filters. Each stage's shuffle
-    // is keyed by doc_id / shingle-hash / content-hash — the whole
-    // pipeline is a DAG of hash-partitioned passes, no stage funnels
-    // the corpus through a single task or the driver. This is the job
-    // a user actually ships: corpus in, training-ready doc set out.
+    // domain mix (p03) as ONE declarative job. Each stage's shuffle is
+    // keyed by doc_id / shingle-hash / content-hash — a DAG of
+    // hash-partitioned passes; no stage funnels the corpus through a
+    // single task or the driver. The branches re-scan `documents`
+    // (column-pruned each time; AQE reuses only identical subplans) —
+    // at 100 TB a deployment would persist() the post-filter survivor
+    // set between stages 2 and 3, trading memory for the re-scan.
+    // This is the job a corpus user actually ships.
     "p06_prep_pipeline" -> QueryDef(
       build = (s, d) => {
         val docs = t(s, d, "documents")
