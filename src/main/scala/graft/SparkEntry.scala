@@ -18,9 +18,13 @@ object SparkEntry {
     operators.Multimodal.defs ++
     operators.TrainingPipeline.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * p06 exercises the engine end-to-end: text analysis, shingle joins,
+    * dedup, deterministic sampling — one declarative prep job.
+    * (TrainingPipelineSpec pins non-empty output at this SF.)
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q05_region_volume")(spark, "/root/testdata/sf0.001")
+    queries("p06_prep_pipeline")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
