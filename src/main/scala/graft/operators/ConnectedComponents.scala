@@ -35,19 +35,20 @@ object ConnectedComponents {
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
       .localCheckpoint()
-    // fixpoint probe: (count, hash-sum) of the edge set — exact equality
-    // of consecutive rounds' sets is the convergence criterion, and this
-    // pair detects it without materializing either set on the driver
-    def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
-          lit(java.math.BigDecimal.ZERO))).head
-      (r.getLong(0), r.getDecimal(1))
-    }
-    var prev = sig(e)
+    // fixpoint = consecutive rounds produce the SAME edge set, checked
+    // EXACTLY: equal counts plus an empty one-sided set difference
+    // (both sets are distinct canonical (u,v) rows, so count equality +
+    // empty except <=> set equality). A hash-signature probe would be
+    // cheaper but admits a collision terminating the loop on a non-star
+    // edge set — this operator backs an exact-oracle query, so the
+    // convergence test must be exact too. Cost: one anti-join over the
+    // (shrinking) edge set per round, distributed, nothing driver-side.
+    def count1(df: DataFrame): Long = df.agg(count(lit(1))).head.getLong(0)
+    var prevCount = count1(e)
     var rounds = 0
     var converged = e.isEmpty
     while (!converged && rounds < maxRounds) {
+      val prevE = e
       // LARGE-STAR: for every node u, connect each strictly-larger
       // neighbor to m(u) = min(N(u) ∪ {u}); emitted edges keep the
       // big→small orientation because v > u >= m
@@ -69,9 +70,9 @@ object ConnectedComponents {
         .unionAll(mins2.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint()
-      val cur = sig(e)
-      converged = cur == prev
-      prev = cur
+      val curCount = count1(e)
+      converged = curCount == prevCount && e.except(prevE).isEmpty
+      prevCount = curCount
       rounds += 1
     }
     // converged edge set is a union of stars: every non-root points

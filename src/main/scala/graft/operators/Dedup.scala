@@ -419,8 +419,9 @@ object Dedup {
         // 4-plane d06b at 22 s / 296 s for 50k / 200k vectors (blocks of
         // n/10 make pair counts O(n²)); adaptive planes restore ~linear
         // growth while planted cos≈0.9999 pairs keep recall 1.0.
-        // Corpus size via Catalyst stats / memoized metadata count — no
-        // extra job per invocation (see corpusRows).
+        // Corpus size via the memoized metadata-only count — one cheap
+        // job per path per session, never stale catalog stats
+        // (see corpusRows).
         val total = corpusRows(t(s, d, "embeddings"), s"$d/embeddings")
         val nPlanes = math.max(4,
           math.ceil(math.log(total / 2560.0) / math.log(2.0)).toInt)

@@ -24,14 +24,18 @@ object Relational {
   private def revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
 
-  /** One SQL text, two engines — the q39 parity contract. */
-  private val RECURSIVE_CHAIN_SQL = """
+  /** One SQL text, two engines (up to the table identifier) — the q39
+    * parity contract. Spark binds a graft-prefixed temp view so the
+    * shared session never grows an unqualified `nation` view bound to
+    * whatever dataDir q39 last ran with.
+    */
+  private def recursiveChainSql(table: String): String = s"""
     WITH RECURSIVE chain(n_nationkey, root, depth) AS (
       SELECT n_nationkey, n_nationkey, 0
-      FROM nation WHERE n_nationkey % 5 = 0
+      FROM $table WHERE n_nationkey % 5 = 0
       UNION ALL
       SELECT n.n_nationkey, c.root, c.depth + 1
-      FROM nation n JOIN chain c ON n.n_nationkey = c.n_nationkey + 1
+      FROM $table n JOIN chain c ON n.n_nationkey = c.n_nationkey + 1
       WHERE n.n_nationkey % 5 <> 0)
     SELECT root, CAST(count(*) AS BIGINT) AS chain_len,
            CAST(max(depth) AS BIGINT) AS max_depth
@@ -1030,16 +1034,16 @@ object Relational {
     // ---------------------------------------------------------------- q39
     // Recursive CTE (Spark 4's WITH RECURSIVE): chain walk over nation —
     // every 5th key roots a chain, successors attach by key adjacency.
-    // The IDENTICAL SQL text runs on Spark and DuckDB (shared constant),
-    // pinning engine parity for linear recursion: seed scan + per-step
-    // equi-join, depth bounded by the data (4 here). Iterative plans
+    // The same SQL text (identical up to the table identifier) runs on
+    // Spark and DuckDB, pinning engine parity for linear recursion:
+    // seed scan + per-step equi-join, depth bounded by the data (4 here). Iterative plans
     // whose depth scales with data size use the dedicated operators
     // instead (d08's star CC, e03's window sessionization).
     "q39_recursive" -> QueryDef(
       build = (s, d) => {
-        t(s, d, "nation").createOrReplaceTempView("nation")
-        s.sql(RECURSIVE_CHAIN_SQL)
+        t(s, d, "nation").createOrReplaceTempView("graft_q39_nation")
+        s.sql(recursiveChainSql("graft_q39_nation"))
       },
-      oracle = Some(RECURSIVE_CHAIN_SQL))
+      oracle = Some(recursiveChainSql("nation")))
   )
 }

@@ -30,6 +30,48 @@ object TrainingPipeline {
       .select(col(key), explode(TextFns.shingles(col("tk"), 8)).as("g"))
       .select(col(key), md5(col("g")).as("h"))
 
+  /** (doc_id, h) rows where a corpus doc's shingle hits the benchmark
+    * set (benchmark = every 97th doc). Shared by p01 (per-doc counts)
+    * and p06 (distinct contaminated ids).
+    */
+  private def contaminationHits(docs: DataFrame): DataFrame = {
+    val bench = shingled(docs.filter(col("doc_id") % 97 === 0), "doc_id")
+      .select("h").distinct()
+    shingled(docs.filter(col("doc_id") % 97 =!= 0), "doc_id").join(bench, "h")
+  }
+
+  /** Per-doc repetition stats + flag (p04 and p06's quality gate). Docs
+    * with fewer than 2 tokens have no bigrams: the LEFT join + coalesce
+    * keeps them with zero counts (unflagged) instead of dropping them.
+    */
+  private def repetitionStats(docs: DataFrame): DataFrame = {
+    val tk = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
+    val tstat = tk.select(col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct("w").as("n_distinct"))
+    val bstat = tk.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(TextFns.shingles(col("t"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max("c").as("top_bigram"), sum("c").as("n_bigram"))
+    tstat.join(bstat, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        coalesce(col("top_bigram"), lit(0L)).as("top_bigram"),
+        coalesce(col("n_bigram"), lit(0L)).as("n_bigram"))
+      .withColumn("flagged",
+        ((col("n_tok") - col("n_distinct")) * 10 > col("n_tok") * 7 ||
+         col("top_bigram") * 10 > col("n_bigram") * 2).cast("int"))
+  }
+
+  /** p03's (and p06's) deterministic domain-mix predicate: keep iff the
+    * doc's md5-derived draw v ∈ [0,256) is under the source's weight
+    * threshold (source index mod 4 → 32/64/96/128 of 256).
+    */
+  private def mixKeep: org.apache.spark.sql.Column =
+    conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2),
+      16, 10).cast("int") <
+      (substring(col("source"), 4, 10).cast("int") % 4 + 1) * 32
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- p01
@@ -40,16 +82,11 @@ object TrainingPipeline {
     // shingle set on the hash, count per doc — shuffles keyed by the
     // hash, so work scales with shingle count, never pairs of docs.
     "p01_decontaminate" -> QueryDef(
-      build = (s, d) => {
-        val docs = t(s, d, "documents")
-        val bench = shingled(docs.filter(col("doc_id") % 97 === 0), "doc_id")
-          .select("h").distinct()
-        val corp = shingled(docs.filter(col("doc_id") % 97 =!= 0), "doc_id")
-        corp.join(bench, "h")
+      build = (s, d) =>
+        contaminationHits(t(s, d, "documents"))
           .groupBy("doc_id")
           .agg(countDistinct("h").as("n_shared"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       oracle = Some("""
         WITH tk AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -123,16 +160,11 @@ object TrainingPipeline {
     // filter, zero shuffle, reproducible across runs/engines; exactly how
     // a 100 TB corpus gets re-weighted without a global sample() pass.
     "p03_domain_mix" -> QueryDef(
-      build = (s, d) => {
-        val hx = md5(col("doc_id").cast("string").cast("binary"))
+      build = (s, d) =>
         t(s, d, "documents")
-          .withColumn("v", conv(substring(hx, 1, 2), 16, 10).cast("int"))
-          .withColumn("k",
-            (substring(col("source"), 4, 10).cast("int") % 4 + 1) * 32)
-          .filter(col("v") < col("k"))
+          .filter(mixKeep)
           .select(col("doc_id"), col("source"))
-          .orderBy("doc_id")
-      },
+          .orderBy("doc_id"),
       oracle = Some("""
         WITH h AS (
           SELECT doc_id, source,
@@ -150,27 +182,12 @@ object TrainingPipeline {
     // cross-engine float rounding surface); `flagged` = dup-token
     // fraction > 0.7 OR top-bigram fraction > 0.2 via integer cross-
     // multiplication. Two hash-agg shuffles keyed by doc_id /
-    // (doc_id, bigram) — per-doc work, embarrassingly parallel.
+    // (doc_id, bigram) — per-doc work, embarrassingly parallel. Docs
+    // with <2 tokens carry zero bigram counts and stay unflagged
+    // (LEFT join in repetitionStats) — every doc gets a verdict.
     "p04_repetition_score" -> QueryDef(
-      build = (s, d) => {
-        val tk = t(s, d, "documents")
-          .select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-        val tstat = tk.select(col("doc_id"), explode(col("t")).as("w"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tok"), countDistinct("w").as("n_distinct"))
-        val bstat = tk.filter(size(col("t")) >= 2)
-          .select(col("doc_id"), explode(TextFns.shingles(col("t"), 2)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(max("c").as("top_bigram"), sum("c").as("n_bigram"))
-        tstat.join(bstat, Seq("doc_id"))
-          .select(col("doc_id"), col("n_tok"), col("n_distinct"),
-            col("top_bigram"), col("n_bigram"),
-            ((col("n_tok") - col("n_distinct")) * 10 > col("n_tok") * 7 ||
-             col("top_bigram") * 10 > col("n_bigram") * 2)
-              .cast("int").as("flagged"))
-          .orderBy("doc_id")
-      },
+      build = (s, d) =>
+        repetitionStats(t(s, d, "documents")).orderBy("doc_id"),
       oracle = Some("""
         WITH tk AS (
           SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
@@ -188,10 +205,13 @@ object TrainingPipeline {
           SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram,
                  CAST(sum(c) AS BIGINT) AS n_bigram
           FROM bgc GROUP BY doc_id)
-        SELECT t.doc_id, n_tok, n_distinct, top_bigram, n_bigram,
+        SELECT t.doc_id, n_tok, n_distinct,
+               CAST(coalesce(top_bigram, 0) AS BIGINT) AS top_bigram,
+               CAST(coalesce(n_bigram, 0) AS BIGINT) AS n_bigram,
                CAST((n_tok - n_distinct) * 10 > n_tok * 7
-                    OR top_bigram * 10 > n_bigram * 2 AS INT) AS flagged
-        FROM tstat t JOIN bstat b ON t.doc_id = b.doc_id
+                    OR coalesce(top_bigram, 0) * 10
+                       > coalesce(n_bigram, 0) * 2 AS INT) AS flagged
+        FROM tstat t LEFT JOIN bstat b ON t.doc_id = b.doc_id
         ORDER BY t.doc_id""")),
 
     // ---------------------------------------------------------------- p05
@@ -239,27 +259,13 @@ object TrainingPipeline {
     "p06_prep_pipeline" -> QueryDef(
       build = (s, d) => {
         val docs = t(s, d, "documents")
-        // stage 1: repetition gate (keep docs p04 would NOT flag)
-        val tk = docs.select(col("doc_id"), TextFns.tokens(col("text")).as("t"))
-        val tstat = tk.select(col("doc_id"), explode(col("t")).as("w"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_tok"), countDistinct("w").as("n_distinct"))
-        val bstat = tk.filter(size(col("t")) >= 2)
-          .select(col("doc_id"), explode(TextFns.shingles(col("t"), 2)).as("g"))
-          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-          .groupBy("doc_id")
-          .agg(max("c").as("top_bigram"), sum("c").as("n_bigram"))
-        val clean = tstat.join(bstat, Seq("doc_id"))
-          .filter(!((col("n_tok") - col("n_distinct")) * 10 > col("n_tok") * 7 ||
-            col("top_bigram") * 10 > col("n_bigram") * 2))
-          .select("doc_id")
+        // stage 1: repetition gate — keep docs p04 would NOT flag
+        // (same repetitionStats helper, so the two can never diverge)
+        val clean = repetitionStats(docs)
+          .filter(col("flagged") === 0).select("doc_id")
         // stage 2: decontamination vs the benchmark shingle set
-        val bench = shingled(docs.filter(col("doc_id") % 97 === 0), "doc_id")
-          .select("h").distinct()
-        val corp = docs.filter(col("doc_id") % 97 =!= 0)
-        val contaminated = shingled(corp, "doc_id")
-          .join(bench, "h").select("doc_id").distinct()
-        val surv1 = corp
+        val contaminated = contaminationHits(docs).select("doc_id").distinct()
+        val surv1 = docs.filter(col("doc_id") % 97 =!= 0)
           .join(clean, Seq("doc_id"), "left_semi")
           .join(contaminated, Seq("doc_id"), "left_anti")
         // stage 3: exact dedup among survivors (keep min doc_id)
@@ -267,13 +273,8 @@ object TrainingPipeline {
           .groupBy(md5(col("text").cast("binary")).as("hh"))
           .agg(min("doc_id").as("doc_id")).select("doc_id")
         val surv2 = surv1.join(keepers, Seq("doc_id"), "left_semi")
-        // stage 4: domain mix (deterministic md5 draw vs source weight)
-        val hx = md5(col("doc_id").cast("string").cast("binary"))
-        surv2
-          .withColumn("v", conv(substring(hx, 1, 2), 16, 10).cast("int"))
-          .withColumn("k",
-            (substring(col("source"), 4, 10).cast("int") % 4 + 1) * 32)
-          .filter(col("v") < col("k"))
+        // stage 4: domain mix (same mixKeep predicate as p03)
+        surv2.filter(mixKeep)
           .select("doc_id", "lang", "source")
           .orderBy("doc_id")
       },
@@ -292,9 +293,10 @@ object TrainingPipeline {
           SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigram
           FROM bgc GROUP BY doc_id),
         clean AS (
-          SELECT t.doc_id FROM tstat t JOIN bstat b ON t.doc_id = b.doc_id
+          SELECT t.doc_id FROM tstat t LEFT JOIN bstat b ON t.doc_id = b.doc_id
           WHERE NOT ((n_tok - n_distinct) * 10 > n_tok * 7
-                     OR top_bigram * 10 > n_bigram * 2)),
+                     OR coalesce(top_bigram, 0) * 10
+                        > coalesce(n_bigram, 0) * 2)),
         sh AS (
           SELECT doc_id, md5(array_to_string(t[i+1:i+8], ' ')) AS h
           FROM tk, unnest(range(len(t) - 7)) AS u(i)

@@ -55,12 +55,12 @@ class DedupSpec extends SparkSpecBase {
     assert(h01.isDefined && h01.get.getAs[Long]("hamming") == 0L)
   }
 
-  /** SimHash-pinning corpus: long docs (1000 tokens over a 50-word vocab)
-    * whose per-bit weighted margins are large, so a k-position edit flips
-    * only the few bits with near-zero margin — nested variants with
-    * k = 1,2,3,4,6,8,10,14,20,30 edited positions land pairs across the
-    * whole hamming range (0..8 and beyond), making both d04 contract
-    * assertions non-vacuous.
+  /** SimHash-pinning corpus: 240-token docs over a 40-word vocab whose
+    * per-bit weighted margins are moderate, so a k-position edit flips
+    * roughly the bits with near-zero margin — nested variants with
+    * k = 1,2,3,4,6,8,12,16,24,32,48,64,96,128,160,200 edited positions
+    * land pairs across the whole hamming range (0..8 and well beyond),
+    * making both d04 contract assertions non-vacuous.
     */
   lazy val simhashDir: String = {
     val dir = Files.createTempDirectory("graft-simhash").toString

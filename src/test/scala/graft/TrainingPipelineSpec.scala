@@ -103,7 +103,8 @@ class TrainingPipelineSpec extends SparkSpecBase {
   test("p04 counts and flag match hand-computed values on a planted corpus") {
     val dir = plant(Seq(
       1L -> "a a a a a a",            // dup frac 5/6 > 0.7 -> flagged
-      2L -> "the quick brown fox jumps over lazy dogs")) // all distinct
+      2L -> "the quick brown fox jumps over lazy dogs", // all distinct
+      3L -> "solo"))                  // <2 tokens: zero bigrams, unflagged
     val out = run("p04_repetition_score", dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_tok"), r.getAs[Long]("n_distinct"),
@@ -111,5 +112,6 @@ class TrainingPipelineSpec extends SparkSpecBase {
          r.getAs[Int]("flagged"))).toMap
     assert(out(1L) == ((6L, 1L, 5L, 5L, 1)))
     assert(out(2L) == ((8L, 8L, 1L, 7L, 0)))
+    assert(out(3L) == ((1L, 1L, 0L, 0L, 0))) // present, not silently dropped
   }
 }

@@ -38,9 +38,12 @@ def main():
         if k in osh and k in nsh:
             b0 = osh[k]["r"] + osh[k]["w"]
             b1 = nsh[k]["r"] + nsh[k]["w"]
-            if b0 > 1 << 20 and (b1 > 1.3 * b0 or b1 < b0 / 1.3):
-                print(f"SHUFFLE {k}: {b0 >> 20}MiB -> {b1 >> 20}MiB "
-                      f"(plan shape changed?)")
+            # gate on EITHER side being >1 MiB: a query that used to
+            # shuffle ~nothing (broadcast plan) and now shuffles MBs is
+            # exactly the regression to catch, and vice versa
+            if max(b0, b1) > 1 << 20 and (b1 > 1.3 * b0 or b1 < b0 / 1.3):
+                print(f"SHUFFLE {k}: {b0 / (1 << 20):.1f}MiB -> "
+                      f"{b1 / (1 << 20):.1f}MiB (plan shape changed?)")
                 flags += 1
     print(f"total   : {old['value']}s -> {new['value']}s; {flags} flag(s)")
     sys.exit(1 if flags else 0)
