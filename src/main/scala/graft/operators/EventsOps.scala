@@ -164,6 +164,45 @@ object EventsOps {
         SELECT g.user_id, g.hr, coalesce(c.n, 0) AS cnt
         FROM grid g LEFT JOIN counts c
           ON g.user_id = c.user_id AND g.hr = c.hr
-        ORDER BY g.user_id, g.hr"""))
+        ORDER BY g.user_id, g.hr""")),
+
+    // ---------------------------------------------------------------- e06
+    // Cohort retention: users grouped by first-seen day; for offsets
+    // 0..7, how many of each cohort were active that many days later.
+    // Two hash-agg shuffles (user_id, then (cohort, offset)) plus one
+    // user-keyed join — the per-user cohort frame is a fraction of the
+    // event volume, and nothing partitions by date alone (a calendar-
+    // keyed window would bound parallelism by #days).
+    "e06_retention" -> QueryDef(
+      build = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+        val first = ev.groupBy("user_id").agg(min("day").as("cohort"))
+        ev.join(first, "user_id")
+          .select(col("cohort"),
+            datediff(col("day"), col("cohort")).cast("long").as("day_offset"),
+            col("user_id"))
+          .filter(col("day_offset") <= 7)
+          .distinct()
+          .groupBy("cohort", "day_offset")
+          .agg(count(lit(1)).as("n_users"))
+          // DATE exchanges poorly through the parquet/DuckDB compare
+          // path; midnight TIMESTAMP is the type every query already
+          // round-trips exactly
+          .select(col("cohort").cast("timestamp").as("cohort"),
+            col("day_offset"), col("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      oracle = Some("""
+        WITH ev AS (
+          SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+          FROM events),
+        first AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id)
+        SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+               CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM ev e JOIN first f ON e.user_id = f.user_id
+        WHERE date_diff('day', cohort, day) <= 7
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

@@ -24,6 +24,76 @@ object Similarity {
     e.filter(col("vec_id") < QUERY_IDS_BELOW)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
 
+  /** IVF coarse quantizer shared by a03/a03b: vec_id 0..7 seed the
+    * cells, one distributed Lloyd iteration refines them (per-cell
+    * per-dimension mean, 6-dp-quantized so the downstream argmax is
+    * engine- and partition-stable), then every vector is re-assigned.
+    * Returns (trained centroids (cent_id, cv), assignment
+    * (vec_id, embedding, cell)).
+    */
+  /** Oracle-side twin of [[ivfTrainedAssigned]]: seeds → first
+    * assignment → 6-dp-quantized Lloyd means → re-assignment (asg2).
+    * Shared CTE prefix of the a03 and a03b oracles.
+    */
+  private val IVF_ORACLE_CTES: String = """
+        WITH seeds AS (
+          SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+          FROM embeddings WHERE vec_id < 8),
+        a1 AS (
+          SELECT e.vec_id, e.embedding, s.cent_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], s.cv)
+                   AS cscore
+          FROM embeddings e CROSS JOIN seeds s),
+        asg1 AS (
+          SELECT vec_id, embedding, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cscore DESC, cent_id) AS ark FROM a1) z
+          WHERE ark = 1),
+        ex AS (
+          SELECT cell, unnest(embedding::DOUBLE[]) AS v,
+                 unnest(range(64)) AS pos
+          FROM asg1),
+        cents AS (
+          SELECT cell AS cent_id, list(mv ORDER BY pos) AS cv FROM (
+            SELECT cell, pos, round(avg(v), 6) AS mv
+            FROM ex GROUP BY cell, pos) m
+          GROUP BY cell),
+        a2 AS (
+          SELECT e.vec_id, e.embedding, c.cent_id,
+                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
+                   AS cscore
+          FROM embeddings e CROSS JOIN cents c),
+        asg2 AS (
+          SELECT vec_id, embedding, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                ORDER BY cscore DESC, cent_id) AS ark FROM a2) z
+          WHERE ark = 1)"""
+
+  private def ivfTrainedAssigned(e: DataFrame): (DataFrame, DataFrame) = {
+    def assign(cents: DataFrame): DataFrame = {
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(desc("cscore"), asc("cent_id"))
+      e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cent_id"),
+          VectorFns.cosine(col("embedding"), col("cv")).as("cscore"))
+        .withColumn("ark", row_number().over(wAssign))
+        .filter(col("ark") === 1)
+        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
+    }
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    // one Lloyd iteration: per-cell per-dimension mean
+    val trained = assign(seeds)
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(round(avg("v"), 6).as("mv"))
+      .groupBy("cell")
+      .agg(map_from_arrays(collect_list("pos"), collect_list("mv")).as("m"))
+      .select(col("cell").as("cent_id"),
+        expr("transform(sequence(0, 63), i -> m[cast(i AS int)])").as("cv"))
+    (trained, assign(trained))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- a01
@@ -133,28 +203,7 @@ object Similarity {
     "a03_ivf_centroids" -> QueryDef(
       build = (s, d) => {
         val e = t(s, d, "embeddings")
-        def assign(cents: DataFrame): DataFrame = {
-          val wAssign = Window.partitionBy("vec_id")
-            .orderBy(desc("cscore"), asc("cent_id"))
-          e.crossJoin(broadcast(cents))
-            .select(col("vec_id"), col("embedding"), col("cent_id"),
-              VectorFns.cosine(col("embedding"), col("cv")).as("cscore"))
-            .withColumn("ark", row_number().over(wAssign))
-            .filter(col("ark") === 1)
-            .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-        }
-        val seeds = e.filter(col("vec_id") < 8)
-          .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
-        // one Lloyd iteration: per-cell per-dimension mean
-        val trained = assign(seeds)
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-          .groupBy("cell", "pos")
-          .agg(round(avg("v"), 6).as("mv"))
-          .groupBy("cell")
-          .agg(map_from_arrays(collect_list("pos"), collect_list("mv")).as("m"))
-          .select(col("cell").as("cent_id"),
-            expr("transform(sequence(0, 63), i -> m[cast(i AS int)])").as("cv"))
-        val assigned = assign(trained)
+        val (_, assigned) = ivfTrainedAssigned(e)
         val q = assigned.filter(col("vec_id") < QUERY_IDS_BELOW)
           .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
             col("cell").as("q_cell"))
@@ -169,39 +218,7 @@ object Similarity {
             round(col("raw_score"), 4).as("score"), col("rk"))
           .orderBy("q_id", "rk")
       },
-      oracle = Some(s"""
-        WITH seeds AS (
-          SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
-          FROM embeddings WHERE vec_id < 8),
-        a1 AS (
-          SELECT e.vec_id, e.embedding, s.cent_id,
-                 list_cosine_similarity(e.embedding::DOUBLE[], s.cv)
-                   AS cscore
-          FROM embeddings e CROSS JOIN seeds s),
-        asg1 AS (
-          SELECT vec_id, embedding, cent_id AS cell FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY cscore DESC, cent_id) AS ark FROM a1) z
-          WHERE ark = 1),
-        ex AS (
-          SELECT cell, unnest(embedding::DOUBLE[]) AS v,
-                 unnest(range(64)) AS pos
-          FROM asg1),
-        cents AS (
-          SELECT cell AS cent_id, list(mv ORDER BY pos) AS cv FROM (
-            SELECT cell, pos, round(avg(v), 6) AS mv
-            FROM ex GROUP BY cell, pos) m
-          GROUP BY cell),
-        a2 AS (
-          SELECT e.vec_id, e.embedding, c.cent_id,
-                 list_cosine_similarity(e.embedding::DOUBLE[], c.cv)
-                   AS cscore
-          FROM embeddings e CROSS JOIN cents c),
-        asg2 AS (
-          SELECT vec_id, embedding, cent_id AS cell FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id
-                ORDER BY cscore DESC, cent_id) AS ark FROM a2) z
-          WHERE ark = 1),
+      oracle = Some(s"""$IVF_ORACLE_CTES,
         q AS (SELECT vec_id AS q_id, embedding AS qv, cell AS q_cell
               FROM asg2 WHERE vec_id < $QUERY_IDS_BELOW),
         c AS (SELECT vec_id, embedding, cell FROM asg2
@@ -210,6 +227,60 @@ object Similarity {
                  list_cosine_similarity(qv::DOUBLE[],
                                         c.embedding::DOUBLE[]) AS raw_score
                FROM q JOIN c ON c.cell = q.q_cell)
+        SELECT q_id, vec_id, round(raw_score, 4) AS score,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY raw_score DESC, vec_id) AS BIGINT) AS rk
+        FROM sc
+        QUALIFY rk <= $TOPK
+        ORDER BY q_id, rk""")),
+
+    // --------------------------------------------------------------- a03b
+    // IVF with nprobe=2 — the standard recall knob: each query searches
+    // its TWO nearest cells instead of one, trading 2× candidate work
+    // for the recall lost when a true neighbor sits just across a cell
+    // boundary. Probe ranking runs against the same trained (6-dp-
+    // quantized) centroids, so the full output stays hash-oracled.
+    "a03b_ivf_nprobe2" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val (trained, assigned) = ivfTrainedAssigned(e)
+        val wProbe = Window.partitionBy("q_id")
+          .orderBy(desc("pscore"), asc("cent_id"))
+        val qp = queriesDf(e)
+          .crossJoin(broadcast(trained))
+          .select(col("q_id"), col("qv"), col("cent_id"),
+            VectorFns.cosine(col("qv"), col("cv")).as("pscore"))
+          .withColumn("prk", row_number().over(wProbe))
+          .filter(col("prk") <= 2)
+          .select(col("q_id"), col("qv"), col("cent_id").as("q_cell"))
+        val c = assigned.filter(col("vec_id") >= QUERY_IDS_BELOW)
+        val w = Window.partitionBy("q_id").orderBy(desc("raw_score"), asc("vec_id"))
+        c.join(broadcast(qp), col("cell") === col("q_cell"))
+          .select(col("q_id"), col("vec_id"),
+            VectorFns.cosine(col("qv"), col("embedding")).as("raw_score"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= TOPK)
+          .select(col("q_id"), col("vec_id"),
+            round(col("raw_score"), 4).as("score"), col("rk"))
+          .orderBy("q_id", "rk")
+      },
+      oracle = Some(s"""$IVF_ORACLE_CTES,
+        qp AS (
+          SELECT q_id, qv, cent_id AS q_cell FROM (
+            SELECT q.vec_id AS q_id, q.embedding AS qv, c.cent_id,
+                   row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_cosine_similarity(q.embedding::DOUBLE[], c.cv)
+                       DESC, c.cent_id) AS prk
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < $QUERY_IDS_BELOW) q
+            CROSS JOIN cents c) z
+          WHERE prk <= 2),
+        c AS (SELECT vec_id, embedding, cell FROM asg2
+              WHERE vec_id >= $QUERY_IDS_BELOW),
+        sc AS (SELECT q_id, c.vec_id,
+                 list_cosine_similarity(qv::DOUBLE[],
+                                        c.embedding::DOUBLE[]) AS raw_score
+               FROM qp JOIN c ON c.cell = qp.q_cell)
         SELECT q_id, vec_id, round(raw_score, 4) AS score,
                CAST(row_number() OVER (PARTITION BY q_id
                     ORDER BY raw_score DESC, vec_id) AS BIGINT) AS rk

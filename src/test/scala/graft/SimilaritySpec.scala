@@ -57,6 +57,27 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recall >= 0.60)
   }
 
+  test("a03b nprobe=2 recall dominates a03: candidate cells are a superset") {
+    def hits(name: String) = run(name).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))).toSet
+    val exact = hits("a01_ann_bruteforce")
+    val r1 = (hits("a03_ivf_centroids") & exact).size.toDouble / exact.size
+    val r2 = (hits("a03b_ivf_nprobe2") & exact).size.toDouble / exact.size
+    info(f"recall@10: a03 (nprobe=1) $r1%.3f -> a03b (nprobe=2) $r2%.3f")
+    assert(r2 >= r1) // probe-1 cell is a03b's rank-1 probe: strict superset
+  }
+
+  test("e06 cohort offset-0 rows cover every user exactly once") {
+    val rows = run("e06_retention").collect()
+    assert(rows.forall { r =>
+      val o = r.getAs[Long]("day_offset"); o >= 0 && o <= 7
+    })
+    val day0Users = rows.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(day0Users == users) // every user is active on their first day
+  }
+
   test("a04 per-label stats cover every label on sf data") {
     val rows = run("a04_pairwise_label").collect()
     val labels = Tables(spark, sf, "embeddings").select("label").distinct().count()

@@ -26,6 +26,22 @@ class SourcesSpec extends SparkSpecBase {
     assert(back.count() == src.count())
   }
 
+  test("XML round-trip preserves rows and values (built-in Spark 4 source)") {
+    val dir = Files.createTempDirectory("graft-xml").toString
+    val src = Tables(spark, sf, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    src.write.mode("overwrite").option("rowTag", "nation")
+      .format("xml").save(s"$dir/nation")
+    val back = spark.read.option("rowTag", "nation").format("xml")
+      .load(s"$dir/nation")
+    assert(back.count() == src.count())
+    val a = src.orderBy("n_nationkey").collect()
+      .map(r => (r.getAs[Any]("n_nationkey").toString, r.getAs[String]("n_name")))
+    val b = back.orderBy("n_nationkey").collect()
+      .map(r => (r.getAs[Any]("n_nationkey").toString, r.getAs[String]("n_name")))
+    assert(a.sameElements(b))
+  }
+
   test("binaryFile source ingests opaque payloads with file metadata") {
     val dir = Files.createTempDirectory("graft-bin").toString
     val payloads = Map("a.bin" -> Array[Byte](1, 2, 3),
