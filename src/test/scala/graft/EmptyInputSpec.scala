@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Empty-input robustness: at production scale, empty filtered subsets
+  * and zero-row partitions are routine (a new source, an all-filtered
+  * shard). Every documents-table operator must return an empty result —
+  * not throw — on a schema-complete, zero-row corpus. Classic failure
+  * modes this pins: .head on an empty aggregate, element_at on empty
+  * arrays, window functions over nothing, iterative loops that never
+  * converge on no data.
+  */
+class EmptyInputSpec extends SparkSpecBase {
+
+  private lazy val emptyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private val docOps = Seq(
+    "d01_dedup_exact", "d02_dedup_fingerprint", "d03_dedup_minhash_lsh",
+    "d04_dedup_simhash", "d05_ngram_jaccard", "d07_winnow_fingerprint",
+    "d08_dedup_groups", "t01_token_count", "t02_quality_score",
+    "t03_lang_id", "t04_ngram_freq", "t05_bpe_tokens", "t06_token_entropy",
+    "x01_hash_sample", "x02_stratified_sample", "x03_tfidf", "x04_redact",
+    "x05_chunk_pack", "x06_corpus_pipeline", "p01_decontaminate",
+    "p02_seq_pack", "p03_domain_mix", "p04_repetition_score",
+    "p05_source_overlap", "p06_prep_pipeline")
+
+  test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
+    docOps.foreach { name =>
+      val n = try run(name, emptyDir).count()
+      catch {
+        case e: Throwable =>
+          fail(s"$name threw on empty input: ${e.getMessage}")
+      }
+      assert(n == 0L, s"$name returned $n rows on an empty corpus")
+    }
+  }
+}
