@@ -463,18 +463,78 @@ object Dedup {
           .distinct()
           .orderBy("a_id", "b_id")
       },
-      oracle = Some {
-        // same seeded planes the build uses when the adaptive sizing
-        // resolves to 4 (embeddings = 500 rows at every shipped SF);
-        // the cosine mirrors the build exactly: dot/(nrm_x*nrm_y) with
-        // sequential double accumulation on both engines.
-        val planes = graft.functions.VectorFns.hyperplanes(4, 64)
-        val bucketSql = planes.zipWithIndex.map { case (p, i) =>
-          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
-            p.mkString("[", ", ", "]") +
-            s"::DOUBLE[]) >= 0 THEN ${1 << i} ELSE 0 END)"
-        }.mkString(" + ")
-        s"""
+      oracle = Some(s"""$d06bOracleCtes
+        SELECT DISTINCT a_id, b_id, round(raw_c, 4) AS cos
+        FROM cand WHERE raw_c >= 0.3
+        ORDER BY a_id, b_id""")),
+
+    // ---------------------------------------------------------------- d09
+    // CROSS-MODAL near-dup: embedding-LSH candidates (d06b) verified by
+    // exact text 3-gram Jaccard — the production shape for multimodal
+    // corpora where either signal alone over-fires (paraphrases share
+    // embeddings but not shingles; boilerplate shares shingles but not
+    // embeddings). Pure composition: d06b's build supplies candidates,
+    // the d05/d08 Jaccard verify confirms — candidate generation stays
+    // bucketed, the verify join touches only candidate pairs.
+    "d09_crossmodal_dedup" -> QueryDef(
+      build = (s, d) => {
+        val cand = defsMap("d06b_dedup_embedding_lsh").build(s, d)
+        val sh = t(s, d, "documents").select(col("doc_id"),
+          array_distinct(graft.functions.TextFns.shingles(
+            graft.functions.TextFns.tokens(col("text")), 3)).as("sh"))
+        cand
+          .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+          .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+          .withColumn("inter",
+            size(array_intersect(col("a_sh"), col("b_sh"))))
+          .withColumn("jac", col("inter").cast("double") /
+            (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
+          .filter(col("jac") >= 0.5)
+          .select(col("a_id"), col("b_id"), col("cos"),
+            round(col("jac"), 4).as("jaccard"))
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some(s"""$d06bOracleCtes,
+        pairs AS (
+          SELECT DISTINCT a_id, b_id, round(raw_c, 4) AS cos
+          FROM cand WHERE raw_c >= 0.3),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 2),
+                   i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS sh
+          FROM documents),
+        jv AS (
+          SELECT p.a_id, p.b_id, p.cos,
+                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                   AS jac
+          FROM pairs p
+          JOIN sh a ON a.doc_id = p.a_id
+          JOIN sh b ON b.doc_id = p.b_id)
+        SELECT a_id, b_id, cos, round(jac, 4) AS jaccard
+        FROM jv WHERE jac >= 0.5
+        ORDER BY a_id, b_id"""))
+  )
+
+  /** Name → QueryDef for intra-object composition (d09 reuses d06b). */
+  private lazy val defsMap: Map[String, QueryDef] = defs.toMap
+
+  /** d06b's oracle CTEs (shared with d09): same seeded planes the build
+    * uses when the adaptive sizing resolves to 4 (embeddings = 500 rows
+    * at every shipped SF); the cosine mirrors the build exactly —
+    * dot/(nrm_x*nrm_y), sequential double accumulation on both engines.
+    */
+  private lazy val d06bOracleCtes: String = {
+    val planes = graft.functions.VectorFns.hyperplanes(4, 64)
+    val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
+        p.mkString("[", ", ", "]") +
+        s"::DOUBLE[]) >= 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""
         WITH e AS (
           SELECT vec_id, label, embedding,
                  sqrt(list_dot_product(embedding::DOUBLE[],
@@ -493,10 +553,6 @@ object Dedup {
                    / (x.nrm * y.nrm) AS raw_c
           FROM pr x JOIN pr y
             ON x.label = y.label AND x.probe = y.probe
-           AND x.vec_id < y.vec_id)
-        SELECT DISTINCT a_id, b_id, round(raw_c, 4) AS cos
-        FROM cand WHERE raw_c >= 0.3
-        ORDER BY a_id, b_id"""
-      })
-  )
+           AND x.vec_id < y.vec_id)"""
+  }
 }

@@ -185,6 +185,26 @@ class DedupSpec extends SparkSpecBase {
     }
   }
 
+  test("d09 = exactly the d06b pairs whose text 3-gram jaccard >= 0.5") {
+    import org.apache.spark.sql.functions._
+    val shMap = Tables(spark, sf, "documents")
+      .select(col("doc_id"), array_distinct(graft.functions.TextFns.shingles(
+        graft.functions.TextFns.tokens(col("text")), 3)).as("sh"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Seq[String]]("sh").toSet).toMap
+    def jac(a: Long, b: Long): Double = {
+      val (x, y) = (shMap(a), shMap(b))
+      x.intersect(y).size.toDouble / x.union(y).size
+    }
+    val cand = run("d06b_dedup_embedding_lsh").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val expect = cand.filter { case (a, b) => jac(a, b) >= 0.5 }
+    val got = run("d09_crossmodal_dedup").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(got == expect)
+  }
+
   test("d06b bucketed pairs = subset of exact d06 with identical cosines; recall documented") {
     def pairMap(name: String) = run(name).collect()
       .map(r => ((r.getAs[Long]("a_id"), r.getAs[Long]("b_id")),
