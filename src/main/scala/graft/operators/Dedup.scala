@@ -479,9 +479,19 @@ object Dedup {
     "d09_crossmodal_dedup" -> QueryDef(
       build = (s, d) => {
         val cand = defsMap("d06b_dedup_embedding_lsh").build(s, d)
-        val sh = t(s, d, "documents").select(col("doc_id"),
-          array_distinct(graft.functions.TextFns.shingles(
-            graft.functions.TextFns.tokens(col("text")), 3)).as("sh"))
+          .localCheckpoint() // read 3x below (id prune + two verify
+                             // joins); eager, lineage-cut, GC-cleaned
+        // shingle ONLY the docs that appear in a candidate pair: at
+        // corpus scale the candidate set is a sliver of the corpus, so
+        // the expensive tokenize+shingle pass must not run on everything
+        val candIds = cand
+          .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+          .distinct()
+        val sh = t(s, d, "documents")
+          .join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            array_distinct(graft.functions.TextFns.shingles(
+              graft.functions.TextFns.tokens(col("text")), 3)).as("sh"))
         cand
           .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
           .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
