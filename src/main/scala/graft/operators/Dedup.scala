@@ -100,6 +100,20 @@ object Dedup {
       .distinct()
   }
 
+  /** Oracle-side twin of array_distinct(TextFns.shingles(tokens, 3)):
+    * per-doc distinct textual trigram list (d05/d08/d09 oracles).
+    * `cols` appends extra SELECT columns (e.g. ", lang"); `where`
+    * appends a row filter (e.g. the >= 3-token guard d09 needs).
+    */
+  private def sh3Cte(cols: String = "", where: String = ""): String =
+    "\n        sh AS (\n          SELECT doc_id" + cols + """,
+                 list_distinct(list_transform(
+                   generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+                   i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+2])) AS sh
+          FROM documents""" + where + ")"
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- d01
@@ -165,15 +179,7 @@ object Dedup {
           .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
           .orderBy("a_id", "b_id")
       },
-      oracle = Some("""
-        WITH sh AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                   generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 2),
-                   i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
-                        string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
-                        string_split_regex(lower(trim(text)), '\s+')[i+2])) AS sh
-          FROM documents),
+      oracle = Some("\n        WITH" + sh3Cte() + """,
         pairs AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -247,15 +253,7 @@ object Dedup {
           .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
           .orderBy("a_id", "b_id")
       },
-      oracle = Some("""
-        WITH sh AS (
-          SELECT doc_id, lang,
-                 list_distinct(list_transform(
-                   generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 2),
-                   i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
-                        string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
-                        string_split_regex(lower(trim(text)), '\s+')[i+2])) AS sh
-          FROM documents),
+      oracle = Some("\n        WITH" + sh3Cte(", lang") + """,
         pairs AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -368,15 +366,7 @@ object Dedup {
         edges.unpersist()
         out
       },
-      oracle = Some("""
-        WITH sh AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                   generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 2),
-                   i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
-                        string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
-                        string_split_regex(lower(trim(text)), '\s+')[i+2])) AS sh
-          FROM documents),
+      oracle = Some("\n        WITH" + sh3Cte() + """,
         edges AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -478,20 +468,27 @@ object Dedup {
     // bucketed, the verify join touches only candidate pairs.
     "d09_crossmodal_dedup" -> QueryDef(
       build = (s, d) => {
-        val cand = defsMap("d06b_dedup_embedding_lsh").build(s, d)
-          .localCheckpoint() // read 3x below (id prune + two verify
-                             // joins); eager, lineage-cut, GC-cleaned
+        // lazy persist (NOT an eager localCheckpoint): build stays
+        // plan-only for tools like Explain; the cache materializes on
+        // first execution, is shared by the three consumers below, and
+        // is LRU-evicted under memory pressure
+        val cand = defsMap("d06b_dedup_embedding_lsh").build(s, d).persist()
         // shingle ONLY the docs that appear in a candidate pair: at
         // corpus scale the candidate set is a sliver of the corpus, so
-        // the expensive tokenize+shingle pass must not run on everything
+        // the expensive tokenize+shingle pass must not run on everything.
+        // Docs with < 3 tokens have no trigrams (shingles' contract) and
+        // cannot be text-verified: dropped from sh, so their candidate
+        // pairs fall out of the inner join on BOTH engines.
         val candIds = cand
           .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
           .distinct()
         val sh = t(s, d, "documents")
           .join(candIds, Seq("doc_id"), "left_semi")
           .select(col("doc_id"),
-            array_distinct(graft.functions.TextFns.shingles(
-              graft.functions.TextFns.tokens(col("text")), 3)).as("sh"))
+            graft.functions.TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("doc_id"), array_distinct(
+            graft.functions.TextFns.shingles(col("tk"), 3)).as("sh"))
         cand
           .join(sh.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
           .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -507,15 +504,10 @@ object Dedup {
       oracle = Some(s"""$d06bOracleCtes,
         pairs AS (
           SELECT DISTINCT a_id, b_id, round(raw_c, 4) AS cos
-          FROM cand WHERE raw_c >= 0.3),
-        sh AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(
-                   generate_series(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 2),
-                   i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
-                        string_split_regex(lower(trim(text)), '\\s+')[i+1] || ' ' ||
-                        string_split_regex(lower(trim(text)), '\\s+')[i+2])) AS sh
-          FROM documents),
+          FROM cand WHERE raw_c >= 0.3),""" +
+        sh3Cte(where =
+          "\n          WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3") +
+        """,
         jv AS (
           SELECT p.a_id, p.b_id, p.cos,
                  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -533,9 +525,12 @@ object Dedup {
   private lazy val defsMap: Map[String, QueryDef] = defs.toMap
 
   /** d06b's oracle CTEs (shared with d09): same seeded planes the build
-    * uses when the adaptive sizing resolves to 4 (embeddings = 500 rows
-    * at every shipped SF); the cosine mirrors the build exactly —
-    * dot/(nrm_x*nrm_y), sequential double accumulation on both engines.
+    * uses when the adaptive sizing resolves to 4 — true whenever
+    * embeddings has <= 40,960 rows (shipped SFs carry 500–2,000; the
+    * margin is ~20x, but REGENERATING a much larger embeddings table
+    * desyncs this pinned-plane oracle from the adaptive build). The
+    * cosine mirrors the build exactly — dot/(nrm_x*nrm_y), sequential
+    * double accumulation on both engines.
     */
   private lazy val d06bOracleCtes: String = {
     val planes = graft.functions.VectorFns.hyperplanes(4, 64)

@@ -24,13 +24,6 @@ object Similarity {
     e.filter(col("vec_id") < QUERY_IDS_BELOW)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
 
-  /** IVF coarse quantizer shared by a03/a03b: vec_id 0..7 seed the
-    * cells, one distributed Lloyd iteration refines them (per-cell
-    * per-dimension mean, 6-dp-quantized so the downstream argmax is
-    * engine- and partition-stable), then every vector is re-assigned.
-    * Returns (trained centroids (cent_id, cv), assignment
-    * (vec_id, embedding, cell)).
-    */
   /** Oracle-side twin of [[ivfTrainedAssigned]]: seeds → first
     * assignment → 6-dp-quantized Lloyd means → re-assignment (asg2).
     * Shared CTE prefix of the a03 and a03b oracles.
@@ -69,6 +62,13 @@ object Similarity {
                 ORDER BY cscore DESC, cent_id) AS ark FROM a2) z
           WHERE ark = 1)"""
 
+  /** IVF coarse quantizer shared by a03/a03b: vec_id 0..7 seed the
+    * cells, one distributed Lloyd iteration refines them (per-cell
+    * per-dimension mean, 6-dp-quantized so the downstream argmax is
+    * engine- and partition-stable), then every vector is re-assigned.
+    * Returns (trained centroids (cent_id, cv), assignment
+    * (vec_id, embedding, cell)).
+    */
   private def ivfTrainedAssigned(e: DataFrame): (DataFrame, DataFrame) = {
     def assign(cents: DataFrame): DataFrame = {
       val wAssign = Window.partitionBy("vec_id")

@@ -67,17 +67,6 @@ class SimilaritySpec extends SparkSpecBase {
     assert(r2 >= r1) // probe-1 cell is a03b's rank-1 probe: strict superset
   }
 
-  test("e06 cohort offset-0 rows cover every user exactly once") {
-    val rows = run("e06_retention").collect()
-    assert(rows.forall { r =>
-      val o = r.getAs[Long]("day_offset"); o >= 0 && o <= 7
-    })
-    val day0Users = rows.filter(_.getAs[Long]("day_offset") == 0L)
-      .map(_.getAs[Long]("n_users")).sum
-    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
-    assert(day0Users == users) // every user is active on their first day
-  }
-
   test("a04 per-label stats cover every label on sf data") {
     val rows = run("a04_pairwise_label").collect()
     val labels = Tables(spark, sf, "embeddings").select("label").distinct().count()

@@ -52,4 +52,15 @@ class TextAndEventsSpec extends SparkSpecBase {
       f.forall(v => v >= 0.0 && v <= 1.0) && math.abs(f.sum - 1.0) < 4e-6
     })
   }
+
+  test("e06 cohort offset-0 rows cover every user exactly once") {
+    val rows = run("e06_retention").collect()
+    assert(rows.forall { r =>
+      val o = r.getAs[Long]("day_offset"); o >= 0 && o <= 7
+    })
+    val day0Users = rows.filter(_.getAs[Long]("day_offset") == 0L)
+      .map(_.getAs[Long]("n_users")).sum
+    val users = Tables(spark, sf, "events").select("user_id").distinct().count()
+    assert(day0Users == users) // every user is active on their first day
+  }
 }
