@@ -53,6 +53,11 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(countOf(p, "HashAggregate") >= 2, p)
   }
 
+  test("d09 shingles only candidate docs: the semi-join prune is in the plan") {
+    val p = plan("d09_crossmodal_dedup")
+    assert(p.contains("LeftSemi"), p) // documents pruned to candidate ids
+  }
+
   test("d03 minhash runs as a native catalyst expression, not a UDF") {
     // (WholeStageCodegen wrappers only materialize per-stage at execution
     // under AQE, so the pre-execution plan can't be checked for them)
