@@ -197,8 +197,42 @@ object Dedup {
     // hamming 0, the output MUST equal the brute-force
     // hamming ≤ 8 ∧ shares-a-chunk pair set, and every hamming ≤ 3 pair
     // MUST be present (the pigeonhole law).
+    // Fully oracled since the token hash moved to md5-prefix
+    // (SimHashExpr): the oracle recomputes the identical 64-bit
+    // signature — ('0x' || substr(md5(t),1,16))::UBIGINT is bit-for-bit
+    // SimHashExpr's big-endian first-8-bytes hash — then the same
+    // chunk-blocked pair join and hamming verify.
     "d04_dedup_simhash" -> QueryDef(
-      build = (s, d) => simhashPairs(t(s, d, "documents"), 8)),
+      build = (s, d) => simhashPairs(t(s, d, "documents"), 8),
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          FROM documents),
+        h AS (
+          SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+          FROM tk),
+        bits AS (
+          SELECT doc_id, u.b,
+                 sum(CASE WHEN (h >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h, unnest(generate_series(0, 63)) AS u(b)
+          GROUP BY doc_id, u.b),
+        sig AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN vote > 0 THEN (1::UBIGINT << b)
+                             ELSE 0::UBIGINT END) AS sim
+          FROM bits GROUP BY doc_id),
+        ch AS (
+          SELECT doc_id, sim, u.c AS chunk,
+                 (sim >> (u.c * 16)) & 65535 AS chv
+          FROM sig, unnest([0, 1, 2, 3]) AS u(c)),
+        pairs AS (
+          SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                 CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+          FROM ch x JOIN ch y
+            ON x.chunk = y.chunk AND x.chv = y.chv AND x.doc_id < y.doc_id)
+        SELECT a_id, b_id, hamming FROM pairs
+        WHERE hamming <= 8 ORDER BY a_id, b_id""")),
 
     // ---------------------------------------------------------------- d05
     // Exact n-gram Jaccard similarity join, blocked by lang. The verify

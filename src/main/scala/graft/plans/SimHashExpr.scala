@@ -1,8 +1,10 @@
 package graft.plans
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -10,9 +12,20 @@ import org.apache.spark.sql.types._
   * row: hash each token's UTF8 bytes, accumulate per-bit +1/−1 votes,
   * emit the sign bits. Replaces an explode + 64-aggregate-column groupBy
   * — the whole signature becomes map-side, shuffle-free.
+  *
+  * Token hash = first 8 bytes of md5(token), big-endian. md5 is
+  * deliberately chosen over xxhash64: every engine exposes it with the
+  * identical digest, so the full signature (and thus the d04 pair set)
+  * is expressible in the DuckDB oracle SQL —
+  * `('0x' || substr(md5(t),1,16))::UBIGINT` yields this exact value.
   */
 case class SimHashExpr(child: Expression)
     extends UnaryExpression with CodegenFallback {
+
+  // MessageDigest is stateful and not thread-safe; one per task thread,
+  // reset() via digest() each call — no per-token allocation.
+  @transient private lazy val md5Local =
+    ThreadLocal.withInitial[MessageDigest](() => MessageDigest.getInstance("MD5"))
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -26,10 +39,13 @@ case class SimHashExpr(child: Expression)
     val arr = input.asInstanceOf[ArrayData]
     val m = arr.numElements()
     val votes = new Array[Int](64)
+    val md = md5Local.get()
     var i = 0
     while (i < m) {
-      val s = arr.getUTF8String(i)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val digest = md.digest(arr.getUTF8String(i).getBytes)
+      var h = 0L
+      var j = 0
+      while (j < 8) { h = (h << 8) | (digest(j) & 0xFFL); j += 1 }
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
