@@ -30,12 +30,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // parsed once: the value is interpolated into JSON artifacts, where a
+    // non-numeric string would silently produce unparseable output
+    val cpusRaw = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = try cpusRaw.trim.toInt catch {
+      case _: NumberFormatException =>
+        sys.error(s"SPARK_GRAFT_CPUS must be an integer core count, got '$cpusRaw'")
+    }
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -80,6 +86,7 @@ object Bench {
       GraftCoreShim.drainListenerBus(spark.sparkContext)
       R(name, sec, shufRead.get - r0, shufWrite.get - w0)
     }
+    graft.operators.Dedup.releaseCaches() // d09's candidate cache
 
     def f(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(Locale.ROOT, v)

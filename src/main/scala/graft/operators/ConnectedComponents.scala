@@ -75,6 +75,14 @@ object ConnectedComponents {
       prevCount = curCount
       rounds += 1
     }
+    // An unconverged edge set is NOT a union of stars — a node can hold
+    // several out-edges, so the label join below would emit duplicate
+    // doc_id rows with inconsistent labels. For an operator backing an
+    // exact-oracle query, that must be a loud failure, never an output.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxRounds rounds " +
+          "(star CC needs ~log2(n); raise maxRounds or check the edge input)")
     // converged edge set is a union of stars: every non-root points
     // directly at its component min; roots label themselves
     val labels = nodes

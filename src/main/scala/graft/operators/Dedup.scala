@@ -35,6 +35,49 @@ object Dedup {
     rowCountCache.computeIfAbsent(key,
       _ => java.lang.Long.valueOf(df.count())).longValue()
 
+  /** d09's lazily-persisted candidate frame. The returned plan is still
+    * unexecuted when build() exits, so the cache CANNOT be scoped
+    * try/finally inside the build; instead at most one candidate cache
+    * is resident per session — each d09 build releases its
+    * predecessor's — and callers that want a fully clean session
+    * (specs, benchmark teardown) call [[releaseCaches]] after the
+    * terminal action.
+    */
+  private val d09CandCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def registerD09Cache(cand: DataFrame): DataFrame = {
+    Option(d09CandCache.getAndSet(cand)).foreach(_.unpersist(blocking = false))
+    cand
+  }
+
+  /** Release any cached intermediate still registered (currently d09's
+    * candidate frame). Safe to call at any time; subsequent executions
+    * of an already-built d09 plan just recompute instead of reading the
+    * cache.
+    */
+  def releaseCaches(): Unit =
+    Option(d09CandCache.getAndSet(null)).foreach(_.unpersist(blocking = false))
+
+  /** Largest embeddings corpus for which d06b's adaptive sizing still
+    * resolves to the 4 hyperplanes inlined in the d06b/d09 oracle SQL:
+    * nPlanes = max(4, ceil(log2(rows / 2560))) == 4  ⇔  rows ≤ 2560·2⁴.
+    */
+  val OraclePlaneBound: Long = 2560L * 16
+
+  /** Oracle-run guard (called by Verify): a regenerated embeddings table
+    * past [[OraclePlaneBound]] makes the build use >4 planes while the
+    * pinned SQL still describes 4 — which would surface as a confusing
+    * hash mismatch. Turn that silent desync into an explanatory failure.
+    */
+  def assertOracleBounds(s: SparkSession, d: String): Unit = {
+    val rows = corpusRows(t(s, d, "embeddings"), s"$d/embeddings")
+    require(rows <= OraclePlaneBound,
+      s"embeddings at $d has $rows rows > $OraclePlaneBound: the d06b/d09 " +
+        "oracle SQL pins 4 LSH planes but the adaptive build would use " +
+        "more — regenerate the oracle CTEs (Dedup.d06bOracleCtes) for the " +
+        "new corpus size before trusting the correctness gate")
+  }
+
   /** doc_id → K-element minhash signature array, computed entirely
     * map-side by the codegen'd MinHashSigExpr (one tight k×n loop per
     * row) — zero shuffle until the band join.
@@ -505,8 +548,10 @@ object Dedup {
         // lazy persist (NOT an eager localCheckpoint): build stays
         // plan-only for tools like Explain; the cache materializes on
         // first execution, is shared by the three consumers below, and
-        // is LRU-evicted under memory pressure
-        val cand = defsMap("d06b_dedup_embedding_lsh").build(s, d).persist()
+        // is bounded — registerD09Cache unpersists the previous build's
+        // candidates, and Dedup.releaseCaches() frees the last one
+        val cand = registerD09Cache(
+          defsMap("d06b_dedup_embedding_lsh").build(s, d).persist())
         // shingle ONLY the docs that appear in a candidate pair: at
         // corpus scale the candidate set is a sliver of the corpus, so
         // the expensive tokenize+shingle pass must not run on everything.

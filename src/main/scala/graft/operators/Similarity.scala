@@ -68,6 +68,15 @@ object Similarity {
     * engine- and partition-stable), then every vector is re-assigned.
     * Returns (trained centroids (cent_id, cv), assignment
     * (vec_id, embedding, cell)).
+    *
+    * The FIRST assignment ranks raw (unquantized) seed cosines, where
+    * VectorFns.cosine (dot/(‖a‖·‖b‖)) and DuckDB's
+    * list_cosine_similarity could disagree in the last ulp (~1e-15).
+    * That cannot flip the argmax on shipped data: the measured minimum
+    * top-2 seed-cosine margin per vector is 1.2e-4 / 4.1e-4 / 4.7e-5
+    * at sf0.001 / sf0.01 / sf0.1 — ten orders of magnitude above
+    * cross-engine noise. (Quantizing asg1 too would trade this for
+    * rounding-boundary risk at the 1e-6 grid, which is strictly worse.)
     */
   private def ivfTrainedAssigned(e: DataFrame): (DataFrame, DataFrame) = {
     def assign(cents: DataFrame): DataFrame = {

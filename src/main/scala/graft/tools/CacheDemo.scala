@@ -1,14 +1,15 @@
 package graft.tools
 
-import graft.{GraftSession, Tables}
+import graft.GraftSession
+import graft.operators.HotCache
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
-/** The Spark-native analog of the reference's look-ahead shuffle-block
-  * caching (CherryShuffleService's LOOK_AHEAD_CACHING_*): when several
-  * queries share an expensive intermediate, persist it once and every
-  * subsequent query reads memory instead of recomputing the scan +
-  * shuffle. `sbt "runMain graft.tools.CacheDemo"`.
+/** Timing companion to CacheSpec (which pins the plan shape): when
+  * several queries share an expensive intermediate, persist it once and
+  * every subsequent query reads memory instead of recomputing the
+  * scan + shuffle — the Spark-native analog of the reference's
+  * look-ahead shuffle-block caching (CherryShuffleService's
+  * LOOK_AHEAD_CACHING_*). `sbt "runMain graft.tools.CacheDemo"`.
   */
 object CacheDemo {
   def main(args: Array[String]): Unit = {
@@ -23,24 +24,20 @@ object CacheDemo {
       r
     }
 
-    // shared intermediate: order-level revenue (scan + join + agg shuffle)
-    def orderRevenue = Tables(spark, sf, "lineitem")
-      .join(Tables(spark, sf, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    def orderRevenue = HotCache.orderRevenue(spark, sf)
 
     time("cold: priority rollup")(
       orderRevenue.groupBy("o_orderpriority").agg(sum("rev")).collect())
     time("cold: yearly rollup")(
       orderRevenue.groupBy(year(col("o_orderdate"))).agg(sum("rev")).collect())
 
-    val cached = orderRevenue.persist(StorageLevel.MEMORY_AND_DISK)
-    time("warm-up: materialize cache")(cached.count())
-    time("cached: priority rollup")(
-      cached.groupBy("o_orderpriority").agg(sum("rev")).collect())
-    time("cached: yearly rollup")(
-      cached.groupBy(year(col("o_orderdate"))).agg(sum("rev")).collect())
-    cached.unpersist()
+    HotCache.withCached(orderRevenue) { cached =>
+      time("warm-up: materialize cache")(cached.count())
+      time("cached: priority rollup")(
+        cached.groupBy("o_orderpriority").agg(sum("rev")).collect())
+      time("cached: yearly rollup")(
+        cached.groupBy(year(col("o_orderdate"))).agg(sum("rev")).collect())
+    }
     spark.stop()
   }
 }

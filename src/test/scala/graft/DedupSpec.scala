@@ -4,6 +4,11 @@ import java.nio.file.Files
 
 class DedupSpec extends SparkSpecBase {
 
+  override def afterAll(): Unit = {
+    graft.operators.Dedup.releaseCaches() // d09's candidate cache
+    super.afterAll()
+  }
+
   /** Planted corpus: 0/1 exact dups, 2/3 near dups (one word changed),
     * 4 unrelated, 5 a shuffled-token copy of 0 (same token set).
     */
@@ -221,6 +226,22 @@ class DedupSpec extends SparkSpecBase {
     // sign-LSH (see d06b scaladoc); at real near-dup thresholds (>=0.9)
     // bucket recall approaches 1. Floor leaves margin for float wobble.
     assert(recall >= 0.60)
+  }
+
+  test("oracle plane guard: corpus past the 4-plane bound turns the gate red") {
+    import spark.implicits._
+    val dedup = graft.operators.Dedup
+    // shipped SFs are far inside the bound — the guard must pass
+    dedup.assertOracleBounds(spark, sf)
+    // a regenerated embeddings table one row past 2560·2⁴ must FAIL with
+    // the explanatory message, not silently desync oracle from build
+    val dir = Files.createTempDirectory("graft-emb-oversize").toString
+    spark.range(dedup.OraclePlaneBound + 1)
+      .select(org.apache.spark.sql.functions.col("id").as("vec_id"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val e = intercept[IllegalArgumentException](
+      dedup.assertOracleBounds(spark, dir))
+    assert(e.getMessage.contains("pins 4 LSH planes"), e.getMessage)
   }
 
   test("d06 embedding near-dups on real sf data stay within label blocks") {

@@ -58,6 +58,53 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("LeftSemi"), p) // documents pruned to candidate ids
   }
 
+  test("AQE splits the planted-skew join partition (skew=true in final plan)") {
+    // The headline claim that AQE absorbs Cherry's skewed workload
+    // (ShuffleWorkloads s02/s06 scaladocs) pinned at the PLAN level: a
+    // join whose left shuffle has one hot partition must execute as
+    // SortMergeJoin(skew=true). Production thresholds are 256 MB; scale
+    // them down so the sf-test corpus exhibits "skew" the same way a
+    // 100 TB corpus does at the defaults.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val touched = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = touched.map(k => k -> conf.getOption(k)).toMap
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      // planted skew: 80% of fact rows collapse onto key 1 (the
+      // skewed_synthetic_workload.py shape), wide payload so the hot
+      // shuffle partition clears the (lowered) byte threshold
+      val fact = spark.range(100000).select(
+        when(col("id") % 10 < 8, lit(1L)).otherwise(col("id") % 100).as("key"),
+        // md5 hex: incompressible, so the hot partition's shuffle BYTES
+        // (what the skew threshold measures) stay proportional to rows
+        md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(100).select(col("id").as("key"),
+        (col("id") * 2).as("w"))
+      // global agg afterwards: requires no distribution, so AQE is free
+      // to split the skewed partition (a groupBy(key) downstream would
+      // legitimately suppress the split to preserve partitioning). The
+      // agg reads `payload` so column pruning cannot drop it from the
+      // fact shuffle — pruned to the bare key, the hot partition
+      // compresses below any realistic skew threshold.
+      val q = fact.join(dim.hint("merge"), Seq("key"))
+        .agg(count(lit(1)).as("cnt"), max("w").as("mw"),
+          max(length(col("payload"))).as("pl"))
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p)
+      assert(p.contains("skew=true"), s"AQE did not split the hot partition:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("d03 minhash runs as a native catalyst expression, not a UDF") {
     // (WholeStageCodegen wrappers only materialize per-stage at execution
     // under AQE, so the pre-execution plan can't be checked for them)
