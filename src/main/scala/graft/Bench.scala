@@ -86,7 +86,7 @@ object Bench {
       GraftCoreShim.drainListenerBus(spark.sparkContext)
       R(name, sec, shufRead.get - r0, shufWrite.get - w0)
     }
-    graft.operators.Dedup.releaseCaches() // d09's candidate cache
+    graft.operators.HotCache.releaseAll() // cached intermediates (d09, p06b)
 
     def f(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(Locale.ROOT, v)

@@ -43,7 +43,7 @@ object ConnectedComponents {
     // edge set — this operator backs an exact-oracle query, so the
     // convergence test must be exact too. Cost: one anti-join over the
     // (shrinking) edge set per round, distributed, nothing driver-side.
-    def count1(df: DataFrame): Long = df.agg(count(lit(1))).head.getLong(0)
+    def count1(df: DataFrame): Long = df.agg(count(lit(1))).head().getLong(0)
     var prevCount = count1(e)
     var rounds = 0
     var converged = e.isEmpty

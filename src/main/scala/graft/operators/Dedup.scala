@@ -35,28 +35,14 @@ object Dedup {
     rowCountCache.computeIfAbsent(key,
       _ => java.lang.Long.valueOf(df.count())).longValue()
 
-  /** d09's lazily-persisted candidate frame. The returned plan is still
-    * unexecuted when build() exits, so the cache CANNOT be scoped
-    * try/finally inside the build; instead at most one candidate cache
-    * is resident per session — each d09 build releases its
-    * predecessor's — and callers that want a fully clean session
-    * (specs, benchmark teardown) call [[releaseCaches]] after the
-    * terminal action.
+  /** d09's lazily-persisted candidate frame: bounded HotCache slot —
+    * at most one resident per session, freed by HotCache.releaseAll()
+    * in Verify/Bench/spec teardown.
     */
-  private val d09CandCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-  private def registerD09Cache(cand: DataFrame): DataFrame = {
-    Option(d09CandCache.getAndSet(cand)).foreach(_.unpersist(blocking = false))
-    cand
-  }
+  private val d09CandCache = HotCache.slot()
 
-  /** Release any cached intermediate still registered (currently d09's
-    * candidate frame). Safe to call at any time; subsequent executions
-    * of an already-built d09 plan just recompute instead of reading the
-    * cache.
-    */
-  def releaseCaches(): Unit =
-    Option(d09CandCache.getAndSet(null)).foreach(_.unpersist(blocking = false))
+  /** Release cached intermediates (delegates to the shared registry). */
+  def releaseCaches(): Unit = HotCache.releaseAll()
 
   /** Largest embeddings corpus for which d06b's adaptive sizing still
     * resolves to the 4 hyperplanes inlined in the d06b/d09 oracle SQL:
@@ -548,10 +534,10 @@ object Dedup {
         // lazy persist (NOT an eager localCheckpoint): build stays
         // plan-only for tools like Explain; the cache materializes on
         // first execution, is shared by the three consumers below, and
-        // is bounded — registerD09Cache unpersists the previous build's
-        // candidates, and Dedup.releaseCaches() frees the last one
-        val cand = registerD09Cache(
-          defsMap("d06b_dedup_embedding_lsh").build(s, d).persist())
+        // is bounded — the slot unpersists the previous build's
+        // candidates, and HotCache.releaseAll() frees the last one
+        val cand = d09CandCache.register(
+          defsMap("d06b_dedup_embedding_lsh").build(s, d))
         // shingle ONLY the docs that appear in a candidate pair: at
         // corpus scale the candidate set is a sliver of the corpus, so
         // the expensive tokenize+shingle pass must not run on everything.

@@ -30,6 +30,38 @@ object HotCache {
     try body(cached) finally cached.unpersist()
   }
 
+  /** Bounded lazy-persist slot for operators whose RETURNED plan holds
+    * the cached intermediate (d09's candidates, p06b's survivor set):
+    * there the cache cannot be scoped try/finally inside the build —
+    * the plan is still unexecuted when build() exits — so instead each
+    * slot keeps at most ONE resident cache (registering a new frame
+    * releases the predecessor) and [[releaseAll]] frees every slot for
+    * teardown (Verify, Bench, spec afterAll). Slots are static
+    * singletons (one per operator object), so the global registry
+    * never grows past the operator count.
+    */
+  final class Slot private[HotCache] () {
+    private val ref =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+    def register(df: DataFrame): DataFrame = {
+      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+      Option(ref.getAndSet(cached)).foreach(_.unpersist(blocking = false))
+      cached
+    }
+    def release(): Unit =
+      Option(ref.getAndSet(null)).foreach(_.unpersist(blocking = false))
+  }
+
+  private val slots =
+    new java.util.concurrent.ConcurrentLinkedQueue[Slot]()
+
+  def slot(): Slot = { val s = new Slot; slots.add(s); s }
+
+  /** Release every registered slot's cache. Safe any time; an
+    * already-built plan just recomputes instead of reading the cache.
+    */
+  def releaseAll(): Unit = slots.forEach(_.release())
+
   /** The demo/spec's shared hot intermediate: order-level revenue
     * (lineitem ⋈ orders + one agg shuffle) — the expensive prefix that
     * priority- and year-rollups both need. dsum keeps the revenue exact

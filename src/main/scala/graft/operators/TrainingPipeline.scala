@@ -72,6 +72,88 @@ object TrainingPipeline {
       16, 10).cast("int") <
       (substring(col("source"), 4, 10).cast("int") % 4 + 1) * 32
 
+  /** p06b's survivor-set cache slot (bounded; freed by
+    * HotCache.releaseAll() in Verify/Bench/spec teardown).
+    */
+  private val survivorCache = HotCache.slot()
+
+  /** Shared p06/p06b pipeline. `cacheSurvivors` is the 100 TB knob the
+    * p06 scaladoc promises: the stage-1/2 survivor set feeds BOTH the
+    * dedup keep-min aggregation and the final semi-join, so without a
+    * cache its whole subtree (documents scan + quality semi-join +
+    * contamination anti-join) executes twice. p06b persists it —
+    * PlanShapeSpec pins the scan-count drop, Bench measures the delta.
+    */
+  private def prepPipeline(s: SparkSession, d: String,
+                           cacheSurvivors: Boolean): DataFrame = {
+    val docs = t(s, d, "documents")
+    // stage 1: repetition gate — keep docs p04 would NOT flag
+    // (same repetitionStats helper, so the two can never diverge)
+    val clean = repetitionStats(docs)
+      .filter(col("flagged") === 0).select("doc_id")
+    // stage 2: decontamination vs the benchmark shingle set
+    val contaminated = contaminationHits(docs).select("doc_id").distinct()
+    val surv1Plan = docs.filter(col("doc_id") % 97 =!= 0)
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    val surv1 =
+      if (cacheSurvivors) survivorCache.register(surv1Plan) else surv1Plan
+    // stage 3: exact dedup among survivors (keep min doc_id)
+    val keepers = surv1
+      .groupBy(md5(col("text").cast("binary")).as("hh"))
+      .agg(min("doc_id").as("doc_id")).select("doc_id")
+    val surv2 = surv1.join(keepers, Seq("doc_id"), "left_semi")
+    // stage 4: domain mix (same mixKeep predicate as p03)
+    surv2.filter(mixKeep)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+  }
+
+  /** One oracle for both p06 variants — caching must not change answers. */
+  private val P06_ORACLE: String = """
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        tstat AS (
+          SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS n_distinct
+          FROM (SELECT doc_id, unnest(t) AS w FROM tk) q GROUP BY doc_id),
+        bgc AS (
+          SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g, count(*) AS c
+          FROM tk, unnest(range(len(t) - 1)) AS u(i)
+          WHERE len(t) >= 2 GROUP BY doc_id, g),
+        bstat AS (
+          SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigram
+          FROM bgc GROUP BY doc_id),
+        clean AS (
+          SELECT t.doc_id FROM tstat t LEFT JOIN bstat b ON t.doc_id = b.doc_id
+          WHERE NOT ((n_tok - n_distinct) * 10 > n_tok * 7
+                     OR coalesce(top_bigram, 0) * 10
+                        > coalesce(n_bigram, 0) * 2)),
+        sh AS (
+          SELECT doc_id, md5(array_to_string(t[i+1:i+8], ' ')) AS h
+          FROM tk, unnest(range(len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8),
+        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
+        contaminated AS (
+          SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.h = b.h
+          WHERE s.doc_id % 97 <> 0),
+        surv1 AS (
+          SELECT d.* FROM documents d
+          JOIN clean c ON d.doc_id = c.doc_id
+          WHERE d.doc_id % 97 <> 0
+            AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        keepers AS (
+          SELECT min(doc_id) AS doc_id FROM surv1 GROUP BY md5(text)),
+        surv2 AS (
+          SELECT s.* FROM surv1 s JOIN keepers k ON s.doc_id = k.doc_id)
+        SELECT doc_id, lang, source FROM surv2
+        WHERE 16*(strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+            + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+            < 32 * ((CAST(substr(source, 4) AS INT) % 4) + 1)
+        ORDER BY doc_id"""
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- p01
@@ -252,74 +334,79 @@ object TrainingPipeline {
     // keyed by doc_id / shingle-hash / content-hash — a DAG of
     // hash-partitioned passes; no stage funnels the corpus through a
     // single task or the driver. The branches re-scan `documents`
-    // (column-pruned each time; AQE reuses only identical subplans) —
-    // at 100 TB a deployment would persist() the post-filter survivor
-    // set between stages 2 and 3, trading memory for the re-scan.
-    // This is the job a corpus user actually ships.
+    // (column-pruned each time; AQE reuses only identical subplans);
+    // p06b below is the 100 TB deployment shape that persists the
+    // survivor set instead. This is the job a corpus user actually
+    // ships.
     "p06_prep_pipeline" -> QueryDef(
+      build = (s, d) => prepPipeline(s, d, cacheSurvivors = false),
+      oracle = Some(P06_ORACLE)),
+
+    // ---------------------------------------------------------------- p07
+    // TOKEN-BUDGETED SELECTION: cap each source at a token budget,
+    // keeping docs in a deterministic md5-shuffled priority order until
+    // the budget fills — "give me ≤ N tokens per domain" — the step
+    // between mix WEIGHTS (p03: fractions) and an actual corpus CUT
+    // (absolute token counts). Prefix rule: keep doc iff the tokens of
+    // ALL docs before it in priority order plus its own fit the budget
+    // (pfx + ntok ≤ budget, pfx counting kept AND dropped predecessors)
+    // — i.e. the stream is truncated at the first boundary crossing.
+    // The prefix property keeps the rule one-pass, order-stable and
+    // engine-portable. Exact prefix sums via the SAME two-pass
+    // (source × 256-bucket) scheme as p02 — per-source totals stay
+    // distributed over 256 parallel sort tasks, so one giant source
+    // never funnels through a single window task at 100 TB.
+    "p07_token_budget" -> QueryDef(
       build = (s, d) => {
-        val docs = t(s, d, "documents")
-        // stage 1: repetition gate — keep docs p04 would NOT flag
-        // (same repetitionStats helper, so the two can never diverge)
-        val clean = repetitionStats(docs)
-          .filter(col("flagged") === 0).select("doc_id")
-        // stage 2: decontamination vs the benchmark shingle set
-        val contaminated = contaminationHits(docs).select("doc_id").distinct()
-        val surv1 = docs.filter(col("doc_id") % 97 =!= 0)
-          .join(clean, Seq("doc_id"), "left_semi")
-          .join(contaminated, Seq("doc_id"), "left_anti")
-        // stage 3: exact dedup among survivors (keep min doc_id)
-        val keepers = surv1
-          .groupBy(md5(col("text").cast("binary")).as("hh"))
-          .agg(min("doc_id").as("doc_id")).select("doc_id")
-        val surv2 = surv1.join(keepers, Seq("doc_id"), "left_semi")
-        // stage 4: domain mix (same mixKeep predicate as p03)
-        surv2.filter(mixKeep)
-          .select("doc_id", "lang", "source")
-          .orderBy("doc_id")
+        val budget = 4096L
+        val base = t(s, d, "documents").select(
+          col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hx"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+          .withColumn("bkt", conv(substring(col("hx"), 1, 2), 16, 10)
+            .cast("int"))
+        val wSrc = Window.partitionBy("source")
+        val counts = base.groupBy("source", "bkt")
+          .agg(sum("ntok").as("c"))
+          .withColumn("off", coalesce(sum("c").over(
+            wSrc.orderBy("bkt")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("source").as("c_src"), col("bkt").as("c_bkt"),
+            col("off"))
+        val wBkt = Window.partitionBy("source", "bkt")
+          .orderBy(col("hx"), col("doc_id"))
+        base
+          .withColumn("lpfx", coalesce(sum("ntok").over(
+            wBkt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .join(broadcast(counts),
+            col("source") <=> col("c_src") && col("bkt") <=> col("c_bkt"))
+          .withColumn("pfx", col("off") + col("lpfx"))
+          .filter(col("pfx") + col("ntok") <= budget)
+          .select(col("source"), col("doc_id"), col("ntok"), col("pfx"))
+          .orderBy("source", "pfx", "doc_id")
       },
       oracle = Some("""
-        WITH tk AS (
-          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
-          FROM documents),
-        tstat AS (
-          SELECT doc_id, count(*) AS n_tok, count(DISTINCT w) AS n_distinct
-          FROM (SELECT doc_id, unnest(t) AS w FROM tk) q GROUP BY doc_id),
-        bgc AS (
-          SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS g, count(*) AS c
-          FROM tk, unnest(range(len(t) - 1)) AS u(i)
-          WHERE len(t) >= 2 GROUP BY doc_id, g),
-        bstat AS (
-          SELECT doc_id, max(c) AS top_bigram, sum(c) AS n_bigram
-          FROM bgc GROUP BY doc_id),
-        clean AS (
-          SELECT t.doc_id FROM tstat t LEFT JOIN bstat b ON t.doc_id = b.doc_id
-          WHERE NOT ((n_tok - n_distinct) * 10 > n_tok * 7
-                     OR coalesce(top_bigram, 0) * 10
-                        > coalesce(n_bigram, 0) * 2)),
-        sh AS (
-          SELECT doc_id, md5(array_to_string(t[i+1:i+8], ' ')) AS h
-          FROM tk, unnest(range(len(t) - 7)) AS u(i)
-          WHERE len(t) >= 8),
-        bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 97 = 0),
-        contaminated AS (
-          SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.h = b.h
-          WHERE s.doc_id % 97 <> 0),
-        surv1 AS (
-          SELECT d.* FROM documents d
-          JOIN clean c ON d.doc_id = c.doc_id
-          WHERE d.doc_id % 97 <> 0
-            AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
-        keepers AS (
-          SELECT min(doc_id) AS doc_id FROM surv1 GROUP BY md5(text)),
-        surv2 AS (
-          SELECT s.* FROM surv1 s JOIN keepers k ON s.doc_id = k.doc_id)
-        SELECT doc_id, lang, source FROM surv2
-        WHERE 16*(strpos('0123456789abcdef',
-                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
-            + (strpos('0123456789abcdef',
-                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-            < 32 * ((CAST(substr(source, 4) AS INT) % 4) + 1)
-        ORDER BY doc_id"""))
+        SELECT source, doc_id, ntok, pfx FROM (
+          SELECT source, doc_id, ntok,
+            coalesce(sum(ntok) OVER (PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+          FROM (SELECT source, doc_id,
+                  CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                    AS BIGINT) AS ntok
+                FROM documents) z) w
+        WHERE pfx + ntok <= 4096
+        ORDER BY source, pfx, doc_id""")),
+
+    // --------------------------------------------------------------- p06b
+    // p06 with the stage-1/2 survivor set persisted: the dedup keep-min
+    // aggregation and the final semi-join both read ONE materialization
+    // instead of re-running the documents scan + quality semi-join +
+    // contamination anti-join subtree. At 100 TB that is two saved
+    // full-corpus passes for survivor-set-sized memory/disk.
+    // Identical oracle — caching must never change answers.
+    "p06b_prep_pipeline_cached" -> QueryDef(
+      build = (s, d) => prepPipeline(s, d, cacheSurvivors = true),
+      oracle = Some(P06_ORACLE))
   )
 }

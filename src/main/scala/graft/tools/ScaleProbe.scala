@@ -72,6 +72,10 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                 else Seq(25000L, 50000L, 100000L)
+    // which legs to run (comma list: sizes,x02,cc) — lets a harness
+    // split the probe across invocations with bounded wall-clock each
+    val legs = sys.env.getOrElse("SPARK_GRAFT_PROBE_LEGS", "sizes,x02,cc")
+      .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.local(cpus.toInt, "scale-probe")
     def time[A](f: => A): (A, Double) = {
@@ -80,7 +84,7 @@ object ScaleProbe {
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     println(f"${"docs"}%9s ${"d01_s"}%8s ${"d03_s"}%8s ${"d03_pairs"}%10s " +
       f"${"a01_s"}%8s ${"a02_s"}%8s ${"p01_s"}%8s ${"p02_s"}%8s ${"p05_s"}%8s")
-    for (n <- sizes) {
+    for (n <- sizes if legs("sizes")) {
       val dir = s"/tmp/graft-probe-$n"
       gen(spark, n, dir)
       genEmb(spark, n, dir)
@@ -108,9 +112,38 @@ object ScaleProbe {
         graft.SparkEntry.queries("p02_seq_pack")(spark, dir).count())
       val (_, tP05) = time(
         graft.SparkEntry.queries("p05_source_overlap")(spark, dir).count())
+      // d09 end-to-end: d06b candidates (adaptive planes) + semi-join-
+      // pruned text verify — must track d06b's growth, since candidate
+      // generation dominates and the verify touches only candidate docs
+      val (_, tD09) = time(
+        graft.SparkEntry.queries("d09_crossmodal_dedup")(spark, dir).count())
+      graft.operators.HotCache.releaseAll()
       println(f"$n%9d $tD01%8.2f $tD03%8.2f $pairs%10d $tA01%8.2f " +
         f"$tA02%8.2f $tP01%8.2f $tP02%8.2f $tP05%8.2f" +
-        f"  d06b: $tD06b%.2fs recall@0.9=$recall%.3f")
+        f"  d06b: $tD06b%.2fs recall@0.9=$recall%.3f d09: $tD09%.2fs")
+    }
+    // d08 CC leg: planted chain+blob edge graphs. The chain (half the
+    // edges, path diameter = chainLen) is the adversarial shape that
+    // costs min-label propagation `diameter` rounds; star CC must stay
+    // ~log2(nodes). Blobs (100-node stars) add bulk volume.
+    println(f"${"edges"}%9s ${"nodes"}%9s ${"cc_s"}%8s ${"rounds"}%7s ${"log2+8"}%7s")
+    for (m <- Seq(100000L, 1000000L) if legs("cc")) {
+      val chainLen = m / 2
+      val chain = spark.range(chainLen)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      val blob = spark.range(chainLen, m).select(col("id").as("a_id"),
+        (col("id") - pmod(col("id"), lit(100))).as("b_id"))
+      val edges = chain.unionAll(blob).filter(col("a_id") =!= col("b_id"))
+        .repartition(32).localCheckpoint()
+      val ((labels, rounds), tCc) = time {
+        val r = graft.operators.ConnectedComponents.run(edges, maxRounds = 64)
+        r._1.count() // materialize the labels, not just the loop
+        r
+      }
+      val nNodes = labels.count()
+      val bound = (math.log(nNodes.toDouble) / math.log(2)).ceil.toInt + 8
+      println(f"$m%9d $nNodes%9d $tCc%8.2f $rounds%7d $bound%7d" +
+        (if (rounds > bound) "  ROUNDS OVER BOUND" else ""))
     }
     // x02 stratified-sample skew leg: ONE stratum grows 10× while ten
     // small strata stay fixed — µs/row must stay ~flat. The two-pass
@@ -118,7 +151,7 @@ object ScaleProbe {
     // parallel sort tasks; the single-window formulation it replaced
     // would funnel it through one task (the r2 scale-killer).
     println(f"${"big_stratum"}%12s ${"rows"}%9s ${"x02_s"}%8s ${"us_per_row"}%10s")
-    for (m <- Seq(100000L, 1000000L)) {
+    for (m <- Seq(100000L, 1000000L) if legs("x02")) {
       val dir = s"/tmp/graft-probe-x02-$m"
       val n = m + 10000
       spark.range(n).select(

@@ -5,7 +5,7 @@ import java.nio.file.Files
 class DedupSpec extends SparkSpecBase {
 
   override def afterAll(): Unit = {
-    graft.operators.Dedup.releaseCaches() // d09's candidate cache
+    graft.operators.HotCache.releaseAll() // cached intermediates (d09, p06b)
     super.afterAll()
   }
 

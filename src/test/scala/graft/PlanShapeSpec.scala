@@ -58,6 +58,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("LeftSemi"), p) // documents pruned to candidate ids
   }
 
+  test("p06b: every live documents read goes through the survivor cache") {
+    val p6 = plan("p06_prep_pipeline")
+    val p6b = plan("p06b_prep_pipeline_cached")
+    // p06 stays cache-free (the re-scan variant, as documented)
+    assert(countOf(p6, "InMemoryTableScan") == 0, p6)
+    // p06b: both survivor consumers (dedup keep-min agg + final
+    // semi-join) read the ONE cached materialization...
+    assert(countOf(p6b, "InMemoryTableScan") >= 2, p6b)
+    // ...and above the cache the live plan holds NO parquet scan at all
+    // — the scan-subtree runs exactly once, inside the cached build
+    // (InMemoryRelation prints that stored build, so only the text
+    // before the first occurrence is live plan)
+    val live = p6b.substring(0, p6b.indexOf("InMemoryRelation"))
+    assert(!live.contains("FileScan"), s"live plan re-scans parquet:\n$live")
+  }
+
   test("AQE splits the planted-skew join partition (skew=true in final plan)") {
     // The headline claim that AQE absorbs Cherry's skewed workload
     // (ShuffleWorkloads s02/s06 scaladocs) pinned at the PLAN level: a

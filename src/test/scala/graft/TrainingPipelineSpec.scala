@@ -51,6 +51,38 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("p07 keeps exactly the budget-fitting prefix per source (driver replay)") {
+    // replay: per source, docs in (md5(doc_id), doc_id) priority order,
+    // keep iff running total + own tokens <= 4096 (pfx counts dropped
+    // predecessors too — stream truncation, not knapsack)
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.TextFns.tokens(col("text"))).cast("long").as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("n")))
+    val expected = toks.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      var pfx = 0L
+      ds.sortBy(d => (md5hex(d._1.toString), d._1)).toSeq.flatMap {
+        case (id, _, n) =>
+          val keep = if (pfx + n <= 4096L) Some(id -> pfx) else None
+          pfx += n
+          keep
+      }
+    }.toMap
+    val got = run("p07_token_budget").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pfx")).toMap
+    assert(got == expected && got.nonEmpty)
+    // binding case: 80 docs x 100 tokens = 8000 tokens in one source vs
+    // the 4096 budget — the cut must keep a strict prefix, and every
+    // kept doc's tokens must fit inside the budget
+    val word100 = (0 until 100).map(i => s"t$i").mkString(" ")
+    val dir = plant((0L until 80L).map(_ -> word100))
+    val cut = run("p07_token_budget", dir).collect()
+    assert(cut.length == 40) // 40 * 100 = 4000 <= 4096 < 4100
+    assert(cut.map(_.getAs[Long]("pfx")).max + 100 <= 4096)
+  }
+
   test("p03 keeps exactly the docs whose md5 byte is under the source threshold") {
     val docs = Tables(spark, sf, "documents")
       .select("doc_id", "source").collect()
@@ -98,6 +130,14 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(kept.intersect(flagged).isEmpty)
     // benchmark docs themselves never survive
     assert(kept.forall(_ % 97 != 0))
+  }
+
+  test("p06b cached variant returns exactly p06's rows") {
+    val plain = run("p06_prep_pipeline").collect().toSeq
+    val cached = run("p06b_prep_pipeline_cached").collect().toSeq
+    assert(cached == plain) // same rows, same deterministic order
+    assert(cached.nonEmpty)
+    graft.operators.HotCache.releaseAll()
   }
 
   test("p04 counts and flag match hand-computed values on a planted corpus") {
