@@ -521,6 +521,60 @@ object Dedup {
         FROM cand WHERE raw_c >= 0.3
         ORDER BY a_id, b_id""")),
 
+    // ---------------------------------------------------------------- d10
+    // INCREMENTAL dedup: dedup a NEW batch against an existing corpus —
+    // the production shape for a growing 100 TB corpus (daily increments
+    // land against a base that must NOT be reshuffled per increment).
+    // Here docs with doc_id % 7 == 3 stand in for the increment, the
+    // rest for the base. Scale shape: the base is scanned ONCE and never
+    // shuffled — the (small) batch digest set broadcasts to the base
+    // scan, a left-semi keeps only base rows whose digest the batch also
+    // has (a sliver), and only that sliver aggregates; the batch-side
+    // decisions are then two more broadcast joins. Per-doc verdict:
+    //   dup_of_base  — digest already in the base corpus
+    //   dup_in_batch — first occurrence is an earlier doc of this batch
+    //   new          — first sighting anywhere
+    "d10_incremental_dedup" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val isNew = col("doc_id") % 7 === 3
+        val digest = md5(col("text").cast("binary"))
+        val batch = docs.filter(isNew)
+          .select(col("doc_id"), digest.as("h"))
+        val base = docs.filter(!isNew).select(digest.as("h"))
+        // base-side work: one scan, broadcast-semi against batch digests,
+        // distinct only over the matched sliver (never the full corpus)
+        val inBase = base
+          .join(broadcast(batch.select("h").distinct()), Seq("h"), "left_semi")
+          .distinct()
+          .withColumn("in_base", lit(1))
+        // intra-batch first sighting (batch-sized, broadcastable)
+        val firstInBatch = batch.groupBy("h").agg(min("doc_id").as("first_id"))
+        batch
+          .join(broadcast(inBase), Seq("h"), "left")
+          .join(broadcast(firstInBatch), Seq("h"))
+          .select(col("doc_id"),
+            when(col("in_base") === 1, lit("dup_of_base"))
+              .when(col("doc_id") > col("first_id"), lit("dup_in_batch"))
+              .otherwise(lit("new")).as("status"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH batch AS (
+          SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 = 3),
+        base AS (
+          SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 <> 3),
+        fib AS (
+          SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h)
+        SELECT b.doc_id,
+               CASE WHEN base.h IS NOT NULL THEN 'dup_of_base'
+                    WHEN b.doc_id > f.first_id THEN 'dup_in_batch'
+                    ELSE 'new' END AS status
+        FROM batch b
+        LEFT JOIN base ON b.h = base.h
+        JOIN fib f ON b.h = f.h
+        ORDER BY b.doc_id""")),
+
     // ---------------------------------------------------------------- d09
     // CROSS-MODAL near-dup: embedding-LSH candidates (d06b) verified by
     // exact text 3-gram Jaccard — the production shape for multimodal

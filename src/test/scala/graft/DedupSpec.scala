@@ -244,6 +244,27 @@ class DedupSpec extends SparkSpecBase {
     assert(e.getMessage.contains("pins 4 LSH planes"), e.getMessage)
   }
 
+  test("d10 incremental: batch docs classified dup_of_base / dup_in_batch / new") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-incr").toString
+    val baseTxt = "shared corpus text already present in the base"
+    val batchDup = "this text appears twice inside the new batch only"
+    // batch = doc_id % 7 == 3 → ids 3, 10, 17, 24; everything else base
+    Seq(
+      (0L, baseTxt), (1L, "some base only text"), (2L, "other base text"),
+      (3L, baseTxt),   // batch: digest exists in base
+      (10L, batchDup), // batch: first sighting of an intra-batch dup pair
+      (17L, batchDup), // batch: later sighting of the same digest
+      (24L, "genuinely novel increment text")) // batch: new
+      .map { case (id, txt) => (id, txt, "en", txt.length.toLong, "src1") }
+      .toDF("doc_id", "text", "lang", "n_chars", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("d10_incremental_dedup", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(got == Map(3L -> "dup_of_base", 10L -> "new",
+      17L -> "dup_in_batch", 24L -> "new"))
+  }
+
   test("d06 embedding near-dups on real sf data stay within label blocks") {
     val e = Tables(spark, sf, "embeddings")
     val labels = e.select("vec_id", "label").collect()

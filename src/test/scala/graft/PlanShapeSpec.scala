@@ -121,6 +121,14 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("d10 never shuffles the base corpus: all joins broadcast, no SMJ") {
+    val p = plan("d10_incremental_dedup")
+    // the base side must flow scan → broadcast semi-join; a sort-merge
+    // join would mean the full base got shuffled per increment
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("d03 minhash runs as a native catalyst expression, not a UDF") {
     // (WholeStageCodegen wrappers only materialize per-stage at execution
     // under AQE, so the pre-execution plan can't be checked for them)
