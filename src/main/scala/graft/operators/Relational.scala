@@ -1044,6 +1044,31 @@ object Relational {
         t(s, d, "nation").createOrReplaceTempView("graft_q39_nation")
         s.sql(recursiveChainSql("graft_q39_nation"))
       },
-      oracle = Some(recursiveChainSql("nation")))
+      oracle = Some(recursiveChainSql("nation"))),
+
+    // ---------------------------------------------------------------- q40
+    // Correlated LATERAL subquery join (SQL:1999 / Spark 4 / DuckDB):
+    // top-2 customers by balance PER nation, expressed as a lateral
+    // per-row subquery instead of a window rank — the same SQL text
+    // runs on both engines (like q39). Spark decorrelates the
+    // ORDER BY+LIMIT lateral into a partitioned window under the hood,
+    // so the plan stays one shuffle keyed by nationkey — no per-nation
+    // query storms at scale. The c_custkey tie-break inside the LIMIT
+    // makes the SELECTION deterministic on both engines.
+    "q40_lateral" -> QueryDef(
+      build = (s, d) => {
+        t(s, d, "nation").createOrReplaceTempView("graft_q40_nation")
+        t(s, d, "customer").createOrReplaceTempView("graft_q40_customer")
+        s.sql(lateralTopSql("graft_q40_nation", "graft_q40_customer"))
+      },
+      oracle = Some(lateralTopSql("nation", "customer")))
   )
+
+  private def lateralTopSql(nation: String, customer: String): String = s"""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM $nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM $customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+    ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""
 }

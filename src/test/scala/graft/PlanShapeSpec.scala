@@ -39,11 +39,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
-  test("p02/x02 two-pass schemes broadcast the tiny counts table") {
-    Seq("p02_seq_pack", "x02_stratified_sample").foreach { n =>
+  test("p02/x02/p07 two-pass schemes broadcast the tiny counts table") {
+    Seq("p02_seq_pack", "x02_stratified_sample", "p07_token_budget").foreach { n =>
       val p = plan(n)
       assert(p.contains("BroadcastHashJoin"), s"$n:\n$p")
     }
+  }
+
+  test("q40 lateral decorrelates to one windowed pass, not a per-row storm") {
+    val p = plan("q40_lateral")
+    // Spark must rewrite the ORDER BY+LIMIT lateral into a partitioned
+    // window/rank — the plan carries a Window node and no nested loop
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("q01 aggregate is partial before the shuffle (map-side combine)") {

@@ -62,4 +62,20 @@ class RelationalExtSpec extends SparkSpecBase {
       .map(_.getAs[Long]("o_custkey")).toSet
     assert((both | only) == y96)
   }
+
+  test("q40 lateral = window-rank top-2 per nation") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(desc("c_acctbal"), asc("c_custkey"))
+    val expect = Tables(spark, sf, "customer")
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .join(Tables(spark, sf, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("n_name", "c_name", "c_acctbal").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    val got = run("q40_lateral").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == expect && got.nonEmpty)
+  }
 }
