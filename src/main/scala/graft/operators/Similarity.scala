@@ -297,6 +297,71 @@ object Similarity {
         QUALIFY rk <= $TOPK
         ORDER BY q_id, rk""")),
 
+    // ---------------------------------------------------------------- a05
+    // Embedding QUANTIZATION audit: symmetric int8 (max-abs) quantization
+    // — the storage format a 100 TB embedding store actually ships
+    // (4 bytes → 1 byte per dim). Pure map-side: per vector, scale =
+    // max|x|/127, codes = round(x/scale) ∈ [-127, 127], and the emitted
+    // row carries the scale, integer code checksums (qsum/qabs pin the
+    // exact code vector content order-independently) and the max
+    // reconstruction error — which the spec bounds by scale/2 (the
+    // round-off guarantee). Scalar outputs keep the full row
+    // hash-oracled; both engines run the identical IEEE double ops.
+    // NOTE the nearest-int step is floor(|x|/scale + 0.5) with explicit
+    // sign, NOT round(): Spark's round() on doubles goes through
+    // BigDecimal.valueOf (shortest DECIMAL string), so a value one ulp
+    // below k+0.5 can print as "k.5" and round UP, while DuckDB rounds
+    // the binary double — a real divergence at integer boundaries
+    // (observed at sf0.001; it also breaks the scale/2 error bound).
+    // floor(+0.5) is a plain exactly-rounded IEEE op on both engines.
+    "a05_embedding_quantize" -> QueryDef(
+      build = (s, d) => {
+        val xd = transform(col("embedding"), _.cast("double"))
+        val scale = array_max(transform(xd, abs(_))) / 127.0
+        def halfAway(v: org.apache.spark.sql.Column) =
+          when(v >= 0, floor(v + 0.5)).otherwise(-floor(-v + 0.5))
+        t(s, d, "embeddings")
+          .select(col("vec_id"), xd.as("e"), scale.as("scale"))
+          .withColumn("q", transform(col("e"),
+            v => halfAway(v / col("scale")).cast("long")))
+          // raw error BEFORE the output select: aliasing the rounded
+          // scale as "scale" in the same select would otherwise capture
+          // the zip_with's col("scale") via Spark 4's lateral column
+          // alias resolution — err would silently use the 6-dp scale
+          .withColumn("raw_err", array_max(zip_with(col("q"), col("e"),
+            (qv, xv) => abs(qv * col("scale") - xv))))
+          .select(col("vec_id"),
+            round(col("scale"), 6).as("scale"),
+            aggregate(col("q"), lit(0L), _ + _).as("qsum"),
+            aggregate(col("q"), lit(0L), (acc, v) => acc + abs(v)).as("qabs"),
+            round(col("raw_err"), 6).as("max_err"))
+          .orderBy("vec_id")
+      },
+      oracle = Some("""
+        WITH x AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        s AS (
+          SELECT vec_id, e,
+                 list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
+          FROM x),
+        q AS (
+          SELECT vec_id, e, scale,
+                 list_transform(e, v -> CAST(
+                   CASE WHEN v >= 0 THEN floor(v / scale + 0.5)
+                        ELSE -floor(-v / scale + 0.5) END AS BIGINT)) AS qs
+          FROM s),
+        er AS (
+          SELECT vec_id, scale, qs,
+                 list_max(list_transform(range(len(e)),
+                   i -> abs(qs[i+1] * scale - e[i+1]))) AS raw_err
+          FROM q)
+        SELECT vec_id, round(scale, 6) AS scale,
+               CAST(list_sum(qs) AS BIGINT) AS qsum,
+               CAST(list_sum(list_transform(qs, v -> abs(v))) AS BIGINT)
+                 AS qabs,
+               round(raw_err, 6) AS max_err
+        FROM er ORDER BY vec_id""")),
+
     // ---------------------------------------------------------------- a04
     // Per-cluster vector stats (norm distribution) — aggregation over
     // vectors, SQL-oracled.

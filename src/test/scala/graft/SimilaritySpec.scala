@@ -73,4 +73,42 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows.length == labels)
     assert(rows.forall(_.getAs[Double]("avg_norm") > 0))
   }
+
+  test("a05 int8 quantization: codes replay exactly, max_err within scale/2") {
+    import org.apache.spark.sql.functions._
+    val got = run("a05_embedding_quantize").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Double]("scale"), r.getAs[Long]("qsum"),
+         r.getAs[Long]("qabs"), r.getAs[Double]("max_err"))).toMap
+    assert(got.nonEmpty)
+    // round-off guarantee: reconstruction error never exceeds half a step
+    // (compare on rounded values: outputs are 6-dp-rounded)
+    got.values.foreach { case (scale, _, qabs, maxErr) =>
+      assert(maxErr <= scale / 2 + 1e-6, s"err $maxErr > half-step of $scale")
+      assert(qabs <= 127L * 64, "a code escaped the int8 range")
+    }
+    // exact replay of the double arithmetic on the raw vectors
+    val emb = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toSeq.map(_.toDouble))
+    emb.foreach { case (id, e) =>
+      val scale = e.map(math.abs).max / 127.0
+      // portable half-away rounding: floor(|x|+0.5) with explicit sign
+      // (same IEEE ops as the operator and the DuckDB oracle)
+      val q2 = e.map { v =>
+        val r = v / scale
+        (if (r >= 0) math.floor(r + 0.5) else -math.floor(-r + 0.5)).toLong
+      }
+      val maxErr = q2.zip(e).map { case (qv, xv) =>
+        math.abs(qv * scale - xv) }.max
+      val (gs, gsum, gabs, gerr) = got(id)
+      assert(gs == BigDecimal(scale).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, s"vec $id scale")
+      assert(gsum == q2.sum, s"vec $id qsum")
+      assert(gabs == q2.map(math.abs).sum, s"vec $id qabs")
+      assert(math.abs(gerr - BigDecimal(maxErr).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-9, s"vec $id err")
+    }
+  }
 }
