@@ -342,6 +342,42 @@ object TrainingPipeline {
       build = (s, d) => prepPipeline(s, d, cacheSurvivors = false),
       oracle = Some(P06_ORACLE)),
 
+    // ---------------------------------------------------------------- p08
+    // Contamination ATTRIBUTION: not just "doc X is contaminated" (p01)
+    // but WHICH benchmark doc leaked into it and how many distinct
+    // 8-token shingles they share — the report an eval-integrity audit
+    // actually reads (rank leaks, fix the worst offender first). Same
+    // inverted-join shape as p01 with the benchmark doc_id carried
+    // through: shuffles stay keyed by shingle hash then by the
+    // (corpus, benchmark) id pair — pair fan-out is bounded by true
+    // shared-shingle volume, never |corpus| × |benchmark|.
+    "p08_contamination_attribution" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val bench = shingled(docs.filter(col("doc_id") % 97 === 0), "doc_id")
+          .withColumnRenamed("doc_id", "bench_id").distinct()
+        val corp = shingled(docs.filter(col("doc_id") % 97 =!= 0), "doc_id")
+          .distinct()
+        corp.join(bench, "h")
+          .groupBy("doc_id", "bench_id")
+          .agg(count(lit(1)).as("n_shared")) // distinct by construction
+          .orderBy("doc_id", "bench_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id, md5(array_to_string(t[i+1:i+8], ' ')) AS h
+          FROM tk, unnest(range(len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8)
+        SELECT c.doc_id, b.doc_id AS bench_id,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM (SELECT * FROM sh WHERE doc_id % 97 <> 0) c
+        JOIN (SELECT * FROM sh WHERE doc_id % 97 = 0) b ON c.h = b.h
+        GROUP BY c.doc_id, b.doc_id
+        ORDER BY c.doc_id, bench_id""")),
+
     // ---------------------------------------------------------------- p07
     // TOKEN-BUDGETED SELECTION: cap each source at a token budget,
     // keeping docs in a deterministic md5-shuffled priority order until

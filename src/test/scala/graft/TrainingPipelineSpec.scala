@@ -31,6 +31,31 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(out(1L) == 1L) // exactly the one embedded 8-gram survives intact
   }
 
+  test("p08 attributes the leak to the right benchmark doc; keys match p01") {
+    // planted: 0 and 97 are benchmark docs; 1 embeds an 8-gram of doc 0
+    // (and only doc 0); 2 shares nothing
+    val bench0 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench97 = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val dir = plant(Seq(
+      0L -> bench0,
+      97L -> bench97,
+      1L -> "xx yy alpha beta gamma delta epsilon zeta eta theta zz ww",
+      2L -> "totally unrelated words that overlap with no benchmark doc"))
+    val got = run("p08_contamination_attribution", dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("bench_id")) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(got == Map((1L, 0L) -> 1L))
+    // sf data: p08's per-doc attribution covers exactly p01's flagged set,
+    // and per-doc totals can only exceed p01's distinct-union counts
+    val p01 = run("p01_decontaminate").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    val p08ByDoc = run("p08_contamination_attribution").collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (id, rs) => id -> rs.map(_.getAs[Long]("n_shared")).sum }
+    assert(p08ByDoc.keySet == p01.keySet)
+    assert(p08ByDoc.forall { case (id, tot) => tot >= p01(id) })
+  }
+
   test("p02 bins equal a driver-side cumsum replay on real sf data") {
     // exact replay: per lang, docs in (md5(doc_id), doc_id) order, running
     // token total; bin = pfx / 2048, off = pfx % 2048
