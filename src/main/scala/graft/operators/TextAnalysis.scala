@@ -15,6 +15,18 @@ object TextAnalysis {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** Memoized corpus token-instance total for t07's hot/cold split
+    * (sizing-only — a stale entry shifts the physical split, never the
+    * answer; same pattern as Dedup.corpusRows).
+    */
+  private val tokenTotalCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def tokenTotal(df: org.apache.spark.sql.DataFrame,
+                         key: String): Long =
+    tokenTotalCache.computeIfAbsent(key,
+      _ => java.lang.Long.valueOf(
+        df.agg(count(lit(1))).head().getLong(0))).longValue()
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- t01
@@ -223,6 +235,49 @@ object TextAnalysis {
                  '''s|''t|''re|''ve|[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+'))
                  AS BIGINT) AS n_bpe_tokens,
                n_chars
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t07
+    // Token FAMILIARITY: per-doc sum of corpus-wide unigram frequencies
+    // of its tokens — the word-frequency quality signal behind "KenLM-
+    // lite" corpus filters (gibberish/mojibake scores low, natural text
+    // high), kept as EXACT integers (fam_sum, n_tok) so no cross-engine
+    // log()/float surface exists; any monotone transform (avg, -log)
+    // is a consumer-side detail.
+    //
+    // Scale shape — the unigram join is the classic stopword-skew join
+    // ("the" alone can be 5% of a shuffle): the count table splits into
+    // HOT tokens (count > 1/1000 of corpus volume — a bounded handful,
+    // broadcast) and the cold tail (shuffle equi-join). Hot instances
+    // never enter a shuffle; the cold join's per-key rows are bounded
+    // by the hotness threshold. Results are exactly the plain join's —
+    // the split is physical, not semantic (union of disjoint cases).
+    "t07_token_familiarity" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val inst = docs.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("w"))
+        val counts = inst.groupBy("w").agg(count(lit(1)).as("c"))
+        val total = tokenTotal(inst, s"$d/documents#tokens")
+        val hotThreshold = math.max(total / 1000L, 1L)
+        val hot = counts.filter(col("c") > hotThreshold)
+        val cold = counts.filter(col("c") <= hotThreshold)
+        val viaHot = inst.join(broadcast(hot), "w")
+        val viaCold = inst.join(cold, "w")
+        viaHot.unionAll(viaCold)
+          .groupBy("doc_id")
+          .agg(sum("c").as("fam_sum"), count(lit(1)).as("n_tok"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH inst AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        counts AS (SELECT w, count(*) AS c FROM inst GROUP BY w)
+        SELECT i.doc_id, CAST(sum(c.c) AS BIGINT) AS fam_sum,
+               CAST(count(*) AS BIGINT) AS n_tok
+        FROM inst i JOIN counts c ON i.w = c.w
+        GROUP BY i.doc_id ORDER BY doc_id"""))
   )
 }

@@ -63,4 +63,41 @@ class TextAndEventsSpec extends SparkSpecBase {
     val users = Tables(spark, sf, "events").select("user_id").distinct().count()
     assert(day0Users == users) // every user is active on their first day
   }
+
+  test("t07 familiarity = driver replay; hot/cold split does not change answers") {
+    import org.apache.spark.sql.functions._
+    // driver replay on sf data: unigram counts then per-doc sums
+    val toks = Tables(spark, sf, "documents")
+      .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("t"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("t").toSeq)
+    val counts = toks.flatMap(_._2).groupBy(identity).map { case (w, xs) =>
+      w -> xs.length.toLong }
+    val expected = toks.map { case (id, ws) =>
+      id -> (ws.map(counts).sum, ws.length.toLong) }.toMap
+    val got = run("t07_token_familiarity").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("fam_sum"), r.getAs[Long]("n_tok"))).toMap
+    assert(got == expected)
+    // hot path non-vacuous on sf data (small synthetic vocab: every
+    // token is hot there)
+    val total = counts.values.sum
+    assert(counts.values.exists(_ > total / 1000), "no hot token in corpus")
+    // both paths non-vacuous on a planted corpus: 1 doc of 2000 common
+    // tokens (hot) + 1 doc with rare tokens (cold); answers exact
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t07").toString
+    Seq(
+      (1L, Seq.fill(2000)("common").mkString(" "), "en", 100L),
+      (2L, "rare1 rare2 common", "en", 20L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = run("t07_token_familiarity", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("fam_sum"), r.getAs[Long]("n_tok"))).toMap
+    // common count = 2001 (hot: > 2003/1000); rare1/rare2 count 1 (cold)
+    assert(planted == Map(1L -> (2000L * 2001L, 2000L),
+      2L -> (1L + 1L + 2001L, 3L)))
+  }
 }
