@@ -11,6 +11,9 @@ object ProbeCounts {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.GraftSession.local(cpus.toInt, "probe-counts")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
     for (dir <- args) {
       val cand = graft.SparkEntry.queries("d06b_dedup_embedding_lsh")(spark, dir)
       val nPairs = cand.count()
@@ -18,8 +21,13 @@ object ProbeCounts {
         .distinct().count()
       val nOut = graft.SparkEntry.queries("d09_crossmodal_dedup")(spark, dir)
         .count()
+      // d10 incremental dedup: wall time must track ONE base scan (the
+      // broadcast-only plan), growing linearly with the corpus
+      val (d10n, tD10) = time(
+        graft.SparkEntry.queries("d10_incremental_dedup")(spark, dir).count())
       graft.operators.HotCache.releaseAll()
-      println(s"$dir cand_pairs=$nPairs cand_docs=$nDocs d09_out=$nOut")
+      println(s"$dir cand_pairs=$nPairs cand_docs=$nDocs d09_out=$nOut " +
+        f"d10_rows=$d10n d10_s=$tD10%.2f")
     }
     spark.stop()
   }

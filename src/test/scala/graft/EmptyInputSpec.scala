@@ -32,7 +32,9 @@ class EmptyInputSpec extends SparkSpecBase {
     "x01_hash_sample", "x02_stratified_sample", "x03_tfidf", "x04_redact",
     "x05_chunk_pack", "x06_corpus_pipeline", "p01_decontaminate",
     "p02_seq_pack", "p03_domain_mix", "p04_repetition_score",
-    "p05_source_overlap", "p06_prep_pipeline")
+    "p05_source_overlap", "p06_prep_pipeline", "p06b_prep_pipeline_cached",
+    "p07_token_budget", "p08_contamination_attribution", "d10_incremental_dedup",
+    "t07_token_familiarity")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>
