@@ -19,12 +19,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // fail loudly (before any dump) if the corpus outgrew the pinned
-    // 4-plane d06b/d09 oracle SQL — silent desync would read as a
-    // confusing hash mismatch instead of this message
-    graft.operators.Dedup.assertOracleBounds(spark, sfDir)
+    // If the corpus outgrew the pinned 4-plane d06b/d09 oracle SQL,
+    // fail THOSE keys loudly (no dump → red CORRECTNESS rows with this
+    // message in the log) instead of silently desyncing — or nuking the
+    // whole gate for an issue scoped to two keys.
+    val planeSkip: Set[String] =
+      try { graft.operators.Dedup.assertOracleBounds(spark, sfDir); Set.empty }
+      catch { case e: IllegalArgumentException =>
+        System.err.println(s"[verify] ORACLE BOUND: ${e.getMessage}")
+        Set("d06b_dedup_embedding_lsh", "d09_crossmodal_dedup")
+      }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      if (planeSkip(name))
+        System.err.println(s"[verify] $name skipped: pinned-plane oracle invalid for this corpus")
+      else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
