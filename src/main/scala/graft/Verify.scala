@@ -25,9 +25,15 @@ object Verify {
     // whole gate for an issue scoped to two keys.
     val planeSkip: Set[String] =
       try { graft.operators.Dedup.assertOracleBounds(spark, sfDir); Set.empty }
-      catch { case e: IllegalArgumentException =>
-        System.err.println(s"[verify] ORACLE BOUND: ${e.getMessage}")
-        Set("d06b_dedup_embedding_lsh", "d09_crossmodal_dedup")
+      catch {
+        case e: IllegalArgumentException =>
+          System.err.println(s"[verify] ORACLE BOUND: ${e.getMessage}")
+          Set("d06b_dedup_embedding_lsh", "d09_crossmodal_dedup")
+        case scala.util.control.NonFatal(e) =>
+          // e.g. unreadable embeddings table: let the per-query loop fail
+          // the embedding keys individually; never abort the whole gate
+          System.err.println(s"[verify] oracle-bound check errored: ${e.getMessage}")
+          Set.empty
       }
     SparkEntry.queries.foreach { case (name, fn) =>
       if (planeSkip(name))

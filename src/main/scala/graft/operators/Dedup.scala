@@ -41,9 +41,6 @@ object Dedup {
     */
   private val d09CandCache = HotCache.slot()
 
-  /** Release cached intermediates (delegates to the shared registry). */
-  def releaseCaches(): Unit = HotCache.releaseAll()
-
   /** Largest embeddings corpus for which d06b's adaptive sizing still
     * resolves to the 4 hyperplanes inlined in the d06b/d09 oracle SQL:
     * nPlanes = max(4, ceil(log2(rows / 2560))) == 4  ⇔  rows ≤ 2560·2⁴.

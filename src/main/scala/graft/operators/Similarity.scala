@@ -322,8 +322,13 @@ object Similarity {
           when(v >= 0, floor(v + 0.5)).otherwise(-floor(-v + 0.5))
         t(s, d, "embeddings")
           .select(col("vec_id"), xd.as("e"), scale.as("scale"))
+          // scale = 0 (all-zero vector): codes are defined as 0 rather
+          // than NaN — Spark casts NaN→0L silently while DuckDB errors
+          // on the cast, so the degenerate case must be explicit on
+          // both engines for the oracle to stay aligned
           .withColumn("q", transform(col("e"),
-            v => halfAway(v / col("scale")).cast("long")))
+            v => when(col("scale") === 0, lit(0L))
+              .otherwise(halfAway(v / col("scale")).cast("long"))))
           // raw error BEFORE the output select: aliasing the rounded
           // scale as "scale" in the same select would otherwise capture
           // the zip_with's col("scale") via Spark 4's lateral column
@@ -347,7 +352,8 @@ object Similarity {
         q AS (
           SELECT vec_id, e, scale,
                  list_transform(e, v -> CAST(
-                   CASE WHEN v >= 0 THEN floor(v / scale + 0.5)
+                   CASE WHEN scale = 0 THEN 0
+                        WHEN v >= 0 THEN floor(v / scale + 0.5)
                         ELSE -floor(-v / scale + 0.5) END AS BIGINT)) AS qs
           FROM s),
         er AS (
@@ -356,9 +362,9 @@ object Similarity {
                    i -> abs(qs[i+1] * scale - e[i+1]))) AS raw_err
           FROM q)
         SELECT vec_id, round(scale, 6) AS scale,
-               CAST(list_sum(qs) AS BIGINT) AS qsum,
-               CAST(list_sum(list_transform(qs, v -> abs(v))) AS BIGINT)
-                 AS qabs,
+               CAST(coalesce(list_sum(qs), 0) AS BIGINT) AS qsum,
+               CAST(coalesce(list_sum(list_transform(qs, v -> abs(v))), 0)
+                 AS BIGINT) AS qabs,
                round(raw_err, 6) AS max_err
         FROM er ORDER BY vec_id""")),
 

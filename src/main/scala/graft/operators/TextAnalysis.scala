@@ -15,17 +15,6 @@ object TextAnalysis {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  /** Memoized corpus token-instance total for t07's hot/cold split
-    * (sizing-only — a stale entry shifts the physical split, never the
-    * answer; same pattern as Dedup.corpusRows).
-    */
-  private val tokenTotalCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def tokenTotal(df: org.apache.spark.sql.DataFrame,
-                         key: String): Long =
-    tokenTotalCache.computeIfAbsent(key,
-      _ => java.lang.Long.valueOf(
-        df.agg(count(lit(1))).head().getLong(0))).longValue()
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -258,10 +247,15 @@ object TextAnalysis {
         val inst = docs.select(col("doc_id"),
           explode(TextFns.tokens(col("text"))).as("w"))
         val counts = inst.groupBy("w").agg(count(lit(1)).as("c"))
-        val total = tokenTotal(inst, s"$d/documents#tokens")
-        val hotThreshold = math.max(total / 1000L, 1L)
-        val hot = counts.filter(col("c") > hotThreshold)
-        val cold = counts.filter(col("c") <= hotThreshold)
+        // hot threshold (1/1000 of corpus token volume) derived from the
+        // counts aggregate ITSELF via a broadcast 1-row cross join — the
+        // build stays plan-only (no eager driver-side job), and the
+        // total costs one vocab-sized second-stage agg at execution
+        val totalDf = counts.agg(sum("c").as("tot"))
+        val hot = counts.crossJoin(broadcast(totalDf))
+          .filter(col("c") * 1000 > col("tot")).select("w", "c")
+        val cold = counts.crossJoin(broadcast(totalDf))
+          .filter(col("c") * 1000 <= col("tot")).select("w", "c")
         val viaHot = inst.join(broadcast(hot), "w")
         val viaCold = inst.join(cold, "w")
         viaHot.unionAll(viaCold)

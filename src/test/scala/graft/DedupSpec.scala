@@ -4,11 +4,6 @@ import java.nio.file.Files
 
 class DedupSpec extends SparkSpecBase {
 
-  override def afterAll(): Unit = {
-    graft.operators.HotCache.releaseAll() // cached intermediates (d09, p06b)
-    super.afterAll()
-  }
-
   /** Planted corpus: 0/1 exact dups, 2/3 near dups (one word changed),
     * 4 unrelated, 5 a shuffled-token copy of 0 (same token set).
     */

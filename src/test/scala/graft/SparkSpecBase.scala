@@ -10,7 +10,10 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
   val sf: String = "/root/testdata/sf0.001"
 
   override def afterAll(): Unit = {
-    // session is shared across suites in one JVM — do not stop it here
+    // session is shared across suites in one JVM — do not stop it here,
+    // but DO release any HotCache slot registrations this suite's builds
+    // made (d09/p06b), so no cached plan leaks into later suites
+    graft.operators.HotCache.releaseAll()
     super.afterAll()
   }
 
