@@ -122,6 +122,28 @@ object ScaleProbe {
         f"$tA02%8.2f $tP01%8.2f $tP02%8.2f $tP05%8.2f" +
         f"  d06b: $tD06b%.2fs recall@0.9=$recall%.3f d09: $tD09%.2fs")
     }
+    // t07 skew leg: a corpus where ONE token carries half of all volume
+    // (the stopword-skew shape the hot/cold split join exists for) —
+    // time must stay ~linear in docs, because hot instances take the
+    // broadcast path and never pile into one shuffle partition.
+    println(f"${"docs"}%9s ${"t07_s"}%8s ${"us_per_doc"}%10s")
+    for (n <- Seq(100000L, 400000L) if legs("t07")) {
+      val dir = s"/tmp/graft-probe-t07-$n"
+      spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", expr(
+          """transform(sequence(0, 59), i ->
+               CASE WHEN pmod(xxhash64(id, CAST(i AS LONG)), 2) = 0
+                    THEN 'the'
+                    ELSE concat('w', pmod(xxhash64(id, CAST(i AS LONG) + 7),
+                                          5000)) END)""")).as("text"),
+        lit("en").as("lang"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val (_, tT07) = time(
+        graft.SparkEntry.queries("t07_token_familiarity")(spark, dir).count())
+      println(f"$n%9d $tT07%8.2f ${tT07 * 1e6 / n}%10.2f")
+    }
     // d08 CC leg: planted chain+blob edge graphs. The chain (half the
     // edges, path diameter = chainLen) is the adversarial shape that
     // costs min-label propagation `diameter` rounds; star CC must stay
