@@ -57,37 +57,14 @@ object PipelineOps {
     // single-window formulation the oracle keeps.
     "x02_stratified_sample" -> QueryDef(
       build = (s, d) => {
-        val hx = md5(col("doc_id").cast("string").cast("binary"))
-        val base = t(s, d, "documents")
-          .select(col("doc_id"), col("lang"), hx.as("hx"))
-          .withColumn("bkt", conv(substring(col("hx"), 1, 2), 16, 10)
-            .cast("int"))
-        // pass 1: exact per-(lang,bucket) counts; offsets + stratum sizes
-        // via windows over the TINY counts table (n_lang×256 rows).
-        val wLang = Window.partitionBy("lang")
-        val counts = base.groupBy("lang", "bkt")
-          .agg(count(lit(1)).as("c"))
-          .withColumn("off", coalesce(sum("c").over(
-            wLang.orderBy("bkt")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .withColumn("n_stratum", sum("c").over(wLang))
-          .select("lang", "bkt", "off", "n_stratum")
-        // pass 2: local rank within (lang, bucket) + exact bucket offset
-        val wBkt = Window.partitionBy("lang", "bkt")
-          .orderBy(col("hx"), col("doc_id"))
-        // null-safe join keys: a NULL lang is a legitimate stratum (the
-        // oracle's window keeps it as its own partition), and groupBy /
-        // partitionBy above already treat NULL as a group — a plain
-        // equi-join here would silently drop those rows. <=> is still an
-        // equi-join key for Catalyst, so this stays a broadcast hash join.
-        val cnt = counts.select(col("lang").as("c_lang"),
-          col("bkt").as("c_bkt"), col("off"), col("n_stratum"))
-        base
-          .withColumn("lrk", row_number().over(wBkt).cast("long"))
-          .join(broadcast(cnt),
-            col("lang") <=> col("c_lang") && col("bkt") <=> col("c_bkt"))
-          .withColumn("rk", col("off") + col("lrk"))
-          .filter(col("rk") <= ceil(col("n_stratum") * 0.2))
+        // shared two-pass scheme (TwoPassPrefix): rank = exclusive
+        // prefix-count of 1s + 1, stratum size = part_total. NULL langs
+        // form their own stratum (null-safe join inside the helper),
+        // matching the oracle window's PARTITION BY semantics.
+        val base = t(s, d, "documents").select(col("doc_id"), col("lang"))
+        TwoPassPrefix.withPrefix(base, "lang", "doc_id", lit(1L))
+          .withColumn("rk", col("pfx") + 1L)
+          .filter(col("rk") <= ceil(col("part_total") * 0.2))
           .select("lang", "doc_id", "rk")
           .orderBy("lang", "rk")
       },

@@ -195,25 +195,8 @@ object TrainingPipeline {
       build = (s, d) => {
         val base = t(s, d, "documents").select(
           col("doc_id"), col("lang"),
-          md5(col("doc_id").cast("string").cast("binary")).as("hx"),
           size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
-          .withColumn("bkt", conv(substring(col("hx"), 1, 2), 16, 10)
-            .cast("int"))
-        val wLang = Window.partitionBy("lang")
-        val counts = base.groupBy("lang", "bkt")
-          .agg(sum("ntok").as("c"))
-          .withColumn("off", coalesce(sum("c").over(
-            wLang.orderBy("bkt")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("lang").as("c_lang"), col("bkt").as("c_bkt"), col("off"))
-        val wBkt = Window.partitionBy("lang", "bkt")
-          .orderBy(col("hx"), col("doc_id"))
-        base
-          .withColumn("lpfx", coalesce(sum("ntok").over(
-            wBkt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .join(broadcast(counts),
-            col("lang") <=> col("c_lang") && col("bkt") <=> col("c_bkt"))
-          .withColumn("pfx", col("off") + col("lpfx"))
+        TwoPassPrefix.withPrefix(base, "lang", "doc_id", col("ntok"))
           .select(col("lang"), col("doc_id"),
             expr(s"pfx div $SEQ_LEN").as("bin"),
             (col("pfx") % SEQ_LEN).as("bin_off"))
@@ -397,26 +380,8 @@ object TrainingPipeline {
         val budget = 4096L
         val base = t(s, d, "documents").select(
           col("doc_id"), col("source"),
-          md5(col("doc_id").cast("string").cast("binary")).as("hx"),
           size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
-          .withColumn("bkt", conv(substring(col("hx"), 1, 2), 16, 10)
-            .cast("int"))
-        val wSrc = Window.partitionBy("source")
-        val counts = base.groupBy("source", "bkt")
-          .agg(sum("ntok").as("c"))
-          .withColumn("off", coalesce(sum("c").over(
-            wSrc.orderBy("bkt")
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("source").as("c_src"), col("bkt").as("c_bkt"),
-            col("off"))
-        val wBkt = Window.partitionBy("source", "bkt")
-          .orderBy(col("hx"), col("doc_id"))
-        base
-          .withColumn("lpfx", coalesce(sum("ntok").over(
-            wBkt.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .join(broadcast(counts),
-            col("source") <=> col("c_src") && col("bkt") <=> col("c_bkt"))
-          .withColumn("pfx", col("off") + col("lpfx"))
+        TwoPassPrefix.withPrefix(base, "source", "doc_id", col("ntok"))
           .filter(col("pfx") + col("ntok") <= budget)
           .select(col("source"), col("doc_id"), col("ntok"), col("pfx"))
           .orderBy("source", "pfx", "doc_id")
