@@ -126,6 +126,32 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact 4-dp-rounded Jaccard from integer intersection/union counts:
+    * jac4 = ⌊(20000·inter + union) / (2·union)⌋ is round-half-up in PURE
+    * integer arithmetic, then the double value jac4/10⁴ is a correctly-
+    * rounded division of exact integers — bit-identical on any engine.
+    * `round(inter/union, 4)` on a double is NOT: a ratio like 3/160 =
+    * 0.01875 (binary-inexact, shortest repr AT a 4-dp midpoint) rounds
+    * differently through Spark's decimal-string round vs DuckDB's
+    * binary round (SURVEY §6). Thresholding is exact too: J ≥ 0.5 ⇔
+    * 2·inter ≥ union.
+    */
+  private def exactJaccard4(inter: org.apache.spark.sql.Column,
+                            union: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    // floor(a/b) here IS exact integer division: a ≤ 2e9 and b ≤ 1e6
+    // are exact as doubles, the correctly-rounded quotient sits within
+    // 1 ulp of the true value, and the true value is never closer than
+    // 1/(2b) ≥ 5e-7 to an integer unless it IS one — so floor cannot
+    // slip a bucket
+    floor((inter.cast("long") * 20000L + union) / (union * 2L))
+      .cast("long").cast("double") / 10000.0
+  }
+
+  /** SQL twin of [[exactJaccard4]] (DuckDB `//` = integer division). */
+  private def sqlExactJaccard4(inter: String, union: String): String =
+    s"CAST(($inter * 20000 + $union) // ($union * 2) AS DOUBLE) / 10000"
+
   /** Oracle-side twin of array_distinct(TextFns.shingles(tokens, 3)):
     * per-doc distinct textual trigram list (d05/d08/d09 oracles).
     * `cols` appends extra SELECT columns (e.g. ", lang"); `where`
@@ -198,21 +224,21 @@ object Dedup {
           .select(col("a_id"), col("b_id"),
             size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
             size(col("a_sh")).as("sza"), size(col("b_sh")).as("szb"))
+          .withColumn("uni", col("sza") + col("szb") - col("inter"))
+          .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, exact
           .select(col("a_id"), col("b_id"),
-            (col("inter").cast("double") /
-              (col("sza") + col("szb") - col("inter"))).as("raw_j"))
-          .filter(col("raw_j") >= 0.5)
-          .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
+            exactJaccard4(col("inter"), col("uni")).as("jaccard"))
           .orderBy("a_id", "b_id")
       },
       oracle = Some("\n        WITH" + sh3Cte() + """,
         pairs AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS raw_j
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(list_distinct(list_concat(a.sh, b.sh))) AS uni
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        SELECT a_id, b_id, round(raw_j, 4) AS jaccard
-        FROM pairs WHERE raw_j >= 0.5 ORDER BY a_id, b_id""")),
+        SELECT a_id, b_id, """ +
+        sqlExactJaccard4("inter", "uni") + """ AS jaccard
+        FROM pairs WHERE inter * 2 >= uni ORDER BY a_id, b_id""")),
 
     // ---------------------------------------------------------------- d04
     // SimHash near-dup: 64-bit signature from token hashes; pigeonhole
@@ -306,21 +332,21 @@ object Dedup {
             .withColumnRenamed("sz", "sza"), Seq("a_id"))
           .join(sizes.withColumnRenamed("doc_id", "b_id")
             .withColumnRenamed("sz", "szb"), Seq("b_id"))
+          .withColumn("uni", col("sza") + col("szb") - col("inter"))
+          .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, exact
           .select(col("a_id"), col("b_id"),
-            (col("inter").cast("double") /
-              (col("sza") + col("szb") - col("inter"))).as("raw_j"))
-          .filter(col("raw_j") >= 0.5)
-          .select(col("a_id"), col("b_id"), round(col("raw_j"), 4).as("jaccard"))
+            exactJaccard4(col("inter"), col("uni")).as("jaccard"))
           .orderBy("a_id", "b_id")
       },
       oracle = Some("\n        WITH" + sh3Cte(", lang") + """,
         pairs AS (
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS raw_j
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(list_distinct(list_concat(a.sh, b.sh))) AS uni
           FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
-        SELECT a_id, b_id, round(raw_j, 4) AS jaccard
-        FROM pairs WHERE raw_j >= 0.5 ORDER BY a_id, b_id""")),
+        SELECT a_id, b_id, """ +
+        sqlExactJaccard4("inter", "uni") + """ AS jaccard
+        FROM pairs WHERE inter * 2 >= uni ORDER BY a_id, b_id""")),
 
     // ---------------------------------------------------------------- d06
     // Embedding-cosine near-dup pairs, blocked by label (cluster id) so
@@ -610,11 +636,11 @@ object Dedup {
           .join(sh.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
           .withColumn("inter",
             size(array_intersect(col("a_sh"), col("b_sh"))))
-          .withColumn("jac", col("inter").cast("double") /
-            (size(col("a_sh")) + size(col("b_sh")) - col("inter")))
-          .filter(col("jac") >= 0.5)
+          .withColumn("uni",
+            size(col("a_sh")) + size(col("b_sh")) - col("inter"))
+          .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, exact
           .select(col("a_id"), col("b_id"), col("cos"),
-            round(col("jac"), 4).as("jaccard"))
+            exactJaccard4(col("inter"), col("uni")).as("jaccard"))
           .orderBy("a_id", "b_id")
       },
       oracle = Some(s"""$d06bOracleCtes,
@@ -626,14 +652,15 @@ object Dedup {
         """,
         jv AS (
           SELECT p.a_id, p.b_id, p.cos,
-                 CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                   / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                   AS jac
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                   AS uni
           FROM pairs p
           JOIN sh a ON a.doc_id = p.a_id
           JOIN sh b ON b.doc_id = p.b_id)
-        SELECT a_id, b_id, cos, round(jac, 4) AS jaccard
-        FROM jv WHERE jac >= 0.5
+        SELECT a_id, b_id, cos, """ +
+        sqlExactJaccard4("inter", "uni") + """ AS jaccard
+        FROM jv WHERE inter * 2 >= uni
         ORDER BY a_id, b_id"""))
   )
 

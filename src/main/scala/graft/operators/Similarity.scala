@@ -309,11 +309,13 @@ object Similarity {
     // hash-oracled; both engines run the identical IEEE double ops.
     // NOTE the nearest-int step is floor(|x|/scale + 0.5) with explicit
     // sign, NOT round(): Spark's round() on doubles goes through
-    // BigDecimal.valueOf (shortest DECIMAL string), so a value one ulp
-    // below k+0.5 can print as "k.5" and round UP, while DuckDB rounds
-    // the binary double — a real divergence at integer boundaries
-    // (observed at sf0.001; it also breaks the scale/2 error bound).
-    // floor(+0.5) is a plain exactly-rounded IEEE op on both engines.
+    // BigDecimal.valueOf (shortest DECIMAL string), so a double whose
+    // shortest repr reads "k.5" but whose binary value sits below the
+    // midpoint (the classic 2.675 case) rounds UP on Spark and DOWN in
+    // DuckDB's binary round. x/scale values here live densely near
+    // integer midpoints by construction, so this op avoids round()
+    // outright; floor(+0.5) is a plain exactly-rounded IEEE op on both
+    // engines. (SURVEY §6 documents the general hazard.)
     "a05_embedding_quantize" -> QueryDef(
       build = (s, d) => {
         val xd = transform(col("embedding"), _.cast("double"))
