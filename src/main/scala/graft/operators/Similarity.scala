@@ -24,6 +24,26 @@ object Similarity {
     e.filter(col("vec_id") < QUERY_IDS_BELOW)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
 
+  /** Portable half-away-from-zero nearest int (see a05's scaladoc for
+    * why round() is off-limits here).
+    */
+  private def halfAway(v: org.apache.spark.sql.Column) =
+    when(v >= 0, floor(v + 0.5)).otherwise(-floor(-v + 0.5))
+
+  /** Symmetric int8 max-abs codes per vector (a05's quantizer, shared
+    * with a06's quantized search): (vec_id, qv: array<long> in
+    * [-127, 127]). All-zero vectors quantize to explicit 0 codes.
+    */
+  private def quantizedCodes(e: DataFrame): DataFrame = {
+    val xd = transform(col("embedding"), _.cast("double"))
+    val scale = array_max(transform(xd, abs(_))) / 127.0
+    e.select(col("vec_id"), xd.as("e"), scale.as("scale"))
+      .select(col("vec_id"), col("e"), col("scale"),
+        transform(col("e"), v =>
+          when(col("scale") === 0, lit(0L))
+            .otherwise(halfAway(v / col("scale")).cast("long"))).as("qv"))
+  }
+
   /** Oracle-side twin of [[ivfTrainedAssigned]]: seeds → first
     * assignment → 6-dp-quantized Lloyd means → re-assignment (asg2).
     * Shared CTE prefix of the a03 and a03b oracles.
@@ -318,29 +338,17 @@ object Similarity {
     // engines. (SURVEY §6 documents the general hazard.)
     "a05_embedding_quantize" -> QueryDef(
       build = (s, d) => {
-        val xd = transform(col("embedding"), _.cast("double"))
-        val scale = array_max(transform(xd, abs(_))) / 127.0
-        def halfAway(v: org.apache.spark.sql.Column) =
-          when(v >= 0, floor(v + 0.5)).otherwise(-floor(-v + 0.5))
-        t(s, d, "embeddings")
-          .select(col("vec_id"), xd.as("e"), scale.as("scale"))
-          // scale = 0 (all-zero vector): codes are defined as 0 rather
-          // than NaN — Spark casts NaN→0L silently while DuckDB errors
-          // on the cast, so the degenerate case must be explicit on
-          // both engines for the oracle to stay aligned
-          .withColumn("q", transform(col("e"),
-            v => when(col("scale") === 0, lit(0L))
-              .otherwise(halfAway(v / col("scale")).cast("long"))))
+        quantizedCodes(t(s, d, "embeddings"))
           // raw error BEFORE the output select: aliasing the rounded
           // scale as "scale" in the same select would otherwise capture
           // the zip_with's col("scale") via Spark 4's lateral column
           // alias resolution — err would silently use the 6-dp scale
-          .withColumn("raw_err", array_max(zip_with(col("q"), col("e"),
+          .withColumn("raw_err", array_max(zip_with(col("qv"), col("e"),
             (qv, xv) => abs(qv * col("scale") - xv))))
           .select(col("vec_id"),
             round(col("scale"), 6).as("scale"),
-            aggregate(col("q"), lit(0L), _ + _).as("qsum"),
-            aggregate(col("q"), lit(0L), (acc, v) => acc + abs(v)).as("qabs"),
+            aggregate(col("qv"), lit(0L), _ + _).as("qsum"),
+            aggregate(col("qv"), lit(0L), (acc, v) => acc + abs(v)).as("qabs"),
             round(col("raw_err"), 6).as("max_err"))
           .orderBy("vec_id")
       },
@@ -369,6 +377,59 @@ object Similarity {
                  AS BIGINT) AS qabs,
                round(raw_err, 6) AS max_err
         FROM er ORDER BY vec_id""")),
+
+    // ---------------------------------------------------------------- a06
+    // QUANTIZED brute-force ANN: a01's broadcast-query scan over a05's
+    // int8 codes — the memory-bandwidth-bound production variant (1 byte
+    // per dim moving through the scan instead of 4). Scores are PURE
+    // int64 dot products of codes: no float appears anywhere in scoring
+    // or ranking, so the full top-k output is exactly reproducible on
+    // any engine/partitioning by construction (ties break on vec_id).
+    // SimilaritySpec measures recall@10 against exact float a01.
+    "a06_ann_quantized" -> QueryDef(
+      build = (s, d) => {
+        val codes = quantizedCodes(t(s, d, "embeddings"))
+          .select(col("vec_id"), col("qv"))
+        val q = codes.filter(col("vec_id") < QUERY_IDS_BELOW)
+          .select(col("vec_id").as("q_id"), col("qv").as("qa"))
+        val c = codes.filter(col("vec_id") >= QUERY_IDS_BELOW)
+        val w = Window.partitionBy("q_id").orderBy(desc("iscore"), asc("vec_id"))
+        c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"),
+            aggregate(zip_with(col("qa"), col("qv"), _ * _), lit(0L), _ + _)
+              .as("iscore"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= TOPK)
+          .select(col("q_id"), col("vec_id"), col("iscore"), col("rk"))
+          .orderBy("q_id", "rk")
+      },
+      oracle = Some(s"""
+        WITH x AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        s AS (
+          SELECT vec_id, e,
+                 list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
+          FROM x),
+        q AS (
+          SELECT vec_id, list_transform(e, v -> CAST(
+                   CASE WHEN scale = 0 THEN 0
+                        WHEN v >= 0 THEN floor(v / scale + 0.5)
+                        ELSE -floor(-v / scale + 0.5) END AS BIGINT)) AS qv
+          FROM s),
+        qs AS (SELECT vec_id AS q_id, qv AS qa FROM q
+               WHERE vec_id < $QUERY_IDS_BELOW),
+        cs AS (SELECT vec_id, qv FROM q WHERE vec_id >= $QUERY_IDS_BELOW),
+        sc AS (
+          SELECT q_id, vec_id,
+                 CAST(list_sum(list_transform(range(len(qa)),
+                   i -> qa[i+1] * qv[i+1])) AS BIGINT) AS iscore
+          FROM qs CROSS JOIN cs)
+        SELECT q_id, vec_id, iscore,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY iscore DESC, vec_id) AS BIGINT) AS rk
+        FROM sc
+        QUALIFY rk <= $TOPK
+        ORDER BY q_id, rk""")),
 
     // ---------------------------------------------------------------- a04
     // Per-cluster vector stats (norm distribution) — aggregation over

@@ -111,4 +111,20 @@ class SimilaritySpec extends SparkSpecBase {
         BigDecimal.RoundingMode.HALF_UP).toDouble) <= 1e-9, s"vec $id err")
     }
   }
+
+  test("a06 quantized top-10 keeps high recall vs exact float a01") {
+    def top10(name: String) = run(name).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val exact = top10("a01_ann_bruteforce")
+    val quant = top10("a06_ann_quantized")
+    assert(quant.keySet == exact.keySet)
+    val recalls = exact.map { case (q, s) =>
+      quant(q).intersect(s).size.toDouble / s.size }
+    info(f"a06 per-query recall@10: ${recalls.toSeq.sortBy(identity).mkString(", ")}")
+    // int8 symmetric quantization preserves most of the top-10; the
+    // floor leaves margin for genuinely borderline neighbors
+    assert(recalls.forall(_ >= 0.5))
+    assert(recalls.sum / recalls.size >= 0.7)
+  }
 }
