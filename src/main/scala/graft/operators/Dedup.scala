@@ -225,7 +225,10 @@ object Dedup {
             size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
             size(col("a_sh")).as("sza"), size(col("b_sh")).as("szb"))
           .withColumn("uni", col("sza") + col("szb") - col("inter"))
-          .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, exact
+          // uni > 0 excludes the shingle-less 0/0 case (sub-3-token
+          // docs collide on empty minhash signatures; the old float
+          // filter dropped them as NaN — the integer form must too)
+          .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
           .select(col("a_id"), col("b_id"),
             exactJaccard4(col("inter"), col("uni")).as("jaccard"))
           .orderBy("a_id", "b_id")
@@ -238,7 +241,8 @@ object Dedup {
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         SELECT a_id, b_id, """ +
         sqlExactJaccard4("inter", "uni") + """ AS jaccard
-        FROM pairs WHERE inter * 2 >= uni ORDER BY a_id, b_id""")),
+        FROM pairs WHERE uni > 0 AND inter * 2 >= uni
+        ORDER BY a_id, b_id""")),
 
     // ---------------------------------------------------------------- d04
     // SimHash near-dup: 64-bit signature from token hashes; pigeonhole
@@ -333,7 +337,9 @@ object Dedup {
           .join(sizes.withColumnRenamed("doc_id", "b_id")
             .withColumnRenamed("sz", "szb"), Seq("b_id"))
           .withColumn("uni", col("sza") + col("szb") - col("inter"))
-          .filter(col("inter") * 2 >= col("uni")) // J >= 0.5, exact
+          // uni > 0: the build's inverted index cannot pair shingle-less
+          // docs, so the oracle's cross join must exclude them too
+          .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
           .select(col("a_id"), col("b_id"),
             exactJaccard4(col("inter"), col("uni")).as("jaccard"))
           .orderBy("a_id", "b_id")
@@ -346,7 +352,8 @@ object Dedup {
           FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id)
         SELECT a_id, b_id, """ +
         sqlExactJaccard4("inter", "uni") + """ AS jaccard
-        FROM pairs WHERE inter * 2 >= uni ORDER BY a_id, b_id""")),
+        FROM pairs WHERE uni > 0 AND inter * 2 >= uni
+        ORDER BY a_id, b_id""")),
 
     // ---------------------------------------------------------------- d06
     // Embedding-cosine near-dup pairs, blocked by label (cluster id) so
@@ -443,8 +450,10 @@ object Dedup {
           .select(col("a_id"), col("b_id"),
             size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
             size(col("a_sh")).as("sza"), size(col("b_sh")).as("szb"))
-          .filter(col("inter").cast("double") /
-            (col("sza") + col("szb") - col("inter")) >= 0.5)
+          .withColumn("uni", col("sza") + col("szb") - col("inter"))
+          // same exact integer threshold as d03/d05 (J >= 0.5, uni > 0
+          // excludes shingle-less 0/0 collisions) — one rule, one form
+          .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
           .select(col("a_id"), col("b_id"))
           .persist()
         val (labels, _) = ConnectedComponents.run(edges)
@@ -454,10 +463,12 @@ object Dedup {
       },
       oracle = Some("\n        WITH" + sh3Cte() + """,
         edges AS (
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-          WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5),
+          SELECT a_id, b_id FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   len(list_intersect(a.sh, b.sh)) AS inter,
+                   len(list_distinct(list_concat(a.sh, b.sh))) AS uni
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) e
+          WHERE uni > 0 AND inter * 2 >= uni),
         adj AS (
           SELECT a_id AS src, b_id AS dst FROM edges
           UNION ALL SELECT b_id, a_id FROM edges),

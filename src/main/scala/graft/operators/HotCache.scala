@@ -45,7 +45,14 @@ object HotCache {
       new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
     def register(df: DataFrame): DataFrame = {
       val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      Option(ref.getAndSet(cached)).foreach(_.unpersist(blocking = false))
+      val prev = ref.getAndSet(cached)
+      // re-registering the SAME plan must NOT evict: persist() on an
+      // already-cached plan is a no-op, so unpersisting the previous
+      // reference would drop the one shared cache entry and silently
+      // recompute from then on
+      if (prev != null &&
+          !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+        prev.unpersist(blocking = false)
       cached
     }
     def release(): Unit =

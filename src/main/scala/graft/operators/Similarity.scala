@@ -421,8 +421,8 @@ object Similarity {
         cs AS (SELECT vec_id, qv FROM q WHERE vec_id >= $QUERY_IDS_BELOW),
         sc AS (
           SELECT q_id, vec_id,
-                 CAST(list_sum(list_transform(range(len(qa)),
-                   i -> qa[i+1] * qv[i+1])) AS BIGINT) AS iscore
+                 CAST(coalesce(list_sum(list_transform(range(len(qa)),
+                   i -> qa[i+1] * qv[i+1])), 0) AS BIGINT) AS iscore
           FROM qs CROSS JOIN cs)
         SELECT q_id, vec_id, iscore,
                CAST(row_number() OVER (PARTITION BY q_id

@@ -15,6 +15,11 @@ object TextAnalysis {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** t07's unigram-counts cache slot (bounded; freed by
+    * HotCache.releaseAll() in Verify/Bench/spec teardown).
+    */
+  private val countsCache = HotCache.slot()
+
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -246,13 +251,15 @@ object TextAnalysis {
         val docs = t(s, d, "documents")
         val inst = docs.select(col("doc_id"),
           explode(TextFns.tokens(col("text"))).as("w"))
-        // LAZY localCheckpoint: build stays plan-only, and at execution
-        // the (vocab-sized) counts table materializes ONCE and is shared
-        // by its three consumers below — without it each branch re-runs
-        // the full tokenize+explode+count corpus pass (measured 7.6 s vs
-        // 0.9 s at sf0.1)
-        val counts = inst.groupBy("w").agg(count(lit(1)).as("c"))
-          .localCheckpoint(false)
+        // Bounded HotCache slot (lazy persist, like d09/p06b): no job at
+        // build time, and at execution the (vocab-sized) counts table
+        // materializes ONCE and is shared by its three consumers below —
+        // without sharing, each branch re-runs the full tokenize+explode+
+        // count corpus pass (measured 7.6 s vs 0.9 s at sf0.1). Unlike a
+        // localCheckpoint, the plan stays transparent (InMemoryRelation
+        // over the aggregation) and HotCache.releaseAll() frees it.
+        val counts = countsCache.register(
+          inst.groupBy("w").agg(count(lit(1)).as("c")))
         // hot threshold (1/1000 of corpus token volume) derived from the
         // counts aggregate itself via a broadcast 1-row cross join — no
         // eager driver-side job at plan time

@@ -27,6 +27,12 @@ object TwoPassPrefix {
     */
   def withPrefix(df: DataFrame, part: String, id: String,
                  value: Column): DataFrame = {
+    // working/output names must not collide with caller columns —
+    // withColumn would silently REPLACE them and corrupt results
+    val reserved = df.columns.filter(c =>
+      c == "pfx" || c == "part_total" || c.startsWith("gp_"))
+    require(reserved.isEmpty,
+      s"withPrefix reserves pfx/part_total/gp_*; input carries: ${reserved.mkString(", ")}")
     val base = df
       .withColumn("gp_v", value.cast("long"))
       .withColumn("gp_hx", md5(col(id).cast("string").cast("binary")))

@@ -72,9 +72,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                 else Seq(25000L, 50000L, 100000L)
-    // which legs to run (comma list: sizes,x02,cc) — lets a harness
+    // which legs to run (comma list: sizes,x02,cc,t07) — lets a harness
     // split the probe across invocations with bounded wall-clock each
-    val legs = sys.env.getOrElse("SPARK_GRAFT_PROBE_LEGS", "sizes,x02,cc")
+    val legs = sys.env.getOrElse("SPARK_GRAFT_PROBE_LEGS", "sizes,x02,cc,t07")
       .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.local(cpus.toInt, "scale-probe")
