@@ -83,10 +83,14 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val sec = (System.nanoTime() - t0) / 1e9
+      // Release cached intermediates (d09, p06b, t07) AFTER each timed
+      // save, not once post-loop: every query is timed cold, and the
+      // CacheManager can never substitute a previous query's cached
+      // subtree into a later sameResult plan regardless of name order.
+      graft.operators.HotCache.releaseAll()
       GraftCoreShim.drainListenerBus(spark.sparkContext)
       R(name, sec, shufRead.get - r0, shufWrite.get - w0)
     }
-    graft.operators.HotCache.releaseAll() // cached intermediates (d09, p06b)
 
     def f(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(Locale.ROOT, v)

@@ -572,21 +572,42 @@ object Dedup {
       build = (s, d) => {
         val docs = t(s, d, "documents")
         val isNew = col("doc_id") % 7 === 3
-        val digest = md5(col("text").cast("binary"))
+        // digest over coalesce(text,''): a NULL-text doc keeps a real
+        // digest (of the empty string) on BOTH engines, so it is
+        // classified like any other doc instead of silently vanishing
+        // through a NULL join key — an incremental-dedup audit must
+        // never lose rows (ADVICE r6).
+        val digest = md5(coalesce(col("text"), lit("")).cast("binary"))
         val batch = docs.filter(isNew)
           .select(col("doc_id"), digest.as("h"))
         val base = docs.filter(!isNew).select(digest.as("h"))
+        // BROADCAST GUARD: the single-base-scan shape assumes the
+        // increment's digest set is broadcast-sized (true for daily
+        // batches, false for a mis-declared 10 TB "increment"). Probe
+        // the batch row count with an early-terminating limit scan;
+        // past graft.d10.maxBroadcastRows drop the broadcast hints and
+        // let the planner/AQE pick shuffle joins — slower (the base
+        // gets shuffled) but it completes instead of OOM-ing the
+        // driver. Guard cost is bounded by the threshold itself.
+        val maxB = s.conf.getOption("graft.d10.maxBroadcastRows")
+          .map(_.toLong).getOrElse(5000000L)
+        val fits = batch.limit((maxB + 1).min(Int.MaxValue.toLong).toInt)
+          .count() <= maxB
+        if (!fits) System.err.println(
+          s"[graft] d10: increment exceeds $maxB rows - " +
+            "falling back to shuffle joins")
+        def hint(df: DataFrame): DataFrame = if (fits) broadcast(df) else df
         // base-side work: one scan, broadcast-semi against batch digests,
         // distinct only over the matched sliver (never the full corpus)
         val inBase = base
-          .join(broadcast(batch.select("h").distinct()), Seq("h"), "left_semi")
+          .join(hint(batch.select("h").distinct()), Seq("h"), "left_semi")
           .distinct()
           .withColumn("in_base", lit(1))
         // intra-batch first sighting (batch-sized, broadcastable)
         val firstInBatch = batch.groupBy("h").agg(min("doc_id").as("first_id"))
         batch
-          .join(broadcast(inBase), Seq("h"), "left")
-          .join(broadcast(firstInBatch), Seq("h"))
+          .join(hint(inBase), Seq("h"), "left")
+          .join(hint(firstInBatch), Seq("h"))
           .select(col("doc_id"),
             when(col("in_base") === 1, lit("dup_of_base"))
               .when(col("doc_id") > col("first_id"), lit("dup_in_batch"))
@@ -595,9 +616,11 @@ object Dedup {
       },
       oracle = Some("""
         WITH batch AS (
-          SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 = 3),
+          SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
+          WHERE doc_id % 7 = 3),
         base AS (
-          SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 <> 3),
+          SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents
+          WHERE doc_id % 7 <> 3),
         fib AS (
           SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h)
         SELECT b.doc_id,

@@ -345,11 +345,18 @@ object Similarity {
           // alias resolution — err would silently use the 6-dp scale
           .withColumn("raw_err", array_max(zip_with(col("qv"), col("e"),
             (qv, xv) => abs(qv * col("scale") - xv))))
+          // 6-dp display rounding via floor(v*1e6 + 0.5)/1e6, NOT
+          // round(): scale/raw_err are non-negative, and half-away
+          // floor-rounding is a plain exactly-rounded IEEE sequence both
+          // engines compute bit-identically — Spark's round() routes
+          // through decimal shortest-repr strings and can flip the hash
+          // at a k.5-reading midpoint (same hazard this op's quantize
+          // step already avoids; SURVEY §6).
           .select(col("vec_id"),
-            round(col("scale"), 6).as("scale"),
+            (floor(col("scale") * 1e6 + 0.5) / 1e6).as("scale"),
             aggregate(col("qv"), lit(0L), _ + _).as("qsum"),
             aggregate(col("qv"), lit(0L), (acc, v) => acc + abs(v)).as("qabs"),
-            round(col("raw_err"), 6).as("max_err"))
+            (floor(col("raw_err") * 1e6 + 0.5) / 1e6).as("max_err"))
           .orderBy("vec_id")
       },
       oracle = Some("""
@@ -371,11 +378,11 @@ object Similarity {
                  list_max(list_transform(range(len(e)),
                    i -> abs(qs[i+1] * scale - e[i+1]))) AS raw_err
           FROM q)
-        SELECT vec_id, round(scale, 6) AS scale,
+        SELECT vec_id, floor(scale * 1e6 + 0.5) / 1e6 AS scale,
                CAST(coalesce(list_sum(qs), 0) AS BIGINT) AS qsum,
                CAST(coalesce(list_sum(list_transform(qs, v -> abs(v))), 0)
                  AS BIGINT) AS qabs,
-               round(raw_err, 6) AS max_err
+               floor(raw_err * 1e6 + 0.5) / 1e6 AS max_err
         FROM er ORDER BY vec_id""")),
 
     // ---------------------------------------------------------------- a06

@@ -377,7 +377,7 @@ object TrainingPipeline {
     // never funnels through a single window task at 100 TB.
     "p07_token_budget" -> QueryDef(
       build = (s, d) => {
-        val budget = 4096L
+        val budget = 1024L
         val base = t(s, d, "documents").select(
           col("doc_id"), col("source"),
           size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
@@ -389,14 +389,15 @@ object TrainingPipeline {
       oracle = Some("""
         SELECT source, doc_id, ntok, pfx FROM (
           SELECT source, doc_id, ntok,
-            coalesce(sum(ntok) OVER (PARTITION BY source
+            CAST(coalesce(sum(ntok) OVER (PARTITION BY source
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS pfx
           FROM (SELECT source, doc_id,
                   CAST(len(string_split_regex(lower(trim(text)), '\s+'))
                     AS BIGINT) AS ntok
                 FROM documents) z) w
-        WHERE pfx + ntok <= 4096
+        WHERE pfx + ntok <= 1024
         ORDER BY source, pfx, doc_id""")),
 
     // --------------------------------------------------------------- p06b

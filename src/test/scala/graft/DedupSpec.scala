@@ -239,25 +239,57 @@ class DedupSpec extends SparkSpecBase {
     assert(e.getMessage.contains("pins 4 LSH planes"), e.getMessage)
   }
 
-  test("d10 incremental: batch docs classified dup_of_base / dup_in_batch / new") {
+  /** d10 planted corpus: batch = doc_id % 7 == 3 → ids 3, 10, 17, 24, 31;
+    * everything else base. Includes NULL-text docs on both sides: they
+    * must be CLASSIFIED (digest of the empty string), never dropped.
+    */
+  lazy val d10Dir: String = {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-incr").toString
     val baseTxt = "shared corpus text already present in the base"
     val batchDup = "this text appears twice inside the new batch only"
-    // batch = doc_id % 7 == 3 → ids 3, 10, 17, 24; everything else base
     Seq(
       (0L, baseTxt), (1L, "some base only text"), (2L, "other base text"),
+      (7L, null: String), // base: NULL text → digest of ''
       (3L, baseTxt),   // batch: digest exists in base
       (10L, batchDup), // batch: first sighting of an intra-batch dup pair
       (17L, batchDup), // batch: later sighting of the same digest
-      (24L, "genuinely novel increment text")) // batch: new
-      .map { case (id, txt) => (id, txt, "en", txt.length.toLong, "src1") }
+      (24L, "genuinely novel increment text"), // batch: new
+      (31L, null: String)) // batch NULL text: dup of base doc 7's ''
+      .map { case (id, txt) =>
+        (id, txt, "en", Option(txt).map(_.length.toLong).getOrElse(0L), "src1")
+      }
       .toDF("doc_id", "text", "lang", "n_chars", "source")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = run("d10_incremental_dedup", dir).collect()
+    dir
+  }
+
+  private val d10Expected = Map(3L -> "dup_of_base", 10L -> "new",
+    17L -> "dup_in_batch", 24L -> "new", 31L -> "dup_of_base")
+
+  test("d10 incremental: batch docs classified dup_of_base / dup_in_batch / " +
+    "new, NULL text included") {
+    val got = run("d10_incremental_dedup", d10Dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
-    assert(got == Map(3L -> "dup_of_base", 10L -> "new",
-      17L -> "dup_in_batch", 24L -> "new"))
+    assert(got == d10Expected)
+  }
+
+  test("d10 red path: oversized increment drops broadcast hints, falls " +
+    "back to shuffle joins, same answer") {
+    spark.conf.set("graft.d10.maxBroadcastRows", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = run("d10_incremental_dedup", d10Dir)
+      val got = df.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+      assert(got == d10Expected) // fallback must not change verdicts
+      val p = df.queryExecution.executedPlan.toString // final AQE plan
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally {
+      spark.conf.unset("graft.d10.maxBroadcastRows")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("d06 embedding near-dups on real sf data stay within label blocks") {

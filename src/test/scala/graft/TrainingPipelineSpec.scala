@@ -78,7 +78,7 @@ class TrainingPipelineSpec extends SparkSpecBase {
 
   test("p07 keeps exactly the budget-fitting prefix per source (driver replay)") {
     // replay: per source, docs in (md5(doc_id), doc_id) priority order,
-    // keep iff running total + own tokens <= 4096 (pfx counts dropped
+    // keep iff running total + own tokens <= 1024 (pfx counts dropped
     // predecessors too — stream truncation, not knapsack)
     val toks = Tables(spark, sf, "documents")
       .select(col("doc_id"), col("source"),
@@ -90,7 +90,7 @@ class TrainingPipelineSpec extends SparkSpecBase {
       var pfx = 0L
       ds.sortBy(d => (md5hex(d._1.toString), d._1)).toSeq.flatMap {
         case (id, _, n) =>
-          val keep = if (pfx + n <= 4096L) Some(id -> pfx) else None
+          val keep = if (pfx + n <= 1024L) Some(id -> pfx) else None
           pfx += n
           keep
       }
@@ -99,13 +99,13 @@ class TrainingPipelineSpec extends SparkSpecBase {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("pfx")).toMap
     assert(got == expected && got.nonEmpty)
     // binding case: 80 docs x 100 tokens = 8000 tokens in one source vs
-    // the 4096 budget — the cut must keep a strict prefix, and every
+    // the 1024 budget — the cut must keep a strict prefix, and every
     // kept doc's tokens must fit inside the budget
     val word100 = (0 until 100).map(i => s"t$i").mkString(" ")
     val dir = plant((0L until 80L).map(_ -> word100))
     val cut = run("p07_token_budget", dir).collect()
-    assert(cut.length == 40) // 40 * 100 = 4000 <= 4096 < 4100
-    assert(cut.map(_.getAs[Long]("pfx")).max + 100 <= 4096)
+    assert(cut.length == 10) // 10 * 100 = 1000 <= 1024 < 1100
+    assert(cut.map(_.getAs[Long]("pfx")).max + 100 <= 1024)
   }
 
   test("p03 keeps exactly the docs whose md5 byte is under the source threshold") {

@@ -18,7 +18,19 @@ fail = ok = 0
 for name in sorted(oracle):
     sql = oracle[name]
     try:
-        ddf = con.sql(sql).df()
+        rel = con.sql(sql)
+        # Driver hashes TYPED results: a DuckDB HUGEINT (e.g. an un-cast
+        # window sum) can never hash-match Spark's BIGINT even when every
+        # value is equal. Reject it here so the local gate is at least as
+        # strict as the hard signal (r6's p07 lesson).
+        huge = [c for c, t in zip(rel.columns, rel.types)
+                if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+        if huge:
+            print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} — "
+                  f"CAST to BIGINT in the oracle SQL")
+            fail += 1
+            continue
+        ddf = rel.df()
     except Exception as e:
         print(f"FAIL {name}: duckdb error {e}")
         fail += 1
@@ -35,6 +47,21 @@ for name in sorted(oracle):
         continue
     if len(ddf) != len(sdf):
         print(f"FAIL {name}: rows duck={len(ddf)} spark={len(sdf)}")
+        fail += 1
+        continue
+    # Strict dtype-family check (int vs int, float vs float, ...): the
+    # driver hashes typed results, so an int-valued float64 column on one
+    # side is a hash mismatch even if every value compares equal.
+    def fam(dt):
+        if np.issubdtype(dt, np.integer): return "int"
+        if np.issubdtype(dt, np.floating): return "float"
+        if np.issubdtype(dt, np.bool_): return "bool"
+        if np.issubdtype(dt, np.datetime64): return "datetime"
+        return "object"
+    dt_bad = [f"{c} duck={ddf[c].dtype} spark={sdf[c].dtype}"
+              for c in ddf.columns if fam(ddf[c].dtype) != fam(sdf[c].dtype)]
+    if dt_bad:
+        print(f"FAIL {name}: dtype family mismatch: " + "; ".join(dt_bad))
         fail += 1
         continue
     # normalize types for compare
