@@ -54,12 +54,20 @@ object Bench {
     // drained snapshots give per-query attribution.
     val shufRead = new AtomicLong
     val shufWrite = new AtomicLong
+    // Task CPU time is the deterministic work metric: wall-clock swings
+    // ~2x with box load (r6's s03 lesson) while summed executorCpuTime
+    // stays ~flat, so round-over-round regressions can be separated from
+    // scheduler noise without rerunning on an idle box.
+    val cpuNs = new AtomicLong
+    val runMs = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
         if (m != null) {
           shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
           shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          cpuNs.addAndGet(m.executorCpuTime)
+          runMs.addAndGet(m.executorRunTime)
         }
       }
     })
@@ -71,11 +79,13 @@ object Bench {
 
     // Force FULL computation of every operator via the noop sink — a bare
     // count() would let Catalyst prune projections and skip the real work.
-    final case class R(name: String, sec: Double, rdB: Long, wrB: Long)
+    final case class R(name: String, sec: Double, rdB: Long, wrB: Long,
+                       cpuMs: Long, runMs: Long)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       GraftCoreShim.drainListenerBus(spark.sparkContext)
       val r0 = shufRead.get; val w0 = shufWrite.get
+      val c0 = cpuNs.get; val e0 = runMs.get
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -89,7 +99,8 @@ object Bench {
       // subtree into a later sameResult plan regardless of name order.
       graft.operators.HotCache.releaseAll()
       GraftCoreShim.drainListenerBus(spark.sparkContext)
-      R(name, sec, shufRead.get - r0, shufWrite.get - w0)
+      R(name, sec, shufRead.get - r0, shufWrite.get - w0,
+        (cpuNs.get - c0) / 1000000, runMs.get - e0)
     }
 
     def f(v: Double, dp: Int): String =
@@ -102,7 +113,8 @@ object Bench {
     val fullQs = results.map(r => jStr(r.name) + ":" + f(r.sec, 3))
       .mkString("{", ",", "}")
     val fullShuf = results
-      .map(r => jStr(r.name) + ":{\"r\":" + r.rdB + ",\"w\":" + r.wrB + "}")
+      .map(r => jStr(r.name) + ":{\"r\":" + r.rdB + ",\"w\":" + r.wrB +
+        ",\"cpu_ms\":" + r.cpuMs + ",\"run_ms\":" + r.runMs + "}")
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${f(total, 3)},"unit":"sec",

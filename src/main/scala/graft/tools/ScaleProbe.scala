@@ -72,14 +72,37 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                 else Seq(25000L, 50000L, 100000L)
-    // which legs to run (comma list: sizes,x02,cc,t07) — lets a harness
-    // split the probe across invocations with bounded wall-clock each
+    // which legs to run (comma list: sizes,x02,cc,t07,s03) — lets a
+    // harness split the probe across invocations with bounded wall-clock
     val legs = sys.env.getOrElse("SPARK_GRAFT_PROBE_LEGS", "sizes,x02,cc,t07")
       .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.local(cpus.toInt, "scale-probe")
-    def time[A](f: => A): (A, Double) = {
-      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    // Deterministic work metrics next to every wall time: box load swings
+    // wall ~2x (measured r6), but summed task CPU and shuffle bytes are
+    // load-invariant — scaling claims rest on those, wall is advisory.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong
+    val shufB = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            cpuNs.addAndGet(m.executorCpuTime)
+            shufB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          }
+        }
+      })
+    /** (result, wall s, task-CPU s, shuffle-read MB) with a drained
+      * listener bus on both sides so metrics attribute to this block. */
+    def time[A](f: => A): (A, Double, Double, Double) = {
+      org.apache.spark.GraftCoreShim.drainListenerBus(spark.sparkContext)
+      val c0 = cpuNs.get; val s0 = shufB.get
+      val t0 = System.nanoTime(); val a = f
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftCoreShim.drainListenerBus(spark.sparkContext)
+      (a, wall, (cpuNs.get - c0) / 1e9, (shufB.get - s0) / 1e6)
     }
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
     println(f"${"docs"}%9s ${"d01_s"}%8s ${"d03_s"}%8s ${"d03_pairs"}%10s " +
