@@ -72,7 +72,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                 else Seq(25000L, 50000L, 100000L)
-    // which legs to run (comma list: sizes,x02,cc,t07,s03) — lets a
+    // which legs to run (comma list: sizes,x02,cc,t07,d06bthr) — lets a
     // harness split the probe across invocations with bounded wall-clock
     val legs = sys.env.getOrElse("SPARK_GRAFT_PROBE_LEGS", "sizes,x02,cc,t07")
       .split(",").map(_.trim).toSet
@@ -105,51 +105,77 @@ object ScaleProbe {
       (a, wall, (cpuNs.get - c0) / 1e9, (shufB.get - s0) / 1e6)
     }
     spark.range(1000000).selectExpr("sum(id)").collect() // warm-up
-    println(f"${"docs"}%9s ${"d01_s"}%8s ${"d03_s"}%8s ${"d03_pairs"}%10s " +
-      f"${"a01_s"}%8s ${"a02_s"}%8s ${"p01_s"}%8s ${"p02_s"}%8s ${"p05_s"}%8s")
+    /** One row per (size, op): wall + the load-invariant work metrics,
+      * plus the op's output count (the scaling claim is on ALL three of
+      * cpu/shuffle/rows — wall alone carries ~2x box noise). */
+    def row(n: Long, op: String, extra: String = "")(f: => Long): Long = {
+      val (v, w, c, s) = time(f)
+      println(f"$n%9d $op%8s $w%8.2f $c%8.2f $s%9.1f $v%10d  $extra")
+      v
+    }
+    println(f"${"docs"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
     for (n <- sizes if legs("sizes")) {
       val dir = s"/tmp/graft-probe-$n"
       gen(spark, n, dir)
       genEmb(spark, n, dir)
-      val (_, tD01) = time(
-        graft.SparkEntry.queries("d01_dedup_exact")(spark, dir).count())
-      val (pairs, tD03) = time(
-        graft.SparkEntry.queries("d03_dedup_minhash_lsh")(spark, dir).count())
-      val (_, tA01) = time(
-        graft.SparkEntry.queries("a01_ann_bruteforce")(spark, dir).count())
-      val (_, tA02) = time(
-        graft.SparkEntry.queries("a02_ann_lsh")(spark, dir).count())
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "d01")(q("d01_dedup_exact").count())
+      row(n, "d03")(q("d03_dedup_minhash_lsh").count())
+      row(n, "a01")(q("a01_ann_bruteforce").count())
+      row(n, "a02")(q("a02_ann_lsh").count())
       // d06b bucket recall at a REALISTIC near-dup threshold: the
       // corpus plants n/100 cos≈0.9999 pairs; count how many the
       // LSH-blocked path surfaces (precision is exact by construction)
-      val (found, tD06b) = time(
-        graft.SparkEntry.queries("d06b_dedup_embedding_lsh")(spark, dir)
-          .filter(col("cos") >= 0.9).count())
-      val recall = found.toDouble / (n / 100)
+      val found = row(n, "d06b@.9")(
+        q("d06b_dedup_embedding_lsh").filter(col("cos") >= 0.9).count())
+      println(f"$n%9d ${"d06b"}%8s recall@0.9 = " +
+        f"${found.toDouble / (n / 100)}%.3f (planted ${n / 100})")
       // training-prep ops on the same corpus: decontamination (inverted
       // shingle join), sequence packing (two-pass prefix sums), source
       // overlap (sources²-bounded fan-out) — all must grow ~linearly
-      val (_, tP01) = time(
-        graft.SparkEntry.queries("p01_decontaminate")(spark, dir).count())
-      val (_, tP02) = time(
-        graft.SparkEntry.queries("p02_seq_pack")(spark, dir).count())
-      val (_, tP05) = time(
-        graft.SparkEntry.queries("p05_source_overlap")(spark, dir).count())
+      row(n, "p01")(q("p01_decontaminate").count())
+      row(n, "p02")(q("p02_seq_pack").count())
+      row(n, "p05")(q("p05_source_overlap").count())
+      // p08 attribution: same inverted shingle join as p01 but with the
+      // benchmark id carried through — its output-pair fan-out must be
+      // bounded by true shared-shingle volume (planted: each %97 doc
+      // shares all shingles with exactly its predecessor → rows ~ n/97
+      // heavy pairs + near-dup incidentals, linear by construction)
+      row(n, "p08")(q("p08_contamination_attribution").count())
       // d09 end-to-end: d06b candidates (adaptive planes) + semi-join-
       // pruned text verify — must track d06b's growth, since candidate
       // generation dominates and the verify touches only candidate docs
-      val (_, tD09) = time(
-        graft.SparkEntry.queries("d09_crossmodal_dedup")(spark, dir).count())
+      row(n, "d09")(q("d09_crossmodal_dedup").count())
       graft.operators.HotCache.releaseAll()
-      println(f"$n%9d $tD01%8.2f $tD03%8.2f $pairs%10d $tA01%8.2f " +
-        f"$tA02%8.2f $tP01%8.2f $tP02%8.2f $tP05%8.2f" +
-        f"  d06b: $tD06b%.2fs recall@0.9=$recall%.3f d09: $tD09%.2fs")
+    }
+    // d06b threshold leg: the demo 0.3 threshold keeps random 64-dim
+    // pairs (~2.4 sigma) so surviving-pair volume grows superlinearly
+    // with the corpus — that's a property of the LOOSE threshold, not
+    // the blocking. At production near-dup thresholds (>= 0.9) the
+    // survivors are exactly the planted n/100 pairs: linear. This leg
+    // prints both counts per size so the claim is measured, not argued.
+    println(f"${"vecs"}%9s ${"pairs@.3"}%10s ${"pairs@.9"}%10s " +
+      f"${"planted"}%9s ${"wall_s"}%8s ${"cpu_s"}%8s ${"shuf_MB"}%9s")
+    for (n <- Seq(25000L, 50000L, 100000L, 200000L) if legs("d06bthr")) {
+      val dir = s"/tmp/graft-probe-$n"
+      genEmb(spark, n, dir)
+      val (cnts, w, c, s) = time {
+        val out = graft.SparkEntry.queries("d06b_dedup_embedding_lsh")(
+          spark, dir)
+        out.agg(count(lit(1)), count(when(col("cos") >= 0.9, 1)))
+          .collect()(0)
+      }
+      graft.operators.HotCache.releaseAll()
+      println(f"$n%9d ${cnts.getLong(0)}%10d ${cnts.getLong(1)}%10d " +
+        f"${n / 100}%9d $w%8.2f $c%8.2f $s%9.1f")
     }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the
     // broadcast path and never pile into one shuffle partition.
-    println(f"${"docs"}%9s ${"t07_s"}%8s ${"us_per_doc"}%10s")
+    println(f"${"docs"}%9s ${"t07_s"}%8s ${"cpu_s"}%8s ${"shuf_MB"}%9s " +
+      f"${"us_per_doc"}%10s")
     for (n <- Seq(100000L, 400000L) if legs("t07")) {
       val dir = s"/tmp/graft-probe-t07-$n"
       spark.range(n).select(
@@ -163,15 +189,17 @@ object ScaleProbe {
         lit("en").as("lang"))
         .repartition(32).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
-      val (_, tT07) = time(
+      val (_, tT07, cT07, sT07) = time(
         graft.SparkEntry.queries("t07_token_familiarity")(spark, dir).count())
-      println(f"$n%9d $tT07%8.2f ${tT07 * 1e6 / n}%10.2f")
+      println(f"$n%9d $tT07%8.2f $cT07%8.2f $sT07%9.1f " +
+        f"${tT07 * 1e6 / n}%10.2f")
     }
     // d08 CC leg: planted chain+blob edge graphs. The chain (half the
     // edges, path diameter = chainLen) is the adversarial shape that
     // costs min-label propagation `diameter` rounds; star CC must stay
     // ~log2(nodes). Blobs (100-node stars) add bulk volume.
-    println(f"${"edges"}%9s ${"nodes"}%9s ${"cc_s"}%8s ${"rounds"}%7s ${"log2+8"}%7s")
+    println(f"${"edges"}%9s ${"nodes"}%9s ${"cc_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rounds"}%7s ${"log2+8"}%7s")
     for (m <- Seq(100000L, 1000000L) if legs("cc")) {
       val chainLen = m / 2
       val chain = spark.range(chainLen)
@@ -180,14 +208,15 @@ object ScaleProbe {
         (col("id") - pmod(col("id"), lit(100))).as("b_id"))
       val edges = chain.unionAll(blob).filter(col("a_id") =!= col("b_id"))
         .repartition(32).localCheckpoint()
-      val ((labels, rounds), tCc) = time {
+      val ((labels, rounds), tCc, cCc, sCc) = time {
         val r = graft.operators.ConnectedComponents.run(edges, maxRounds = 64)
         r._1.count() // materialize the labels, not just the loop
         r
       }
       val nNodes = labels.count()
       val bound = (math.log(nNodes.toDouble) / math.log(2)).ceil.toInt + 8
-      println(f"$m%9d $nNodes%9d $tCc%8.2f $rounds%7d $bound%7d" +
+      println(f"$m%9d $nNodes%9d $tCc%8.2f $cCc%8.2f $sCc%9.1f " +
+        f"$rounds%7d $bound%7d" +
         (if (rounds > bound) "  ROUNDS OVER BOUND" else ""))
     }
     // x02 stratified-sample skew leg: ONE stratum grows 10× while ten
@@ -195,7 +224,8 @@ object ScaleProbe {
     // (lang × 256-bucket) scheme spreads the big stratum over 256
     // parallel sort tasks; the single-window formulation it replaced
     // would funnel it through one task (the r2 scale-killer).
-    println(f"${"big_stratum"}%12s ${"rows"}%9s ${"x02_s"}%8s ${"us_per_row"}%10s")
+    println(f"${"big_stratum"}%12s ${"rows"}%9s ${"x02_s"}%8s " +
+      f"${"cpu_s"}%8s ${"shuf_MB"}%9s ${"us_per_row"}%10s")
     for (m <- Seq(100000L, 1000000L) if legs("x02")) {
       val dir = s"/tmp/graft-probe-x02-$m"
       val n = m + 10000
@@ -205,10 +235,10 @@ object ScaleProbe {
           .otherwise(lit("big")).as("lang"))
         .repartition(32).write.mode("overwrite")
         .parquet(s"$dir/documents.parquet")
-      val (cnt, tX02) = time(
+      val (cnt, tX02, cX02, sX02) = time(
         graft.SparkEntry.queries("x02_stratified_sample")(spark, dir).count())
-      println(f"$m%12d $n%9d $tX02%8.2f ${tX02 * 1e6 / n}%10.2f " +
-        f" (sampled $cnt)")
+      println(f"$m%12d $n%9d $tX02%8.2f $cX02%8.2f $sX02%9.1f " +
+        f"${tX02 * 1e6 / n}%10.2f  (sampled $cnt)")
     }
     spark.stop()
   }
