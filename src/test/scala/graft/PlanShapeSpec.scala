@@ -144,4 +144,31 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("minhash_sig("), p)
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("s03 at scale: past the broadcast threshold the self-join shuffles") {
+    // At bench SFs s03's projected key column is tiny, so the planner
+    // broadcasts it and the whole self-join count runs as single-task
+    // compute (bench_full: 171 B shuffled, cpu ≈ run ≈ wall — the r6/r7
+    // wall "regression" was JIT constant on that one thread, not work).
+    // This pins the shape s03 degrades to at real scale, where the
+    // build side exceeds autoBroadcastJoinThreshold: a key-partitioned
+    // shuffled join — parallel, no driver-side collect — with the same
+    // result.
+    val conf = spark.conf
+    val expected = run("s03_shuffle_join").collect()(0).getLong(0)
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = run("s03_shuffle_join")
+      val rows = q.collect()
+      assert(rows(0).getLong(0) == expected)
+      val p = q.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("Exchange hashpartitioning"), p)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
