@@ -46,4 +46,34 @@ class EmptyInputSpec extends SparkSpecBase {
       assert(n == 0L, s"$name returned $n rows on an empty corpus")
     }
   }
+
+  // every table from sf0.001, schema-complete but zero rows — the "new
+  // empty source" shape for the FULL query surface, not just documents
+  private lazy val emptyAllDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-all")
+      .toString
+    Tables.all.foreach { t =>
+      Tables(spark, sf, t).limit(0)
+        .write.mode("overwrite").parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
+  test("every query in SparkEntry completes on a schema-complete zero-row dataset") {
+    // global aggregates legitimately return one row (count=0 / null
+    // bounds) on empty input, so this pins "materializes without
+    // throwing", not "returns zero rows" — the production contract for
+    // an empty partition, day-one source, or all-filtered shard
+    val failures = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      try { run(name, emptyAllDir).collect(); None }
+      catch {
+        case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName} ${e.getMessage}")
+      }
+    }
+    graft.operators.HotCache.releaseAll()
+    assert(failures.isEmpty,
+      s"${failures.size} queries threw on empty input:\n" +
+        failures.mkString("\n"))
+  }
 }
