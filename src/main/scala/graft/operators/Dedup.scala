@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFns, VectorFns}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.D — document deduplication for training-data pipelines.
@@ -165,6 +166,73 @@ object Dedup {
                         string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
                         string_split_regex(lower(trim(text)), '\s+')[i+2])) AS sh
           FROM documents""" + where + ")"
+
+  /** Verified near-dup edge set shared by d08/d11: LSH candidate pairs
+    * re-checked with the exact integer Jaccard ≥ 0.5 rule (the same
+    * one-rule-one-form threshold as d03/d05). Columns (a_id, b_id).
+    */
+  private def verifiedDupEdges(docs: DataFrame): DataFrame = {
+    val cands = lshCandidates(minhashSigs(docs))
+    val sets = docs.select(col("doc_id"),
+      TextFns.shingleHashes(col("text"), 3).as("sh"))
+    cands
+      .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+        Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+        Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
+        size(col("a_sh")).as("sza"), size(col("b_sh")).as("szb"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      // same exact integer threshold as d03/d05 (J >= 0.5, uni > 0
+      // excludes shingle-less 0/0 collisions) — one rule, one form
+      .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Oracle twin of [[verifiedDupEdges]] + transitive closure: CTEs
+    * `edges` (all-pairs exact Jaccard ≥ 0.5 — the oracle needs no LSH),
+    * `adj`, `reach`, and `labels` = (doc_id, group_rep) for every
+    * dup-involved doc. Prepend `sh3Cte()`.
+    */
+  private def ccLabelCtes: String = """
+        edges AS (
+          SELECT a_id, b_id FROM (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                   len(list_intersect(a.sh, b.sh)) AS inter,
+                   len(list_distinct(list_concat(a.sh, b.sh))) AS uni
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) e
+          WHERE uni > 0 AND inter * 2 >= uni),
+        adj AS (
+          SELECT a_id AS src, b_id AS dst FROM edges
+          UNION ALL SELECT b_id, a_id FROM edges),
+        reach AS (
+          WITH RECURSIVE r(doc_id, lbl) AS (
+            SELECT src, src FROM adj
+            UNION
+            SELECT a.src, r.lbl FROM adj a JOIN r ON a.dst = r.doc_id)
+          SELECT * FROM r),
+        labels AS (
+          SELECT doc_id, min(lbl) AS group_rep FROM reach GROUP BY doc_id)"""
+
+  /** Cross-family entry (d08/d11 here, p09 in TrainingPipeline): run the
+    * shared verified-edge pipeline + star CC, returning (doc_id,
+    * group_rep) for every dup-involved doc. The edge set is persisted
+    * across CC's first-round branches and released before returning
+    * (labels are localCheckpoint products, so nothing downstream
+    * recomputes the LSH pipeline).
+    */
+  def dupGroupLabels(docs: DataFrame): DataFrame = {
+    val edges = verifiedDupEdges(docs).persist()
+    val (labels, _) = ConnectedComponents.run(edges)
+    edges.unpersist()
+    labels
+  }
+
+  /** Oracle twin of [[dupGroupLabels]]: the `sh` … `labels` CTE chain
+    * (no WITH keyword) for reuse outside this file.
+    */
+  def dupGroupLabelSql: String = sh3Cte() + "," + ccLabelCtes
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -437,49 +505,66 @@ object Dedup {
     // closure. The candidate graph is persisted so the first star round
     // doesn't recompute the LSH pipeline per branch.
     "d08_dedup_groups" -> QueryDef(
+      build = (s, d) =>
+        dupGroupLabels(t(s, d, "documents")).orderBy("doc_id"),
+      oracle = Some("\n        WITH" + sh3Cte() + "," + ccLabelCtes + """
+        SELECT doc_id, group_rep FROM labels ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d11
+    // The dedup DELIVERABLE: d08's transitive dup groups resolved to a
+    // survivor list — per group keep the member with the most tokens
+    // (most-complete-version policy; integer compare, min doc_id
+    // tie-break, so the pick is portable across engines with no double
+    // rounding in sight), singletons kept as their own group of 1.
+    // Scale shape: the window shuffles ONLY dup-involved docs (the CC
+    // label set); the singleton majority of a real corpus takes the
+    // anti-join branch and never enters the window — at 100 TB the
+    // keep-best pass costs one shuffle of the dup sliver, not a corpus
+    // sort. This is the op a corpus user runs to GET the deduped corpus,
+    // where d08 only reports the groups.
+    "d11_dedup_survivors" -> QueryDef(
       build = (s, d) => {
         val docs = t(s, d, "documents")
-        val cands = lshCandidates(minhashSigs(docs))
-        val sets = docs.select(col("doc_id"),
-          TextFns.shingleHashes(col("text"), 3).as("sh"))
-        val edges = cands
-          .join(sets.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
-            Seq("a_id"))
-          .join(sets.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
-            Seq("b_id"))
-          .select(col("a_id"), col("b_id"),
-            size(array_intersect(col("a_sh"), col("b_sh"))).as("inter"),
-            size(col("a_sh")).as("sza"), size(col("b_sh")).as("szb"))
-          .withColumn("uni", col("sza") + col("szb") - col("inter"))
-          // same exact integer threshold as d03/d05 (J >= 0.5, uni > 0
-          // excludes shingle-less 0/0 collisions) — one rule, one form
-          .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
-          .select(col("a_id"), col("b_id"))
-          .persist()
-        val (labels, _) = ConnectedComponents.run(edges)
-        val out = labels.orderBy("doc_id")
-        edges.unpersist()
-        out
+        val toks = docs.select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        val labels = dupGroupLabels(docs)
+        val wRank = Window.partitionBy("group_rep")
+          .orderBy(desc("n_tokens"), asc("doc_id"))
+        val wSize = Window.partitionBy("group_rep")
+        val keptDups = toks.join(labels, "doc_id")
+          .withColumn("rk", row_number().over(wRank))
+          .withColumn("group_size", count(lit(1)).over(wSize).cast("long"))
+          .filter(col("rk") === 1)
+          .select(col("doc_id"), col("group_rep"), col("group_size"),
+            col("n_tokens"))
+        val singles = toks
+          .join(labels.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("group_rep"),
+            lit(1L).as("group_size"), col("n_tokens"))
+        singles.unionAll(keptDups).orderBy("doc_id")
       },
-      oracle = Some("\n        WITH" + sh3Cte() + """,
-        edges AS (
-          SELECT a_id, b_id FROM (
-            SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                   len(list_intersect(a.sh, b.sh)) AS inter,
-                   len(list_distinct(list_concat(a.sh, b.sh))) AS uni
-            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) e
-          WHERE uni > 0 AND inter * 2 >= uni),
-        adj AS (
-          SELECT a_id AS src, b_id AS dst FROM edges
-          UNION ALL SELECT b_id, a_id FROM edges),
-        reach AS (
-          WITH RECURSIVE r(doc_id, lbl) AS (
-            SELECT src, src FROM adj
-            UNION
-            SELECT a.src, r.lbl FROM adj a JOIN r ON a.dst = r.doc_id)
-          SELECT * FROM r)
-        SELECT doc_id, min(lbl) AS group_rep
-        FROM reach GROUP BY doc_id ORDER BY doc_id""")),
+      oracle = Some("\n        WITH" + sh3Cte() + "," + ccLabelCtes + """,
+        toks AS (
+          SELECT doc_id,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tokens
+          FROM documents),
+        dup AS (
+          SELECT t.doc_id, l.group_rep,
+                 CAST(count(*) OVER (PARTITION BY l.group_rep) AS BIGINT)
+                   AS group_size,
+                 t.n_tokens,
+                 row_number() OVER (PARTITION BY l.group_rep
+                                    ORDER BY t.n_tokens DESC, t.doc_id) AS rk
+          FROM toks t JOIN labels l ON t.doc_id = l.doc_id)
+        SELECT doc_id, group_rep, group_size, n_tokens
+        FROM dup WHERE rk = 1
+        UNION ALL
+        SELECT t.doc_id, t.doc_id AS group_rep,
+               CAST(1 AS BIGINT) AS group_size, t.n_tokens
+        FROM toks t LEFT JOIN labels l ON t.doc_id = l.doc_id
+        WHERE l.doc_id IS NULL
+        ORDER BY doc_id""")),
 
     // --------------------------------------------------------------- d06b
     // The 100 TB path for embedding near-dup: (label × hyperplane-LSH

@@ -24,6 +24,43 @@ object Similarity {
     e.filter(col("vec_id") < QUERY_IDS_BELOW)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
 
+  /** a01's exact top-k: broadcast queries × corpus scan, per-query
+    * window. Shared by a01 and a07 (the recall evaluation).
+    */
+  private def bruteTopK(e: DataFrame): DataFrame = {
+    val q = queriesDf(e)
+    val c = e.filter(col("vec_id") >= QUERY_IDS_BELOW)
+    val w = Window.partitionBy("q_id").orderBy(desc("raw_score"), asc("vec_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("embedding")).as("raw_score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TOPK)
+  }
+
+  /** a02's bucketed top-k: 8 seeded hyperplane sign bits → bucket,
+    * queries probe their own bucket. Shared by a02 and a07.
+    */
+  private def lshTopK(e0: DataFrame): DataFrame = {
+    val planes = VectorFns.hyperplanes(8, 64)
+    def bucketOf(emb: org.apache.spark.sql.Column) =
+      planes.zipWithIndex.map { case (p, i) =>
+        val dotP = VectorFns.dot(emb, typedLit(p.toSeq))
+        when(dotP >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _)
+    val e = e0.withColumn("bucket", bucketOf(col("embedding")))
+    val q = e.filter(col("vec_id") < QUERY_IDS_BELOW)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("bucket").as("q_bucket"))
+    val c = e.filter(col("vec_id") >= QUERY_IDS_BELOW)
+    val w = Window.partitionBy("q_id").orderBy(desc("raw_score"), asc("vec_id"))
+    c.join(broadcast(q), col("bucket") === col("q_bucket"))
+      .select(col("q_id"), col("vec_id"),
+        VectorFns.cosine(col("qv"), col("embedding")).as("raw_score"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= TOPK)
+  }
+
   /** Portable half-away-from-zero nearest int (see a05's scaladoc for
     * why round() is off-limits here).
     */
@@ -128,20 +165,11 @@ object Similarity {
     // ---------------------------------------------------------------- a01
     // Brute-force cosine top-k per query: broadcast queries × scan corpus.
     "a01_ann_bruteforce" -> QueryDef(
-      build = (s, d) => {
-        val e = t(s, d, "embeddings")
-        val q = queriesDf(e)
-        val c = e.filter(col("vec_id") >= QUERY_IDS_BELOW)
-        val w = Window.partitionBy("q_id").orderBy(desc("raw_score"), asc("vec_id"))
-        c.crossJoin(broadcast(q))
-          .select(col("q_id"), col("vec_id"),
-            VectorFns.cosine(col("qv"), col("embedding")).as("raw_score"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= TOPK)
+      build = (s, d) =>
+        bruteTopK(t(s, d, "embeddings"))
           .select(col("q_id"), col("vec_id"),
             round(col("raw_score"), 4).as("score"), col("rk"))
-          .orderBy("q_id", "rk")
-      },
+          .orderBy("q_id", "rk"),
       oracle = Some(s"""
         WITH q AS (SELECT vec_id AS q_id, embedding AS qv
                    FROM embeddings WHERE vec_id < $QUERY_IDS_BELOW),
@@ -165,29 +193,11 @@ object Similarity {
     // bucketed result is fully hash-verified (sign decisions are robust:
     // a flip would need |dot| below float-accumulation noise).
     "a02_ann_lsh" -> QueryDef(
-      build = (s, d) => {
-        val planes = VectorFns.hyperplanes(8, 64)
-        def bucketOf(emb: org.apache.spark.sql.Column) =
-          planes.zipWithIndex.map { case (p, i) =>
-            val dotP = VectorFns.dot(emb, typedLit(p.toSeq))
-            when(dotP >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-          }.reduce(_ bitwiseOR _)
-        val e = t(s, d, "embeddings")
-          .withColumn("bucket", bucketOf(col("embedding")))
-        val q = e.filter(col("vec_id") < QUERY_IDS_BELOW)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
-            col("bucket").as("q_bucket"))
-        val c = e.filter(col("vec_id") >= QUERY_IDS_BELOW)
-        val w = Window.partitionBy("q_id").orderBy(desc("raw_score"), asc("vec_id"))
-        c.join(broadcast(q), col("bucket") === col("q_bucket"))
-          .select(col("q_id"), col("vec_id"),
-            VectorFns.cosine(col("qv"), col("embedding")).as("raw_score"))
-          .withColumn("rk", row_number().over(w).cast("long"))
-          .filter(col("rk") <= TOPK)
+      build = (s, d) =>
+        lshTopK(t(s, d, "embeddings"))
           .select(col("q_id"), col("vec_id"),
             round(col("raw_score"), 4).as("score"), col("rk"))
-          .orderBy("q_id", "rk")
-      },
+          .orderBy("q_id", "rk"),
       oracle = Some {
         val planes = VectorFns.hyperplanes(8, 64)
         val bucketSql = planes.zipWithIndex.map { case (p, i) =>
@@ -460,6 +470,81 @@ object Similarity {
                 sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
                   AS nrm
               FROM embeddings) z
-        GROUP BY label ORDER BY label"""))
+        GROUP BY label ORDER BY label""")),
+
+    // ---------------------------------------------------------------- a07
+    // ANN RECALL EVALUATION: recall@k of the bucketed LSH path (a02)
+    // against the exact brute-force baseline (a01), per query — the
+    // measurement an ANN deployment runs before trusting the
+    // approximate path at scale, expressed as the same declarative
+    // join both pipelines already use. Queries whose bucket holds no
+    // true top-k neighbor still appear (left join from the query set,
+    // recall 0). The hit count is an integer and the denominator a
+    // constant, so recall is a single exact IEEE division on both
+    // engines — no rounding hazard.
+    "a07_ann_recall" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val exact = bruteTopK(e).select(col("q_id"), col("vec_id"))
+        val approx = lshTopK(e)
+          .select(col("q_id").as("aq"), col("vec_id").as("av"))
+        val hits = exact.join(approx,
+            col("q_id") === col("aq") && col("vec_id") === col("av"))
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        queriesDf(e).select(col("q_id"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / TOPK)
+              .as("recall_at_k"))
+          .orderBy("q_id")
+      },
+      oracle = Some {
+        val planes = VectorFns.hyperplanes(8, 64)
+        val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
+            p.mkString("[", ", ", "]") +
+            s"::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < $QUERY_IDS_BELOW),
+        c AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= $QUERY_IDS_BELOW),
+        exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_cosine_similarity(qv::DOUBLE[],
+                                embedding::DOUBLE[]) DESC, vec_id) AS rk
+            FROM q CROSS JOIN c) z
+          WHERE rk <= $TOPK),
+        eb AS (SELECT vec_id, embedding, $bucketSql AS bucket
+               FROM embeddings),
+        qb AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
+               FROM eb WHERE vec_id < $QUERY_IDS_BELOW),
+        cb AS (SELECT vec_id, embedding, bucket FROM eb
+               WHERE vec_id >= $QUERY_IDS_BELOW),
+        approx AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_cosine_similarity(qv::DOUBLE[],
+                                embedding::DOUBLE[]) DESC, vec_id) AS rk
+            FROM qb JOIN cb ON cb.bucket = qb.q_bucket) z
+          WHERE rk <= $TOPK),
+        hits AS (
+          SELECT e.q_id, count(*) AS h
+          FROM exact e JOIN approx a
+            ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+          GROUP BY e.q_id)
+        SELECT q.q_id,
+               CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.h, 0) AS DOUBLE) / $TOPK AS recall_at_k
+        FROM (SELECT vec_id AS q_id FROM embeddings
+              WHERE vec_id < $QUERY_IDS_BELOW) q
+        LEFT JOIN hits h ON h.q_id = q.q_id
+        ORDER BY q.q_id"""
+      })
   )
 }

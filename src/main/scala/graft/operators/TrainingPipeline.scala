@@ -409,6 +409,44 @@ object TrainingPipeline {
     // Identical oracle — caching must never change answers.
     "p06b_prep_pipeline_cached" -> QueryDef(
       build = (s, d) => prepPipeline(s, d, cacheSurvivors = true),
-      oracle = Some(P06_ORACLE))
+      oracle = Some(P06_ORACLE)),
+
+    // ---------------------------------------------------------------- p09
+    // LEAKAGE-SAFE train/val split: assign whole near-dup clusters
+    // (d08's CC groups over the shared verified-edge pipeline) to ONE
+    // side, so a val doc can never have a near-copy in train — the
+    // eval-integrity property a doc-level hash split silently lacks.
+    // The 90/10 draw hashes the GROUP REP with p03's md5 pattern, so
+    // the split is deterministic, engine-portable and stable across
+    // corpus growth (a doc's side changes only if its cluster does).
+    // Scale shape: beyond the d08 pipeline itself, one left join of the
+    // (dup-sliver-sized) label set against the corpus and a map-side
+    // draw — singletons never shuffle.
+    "p09_leakage_safe_split" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val labels = Dedup.dupGroupLabels(docs)
+        val rep = docs.select(col("doc_id"))
+          .join(labels, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("group_rep"), col("doc_id")).as("group_rep"))
+        val draw = conv(substring(md5(col("group_rep").cast("string")
+          .cast("binary")), 1, 2), 16, 10).cast("int")
+        rep.select(col("doc_id"), col("group_rep"),
+            when(draw < 230, lit("train")).otherwise(lit("val")).as("split"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("\n        WITH" + Dedup.dupGroupLabelSql + """,
+        rep AS (
+          SELECT d.doc_id, coalesce(l.group_rep, d.doc_id) AS group_rep
+          FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id)
+        SELECT doc_id, group_rep,
+               CASE WHEN 16*(strpos('0123456789abcdef',
+                        substr(md5(CAST(group_rep AS VARCHAR)), 1, 1)) - 1)
+                       + (strpos('0123456789abcdef',
+                        substr(md5(CAST(group_rep AS VARCHAR)), 2, 1)) - 1)
+                       < 230
+                    THEN 'train' ELSE 'val' END AS split
+        FROM rep ORDER BY doc_id"""))
   )
 }

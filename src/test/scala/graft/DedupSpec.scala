@@ -300,4 +300,27 @@ class DedupSpec extends SparkSpecBase {
     assert(rows.forall(r =>
       labels(r.getAs[Long]("a_id")) == labels(r.getAs[Long]("b_id"))))
   }
+
+  test("d11 survivors: one per d08 group, the longest member, singletons kept") {
+    val groups = run("d08_dedup_groups").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_rep")).toMap
+    val nDocs = Tables(spark, sf, "documents").count()
+    val surv = run("d11_dedup_survivors").collect()
+    // exactly one survivor per dup group + one per singleton
+    val nGroups = groups.values.toSet.size
+    assert(surv.length == nDocs - groups.size + nGroups,
+      s"${surv.length} survivors for $nDocs docs, ${groups.size} dup docs " +
+        s"in $nGroups groups")
+    assert(surv.map(_.getAs[Long]("group_rep")).distinct.length == surv.length)
+    // every survivor of a dup group carries that group's max token count
+    val toks = run("t01_token_count").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_tokens")).toMap
+    surv.filter(_.getAs[Long]("group_size") > 1).foreach { r =>
+      val rep = r.getAs[Long]("group_rep")
+      val members = groups.collect { case (d, g) if g == rep => d }
+      assert(r.getAs[Long]("group_size") == members.size)
+      assert(r.getAs[Long]("n_tokens") == members.map(toks).max,
+        s"survivor ${r.getAs[Long]("doc_id")} of group $rep is not longest")
+    }
+  }
 }

@@ -127,4 +127,21 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recalls.forall(_ >= 0.5))
     assert(recalls.sum / recalls.size >= 0.7)
   }
+
+  test("a07 recall rows = independently recomputed a01 ∩ a02 overlap") {
+    def top10(name: String) = run(name).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val exact = top10("a01_ann_bruteforce")
+    val approx = top10("a02_ann_lsh")
+    val got = run("a07_ann_recall").collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k"))).toMap
+    assert(got.keySet == exact.keySet) // every query scored, even recall-0
+    got.foreach { case (q, (hits, recall)) =>
+      val want = approx.getOrElse(q, Set.empty).intersect(exact(q)).size
+      assert(hits == want, s"q$q: a07 says $hits hits, recompute says $want")
+      assert(recall == hits.toDouble / 10)
+    }
+  }
 }

@@ -179,4 +179,27 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(out(2L) == ((8L, 8L, 1L, 7L, 0)))
     assert(out(3L) == ((1L, 1L, 0L, 0L, 0))) // present, not silently dropped
   }
+
+  test("p09 split never straddles a dup group and covers every doc once") {
+    val docs = graft.Tables(spark, sf, "documents")
+    val out = run("p09_leakage_safe_split").collect()
+    assert(out.length == docs.count())
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length == out.length)
+    // the leakage guarantee: all members of a group share one split
+    out.groupBy(_.getAs[Long]("group_rep")).foreach { case (g, rs) =>
+      assert(rs.map(_.getAs[String]("split")).distinct.length == 1,
+        s"group $g straddles train/val")
+    }
+    // group assignment matches d08's labels (singletons = own rep)
+    val labels = run("d08_dedup_groups").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("group_rep")).toMap
+    out.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("group_rep") == labels.getOrElse(d, d))
+    }
+    // the 90/10 draw lands near its target even group-correlated
+    val trainFrac = out.count(_.getAs[String]("split") == "train").toDouble /
+      out.length
+    assert(trainFrac > 0.75 && trainFrac < 0.99, s"train fraction $trainFrac")
+  }
 }
