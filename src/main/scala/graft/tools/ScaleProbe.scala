@@ -72,8 +72,9 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                 else Seq(25000L, 50000L, 100000L)
-    // which legs to run (comma list: sizes,x02,cc,t07,d06bthr) — lets a
-    // harness split the probe across invocations with bounded wall-clock
+    // which legs to run (comma list: sizes,x02,cc,t07,d06bthr,deliv) —
+    // lets a harness split the probe across invocations with bounded
+    // wall-clock
     val legs = sys.env.getOrElse("SPARK_GRAFT_PROBE_LEGS", "sizes,x02,cc,t07")
       .split(",").map(_.trim).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -147,6 +148,20 @@ object ScaleProbe {
       // pruned text verify — must track d06b's growth, since candidate
       // generation dominates and the verify touches only candidate docs
       row(n, "d09")(q("d09_crossmodal_dedup").count())
+      graft.operators.HotCache.releaseAll()
+    }
+    // deliverable leg: d11 (survivor list) and p09 (leakage-safe split)
+    // ride the shared d08 pipeline (LSH candidates → exact verify →
+    // star CC) plus one window/join over the dup SLIVER — their cost
+    // must track the pipeline, never a corpus-wide sort.
+    println(f"${"docs"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("deliv")) {
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "d11")(q("d11_dedup_survivors").count())
+      row(n, "p09")(q("p09_leakage_safe_split").count())
       graft.operators.HotCache.releaseAll()
     }
     // d06b threshold leg: the demo 0.3 threshold keeps random 64-dim
