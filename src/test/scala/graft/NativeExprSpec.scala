@@ -100,4 +100,39 @@ class NativeExprSpec extends SparkSpecBase {
     assert(fps.toSet.subsetOf(hs.toSet))
     assert(fps.contains(0L)) // global min is always some window's min
   }
+
+  test("every native expression is SQL-callable and matches the DataFrame path") {
+    // same real docs, both surfaces: a SQL user of the extensions gets
+    // bit-identical signatures to the DataFrame/TextFns user
+    val docs = Tables(spark, sf, "documents").limit(64)
+    docs.createOrReplaceTempView("docs_ne")
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    def expr(c: org.apache.spark.sql.Column) = GraftShim.expression(c)
+    val viaDf = docs.select(
+      col("doc_id"),
+      GraftShim.column(MinHashSigExpr(expr(ngrams(toks, 3)), 8)).as("mh"),
+      ngrams(toks, 3).as("nh"),
+      GraftShim.column(graft.plans.NGramStringExpr(expr(toks), 2)).as("ng"),
+      GraftShim.column(SimHashExpr(expr(toks))).as("sim"),
+      GraftShim.column(WinnowExpr(expr(ngrams(toks, 3)), 4)).as("wf"))
+      .orderBy("doc_id").collect()
+    val viaSql = spark.sql("""
+      SELECT doc_id,
+             graft_minhash_sig(graft_ngram_hash(split(lower(trim(text)), '\\s+'), 3), 8) AS mh,
+             graft_ngram_hash(split(lower(trim(text)), '\\s+'), 3) AS nh,
+             graft_ngrams(split(lower(trim(text)), '\\s+'), 2) AS ng,
+             graft_simhash64(split(lower(trim(text)), '\\s+')) AS sim,
+             graft_winnow(graft_ngram_hash(split(lower(trim(text)), '\\s+'), 3), 4) AS wf
+      FROM docs_ne ORDER BY doc_id""").collect()
+    assert(viaDf.length == 64 && viaSql.length == 64)
+    viaDf.zip(viaSql).foreach { case (a, b) => assert(a == b) }
+  }
+
+  test("non-literal size argument to a registered function fails loudly") {
+    val e = intercept[Exception] {
+      spark.sql("""SELECT graft_ngram_hash(array('a','b'),
+        CAST(length('xy') AS INT))""").collect()
+    }
+    assert(e.getMessage.contains("must be an INT literal"), e.getMessage)
+  }
 }
