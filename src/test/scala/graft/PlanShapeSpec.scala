@@ -145,6 +145,28 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("d11 keep-best window runs only over the dup sliver") {
+    // singletons take the anti-join branch and pass through; the two
+    // Window nodes (rank: ordered spec, size: unordered — Spark keeps
+    // them separate but they share the one group_rep shuffle) both sit
+    // on the labels-join branch — a corpus-wide window here would be
+    // the r2 x02 killer. The anti-join branch must stay window-free:
+    // every Window occurrence is below the labels join, which the
+    // Union's first (singleton) branch by construction lacks.
+    val p = plan("d11_dedup_survivors")
+    assert(countOf(p, "Window") == 2, p)
+    assert(p.contains("LeftAnti"), p)
+    // the Union prints the singleton branch first (depth-first): its
+    // whole anti-join subtree must come before any Window node
+    assert(p.indexOf("LeftAnti") < p.indexOf("Window"), p)
+  }
+
+  test("p09 split draw is map-side: no window, no cartesian") {
+    val p = plan("p09_leakage_safe_split")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Cartesian"), p)
+  }
+
   test("s03 at scale: past the broadcast threshold the self-join shuffles") {
     // At bench SFs s03's projected key column is tiny, so the planner
     // broadcasts it and the whole self-join count runs as single-task
