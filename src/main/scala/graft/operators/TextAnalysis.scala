@@ -48,28 +48,37 @@ object TextAnalysis {
         val nTok = size(toks)
         val nStop = size(filter(toks, t => array_contains(stopArr, t)))
         val nPunct = length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+        // nullif guards: an empty doc (length 0) must score NULL ratios
+        // and keep=false, not kill the whole job with DIVIDE_BY_ZERO
+        // under ANSI mode — one failed extraction in a 100 TB corpus is
+        // routine (DegenerateDocsSpec pins this). Same nullif in the
+        // oracle; sf data has no empty docs so gated outputs are
+        // unchanged.
         t(s, d, "documents")
           .select(col("doc_id"),
             length(col("text")).cast("long").as("len_chars"),
-            round(nPunct.cast("double") / length(col("text")), 4).as("punct_ratio"),
-            round(nStop.cast("double") / nTok, 4).as("stopword_ratio"),
+            round(nPunct.cast("double") /
+              nullif(length(col("text")), lit(0)), 4).as("punct_ratio"),
+            round(nStop.cast("double") / nullif(nTok, lit(0)), 4)
+              .as("stopword_ratio"),
             (length(col("text")).between(50, 10000) &&
-              (nStop.cast("double") / nTok) >= 0.01).as("keep"))
+              (nStop.cast("double") / nullif(nTok, lit(0))) >= 0.01)
+              .as("keep"))
           .orderBy("doc_id")
       },
       oracle = Some("""
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS len_chars,
                round(CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
-                     AS DOUBLE) / length(text), 4) AS punct_ratio,
+                     AS DOUBLE) / nullif(length(text), 0), 4) AS punct_ratio,
                round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                      tok -> tok IN ('the','a','of','and','to','in'))) AS DOUBLE)
-                     / len(string_split_regex(lower(trim(text)), '\s+')), 4)
+                     / nullif(len(string_split_regex(lower(trim(text)), '\s+')), 0), 4)
                  AS stopword_ratio,
                (length(text) BETWEEN 50 AND 10000 AND
                 CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
                      tok -> tok IN ('the','a','of','and','to','in'))) AS DOUBLE)
-                     / len(string_split_regex(lower(trim(text)), '\s+')) >= 0.01)
+                     / nullif(len(string_split_regex(lower(trim(text)), '\s+')), 0) >= 0.01)
                  AS keep
         FROM documents ORDER BY doc_id""")),
 
