@@ -24,9 +24,17 @@ object VectorFns {
 
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity, computed as dot/(‖a‖·‖b‖) in double precision. */
+  /** Cosine similarity, computed as dot/(‖a‖·‖b‖) in double precision.
+    * The denominator goes through nullif: an all-zero vector (padding,
+    * failed encode) has norm 0, and under Spark 4's ANSI mode a plain
+    * division would kill the whole job with DIVIDE_BY_ZERO — a zero
+    * vector scores NULL against everything instead (drops out of
+    * threshold filters, ranks last in top-k). DegenerateVecsSpec pins
+    * this across the §2.E surface; sf data has no zero vectors, so
+    * oracle-gated outputs are unchanged.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    dot(a, b) / nullif(norm(a) * norm(b), lit(0.0))
 
   /** Deterministic seeded random hyperplanes for sign-LSH bucketing
     * (LCG — engine-independent, reproducible across runs and engines, so

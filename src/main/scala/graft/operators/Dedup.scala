@@ -437,8 +437,11 @@ object Dedup {
             col("x.label") === col("y.label") &&
               col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+            // nullif: a zero vector (norm 0) scores NULL, never ANSI
+            // DIVIDE_BY_ZERO (VectorFns.cosine scaladoc; sf data has
+            // no zero vectors so oracle-gated outputs are unchanged)
             (VectorFns.dot(col("x.embedding"), col("y.embedding")) /
-              (col("x.nrm") * col("y.nrm"))).as("raw_c"))
+              nullif(col("x.nrm") * col("y.nrm"), lit(0.0))).as("raw_c"))
           .filter(col("raw_c") >= 0.3)
           .select(col("a_id"), col("b_id"), round(col("raw_c"), 4).as("cos"))
           .orderBy("a_id", "b_id")
@@ -628,8 +631,11 @@ object Dedup {
               col("x.probe") === col("y.probe") &&
               col("x.vec_id") < col("y.vec_id"))
           .select(col("x.vec_id").as("a_id"), col("y.vec_id").as("b_id"),
+            // nullif: a zero vector (norm 0) scores NULL, never ANSI
+            // DIVIDE_BY_ZERO (VectorFns.cosine scaladoc; sf data has
+            // no zero vectors so oracle-gated outputs are unchanged)
             (VectorFns.dot(col("x.embedding"), col("y.embedding")) /
-              (col("x.nrm") * col("y.nrm"))).as("raw_c"))
+              nullif(col("x.nrm") * col("y.nrm"), lit(0.0))).as("raw_c"))
           .filter(col("raw_c") >= 0.3)
           .select(col("a_id"), col("b_id"), round(col("raw_c"), 4).as("cos"))
           .distinct()
