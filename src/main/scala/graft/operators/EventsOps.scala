@@ -35,14 +35,21 @@ object EventsOps {
     "e02_json_extract" -> QueryDef(
       build = (s, d) =>
         t(s, d, "events")
+          // nullif before the cast: regexp_extract returns '' on
+          // non-matching (malformed/NULL-key) props, and ''::BIGINT is
+          // an ANSI CAST_INVALID_INPUT crash on BOTH engines — one bad
+          // props string must land in the NULL kbucket, not kill the
+          // job (DegenerateEventsSpec). sf props always match, so
+          // gated outputs are unchanged.
           .withColumn("k",
-            regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long"))
+            nullif(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1),
+              lit("")).cast("long"))
           .groupBy((col("k") % 10).as("kbucket"))
           .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
           .orderBy("kbucket"),
       oracle = Some("""
-        SELECT CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) % 10
-                 AS kbucket,
+        SELECT CAST(nullif(regexp_extract(props, '"k": ([0-9]+)', 1), '')
+                 AS BIGINT) % 10 AS kbucket,
                count(*) AS cnt, round(sum(value), 2) AS total
         FROM events GROUP BY 1 ORDER BY kbucket""")),
 
