@@ -58,8 +58,12 @@ object Multimodal {
     // per-char ord() >> 5 equals the UTF-8 byte buckets).
     "m02_feature_extract" -> QueryDef(
       build = (s, d) => {
+        // NULL text → empty payload (not a task-killing null array in the
+        // decode loop); mirrored by coalesce in the oracle. Empty payload
+        // decodes to the all-zero feature vector on both engines.
         val src = t(s, d, "documents")
-          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .select(col("doc_id"),
+            coalesce(col("text"), lit("")).cast("binary").as("payload"))
         val outSchema = StructType(
           StructField("doc_id", LongType, nullable = false) +:
           (0 until 8).map(i =>
@@ -88,9 +92,9 @@ object Multimodal {
                round(len(list_filter(codes, c -> c // 32 = 7)) / n, 6) AS f7
         FROM (
           SELECT doc_id,
-                 CAST(greatest(strlen(text), 1) AS DOUBLE) AS n,
-                 list_transform(range(strlen(text)),
-                                i -> ord(substr(text, CAST(i + 1 AS INT), 1))) AS codes
+                 CAST(greatest(strlen(coalesce(text, '')), 1) AS DOUBLE) AS n,
+                 list_transform(range(strlen(coalesce(text, ''))),
+                                i -> ord(substr(coalesce(text, ''), CAST(i + 1 AS INT), 1))) AS codes
           FROM documents) z
         ORDER BY doc_id""")),
 
