@@ -210,6 +210,52 @@ object EventsOps {
                CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         FROM ev e JOIN first f ON e.user_id = f.user_id
         WHERE date_diff('day', cohort, day) <= 7
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ---------------------------------------------------------------- e07
+    // Windowed spike detection: hourly counts per event type, flagged
+    // when a window deviates from its type's mean by more than 3
+    // population standard deviations. The verdict is pure integer
+    // arithmetic — (W·n − S)² > 9·(W·SS − S²) with W windows, S = Σn,
+    // SS = Σn² — so flags are exact on both engines (no sqrt, no float
+    // boundary). Scale shape: one keyed shuffle for the window counts,
+    // then per-type stats roll up to #types rows and broadcast back —
+    // no per-type window function, which would funnel every window of
+    // a type through one task at 100 TB.
+    "e07_spike_detect" -> QueryDef(
+      build = (s, d) => {
+        val counts = t(s, d, "events")
+          .groupBy(
+            window(col("ts"), "1 hour").getField("start").as("window_start"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val stats = counts.groupBy("event_type")
+          .agg(count(lit(1)).as("w"), sum("n").as("s"),
+            sum(col("n") * col("n")).as("ss"))
+        counts.join(broadcast(stats), "event_type")
+          .withColumn("dev", col("w") * col("n") - col("s"))
+          .select(col("event_type"), col("window_start"), col("n"),
+            (col("dev") * col("dev") >
+              lit(9L) * (col("w") * col("ss") - col("s") * col("s")))
+              .as("spike"))
+          .orderBy("event_type", "window_start")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT event_type,
+                 time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP))
+                   AS window_start,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        st AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS w,
+                 CAST(sum(n) AS BIGINT) AS s,
+                 CAST(sum(n * n) AS BIGINT) AS ss
+          FROM c GROUP BY 1)
+        SELECT c.event_type, c.window_start, c.n,
+               (st.w * c.n - st.s) * (st.w * c.n - st.s)
+                 > 9 * (st.w * st.ss - st.s * st.s) AS spike
+        FROM c JOIN st USING (event_type)
+        ORDER BY event_type, window_start"""))
   )
 }

@@ -447,6 +447,52 @@ object TrainingPipeline {
                         substr(md5(CAST(group_rep AS VARCHAR)), 2, 1)) - 1)
                        < 230
                     THEN 'train' ELSE 'val' END AS split
-        FROM rep ORDER BY doc_id"""))
+        FROM rep ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- p10
+    // Quality-WEIGHTED sampling (soft filter): accept each doc with
+    // probability proportional to its stopword-ratio quality signal
+    // instead of t02's hard keep/drop — the "sample by classifier
+    // score" shape real corpus pipelines use so borderline docs are
+    // thinned, not erased. Draw v ∈ [0,256) from md5(doc_id) (p03's
+    // pattern); accept iff v·n_tok < 1024·n_stop, i.e. P(accept) =
+    // min(1, 4·stop_ratio) in exact integer cross-multiplication — no
+    // division, no float, no rounding surface. Pure map-side
+    // predicate: at 100 TB this costs one scan and zero shuffle, and
+    // reruns pick the identical sample (draw is a pure function of
+    // doc_id).
+    "p10_quality_sample" -> QueryDef(
+      build = (s, d) => {
+        val toks = graft.functions.TextFns.tokens(col("text"))
+        val stopArr = array(graft.functions.TextFns.stopwords.map(lit): _*)
+        val draw = conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 2), 16, 10).cast("long")
+        t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("n_tok"),
+            size(filter(toks, tk => array_contains(stopArr, tk)))
+              .cast("long").as("n_stop"),
+            draw.as("v"))
+          .filter(col("v") * col("n_tok") < lit(1024L) * col("n_stop"))
+          .select("doc_id", "source", "n_tok", "n_stop")
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS n_tok,
+                 CAST(len(list_filter(
+                        string_split_regex(lower(trim(text)), '\s+'),
+                        tok -> tok IN ('the','a','of','and','to','in')))
+                   AS BIGINT) AS n_stop,
+                 16*(strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                  + (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS v
+          FROM documents)
+        SELECT doc_id, source, n_tok, n_stop FROM f
+        WHERE v * n_tok < 1024 * n_stop
+        ORDER BY doc_id"""))
   )
 }

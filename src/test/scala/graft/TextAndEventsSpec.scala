@@ -53,6 +53,36 @@ class TextAndEventsSpec extends SparkSpecBase {
     })
   }
 
+  test("e07 flags exactly the planted spike window and nothing else") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-e07").toString
+    // 10 flat hourly windows of 5 events + one 50-event spike at hour 10:
+    // W=11, S=100, SS=2750 → spike dev²=450²=202500 > 9·(11·2750−100²)
+    // =182250; flat dev²=45²=2025 — only the spike crosses the 3σ line.
+    val rows = (0 until 10).flatMap { h =>
+      (0 until 5).map(i => (h * 5L + i,
+        java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:10:00"),
+        1L, "view", 1.0, """{"k": 1}"""))
+    } ++ (0 until 50).map(i => (100L + i,
+      java.sql.Timestamp.valueOf("2024-03-01 10:20:00"),
+      1L, "view", 1.0, """{"k": 1}"""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = run("e07_spike_detect", d).collect()
+    assert(out.length == 11)
+    val spikes = out.filter(_.getAs[Boolean]("spike"))
+    assert(spikes.length == 1 && spikes.head.getAs[Long]("n") == 50L,
+      out.mkString(";"))
+  }
+
+  test("e07 window counts on sf data cover the whole table, flags rerun identically") {
+    val out = run("e07_spike_detect").collect()
+    assert(out.map(_.getAs[Long]("n")).sum ==
+      Tables(spark, sf, "events").count())
+    val rerun = run("e07_spike_detect").collect()
+    assert(out.map(_.toString).sorted.sameElements(rerun.map(_.toString).sorted))
+  }
+
   test("e06 cohort offset-0 rows cover every user exactly once") {
     val rows = run("e06_retention").collect()
     assert(rows.forall { r =>

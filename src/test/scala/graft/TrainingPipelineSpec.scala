@@ -202,4 +202,35 @@ class TrainingPipelineSpec extends SparkSpecBase {
       out.length
     assert(trainFrac > 0.75 && trainFrac < 0.99, s"train fraction $trainFrac")
   }
+
+  test("p10 acceptance = the exact integer draw rule, replayed in the driver") {
+    val out = run("p10_quality_sample").collect()
+    assert(out.nonEmpty && out.length < Tables(spark, sf, "documents").count())
+    // accepted docs satisfy v·n_tok < 1024·n_stop with v recomputed
+    // from md5 here — an engine-independent replay of the whole rule
+    def drawOf(id: Long): Long = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      dig(0).toLong & 0xFF
+    }
+    out.foreach { r =>
+      val v = drawOf(r.getAs[Long]("doc_id"))
+      assert(v * r.getAs[Long]("n_tok") < 1024 * r.getAs[Long]("n_stop"),
+        s"doc ${r.getAs[Long]("doc_id")} accepted but v=$v fails the rule")
+    }
+    // sure-keep invariant: any doc with stop ratio >= 1/4 has
+    // P(accept)=1 (255·n_tok < 1024·n_stop), so it MUST be present
+    import org.apache.spark.sql.functions._
+    val toks = graft.functions.TextFns.tokens(col("text"))
+    val stopArr = array(graft.functions.TextFns.stopwords.map(lit): _*)
+    val sureKeep = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(toks).cast("long").as("nt"),
+        size(filter(toks, tk => array_contains(stopArr, tk)))
+          .cast("long").as("ns"))
+      .filter(col("ns") * 4 >= col("nt"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val accepted = out.map(_.getAs[Long]("doc_id")).toSet
+    assert(sureKeep.subsetOf(accepted),
+      s"${(sureKeep -- accepted).size} sure-keep docs missing")
+  }
 }
