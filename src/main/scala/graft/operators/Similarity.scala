@@ -545,6 +545,132 @@ object Similarity {
               WHERE vec_id < $QUERY_IDS_BELOW) q
         LEFT JOIN hits h ON h.q_id = q.q_id
         ORDER BY q.q_id"""
-      })
+      }),
+
+    // ---------------------------------------------------------------- a08
+    // Product quantization (PQ/ADC): the 64-dim vector splits into M=8
+    // subspaces of 8 dims; each subspace trains K=16 centroids (seeded
+    // from vec_id 0..15's subvectors + one Lloyd iteration, 6-dp-
+    // quantized means — a03's trained-quantizer scheme per subspace) and
+    // every corpus vector encodes to 8 nibble codes, 4 B/vector vs
+    // 256 B raw — the 64× compression that makes billion-vector search
+    // RAM-resident. Search is asymmetric distance computation: each
+    // query builds an 8×16 L2² lookup table against the trained
+    // centroids (broadcast — 128 rows/query), and a candidate's
+    // approximate distance is the sum of its 8 code-indexed entries.
+    // That sum is the cross-engine hazard: 8-term float addition is
+    // order-dependent, so each term is 6-dp-rounded and summed exactly
+    // in DECIMAL(30,6) (the AggFns.dsum scheme) — ranking ties broken
+    // by vec_id, so the full top-k is hash-oracled like a03/a06.
+    // Distances are pure Σ(a−b)² — no division, no zero-vector hazard.
+    "a08_ann_pq" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        // (vec_id, m, sv): the m-th 8-dim subvector of every vector
+        val subv = e.select(col("vec_id"), explode(expr(
+            "transform(sequence(0, 7), m -> named_struct(" +
+              "'m', m, 'sv', transform(slice(embedding, m*8+1, 8), " +
+              "x -> cast(x AS double))))")).as("x"))
+          .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
+        def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v)
+        val seeds = subv.filter(col("vec_id") < 16)
+          .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+        def assign(cents: DataFrame): DataFrame = {
+          val w = Window.partitionBy("m", "vec_id")
+            .orderBy(asc("cd2"), asc("cent_id"))
+          subv.join(broadcast(cents), "m")
+            .select(col("m"), col("vec_id"), col("sv"), col("cent_id"),
+              d2(col("sv"), col("cv")).as("cd2"))
+            .withColumn("ark", row_number().over(w))
+            .filter(col("ark") === 1)
+        }
+        val cents = assign(seeds)
+          .select(col("m"), col("cent_id").as("cell"),
+            posexplode(col("sv")).as(Seq("pos", "v")))
+          .groupBy("m", "cell", "pos")
+          .agg(round(avg("v"), 6).as("mv"))
+          .groupBy("m", "cell")
+          .agg(map_from_arrays(collect_list("pos"), collect_list("mv"))
+            .as("mm"))
+          .select(col("m"), col("cell").as("cent_id"),
+            expr("transform(sequence(0, 7), i -> mm[cast(i AS int)])")
+              .as("cv"))
+        val codes = assign(cents)
+          .filter(col("vec_id") >= QUERY_IDS_BELOW)
+          .select(col("m"), col("vec_id"), col("cent_id").as("code"))
+        val tab = subv.filter(col("vec_id") < QUERY_IDS_BELOW)
+          .join(broadcast(cents), "m")
+          .select(col("vec_id").as("q_id"), col("m").as("qm"),
+            col("cent_id").as("qcent"), d2(col("sv"), col("cv")).as("qd2"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(asc("adc_exact"), asc("vec_id"))
+        codes.join(broadcast(tab),
+            col("m") === col("qm") && col("code") === col("qcent"))
+          .groupBy("q_id", "vec_id")
+          .agg(graft.functions.AggFns.dsumRaw(col("qd2")).as("adc_exact"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= TOPK)
+          .select(col("q_id"), col("vec_id"),
+            col("adc_exact").cast("double").as("adc"), col("rk"))
+          .orderBy("q_id", "rk")
+      },
+      oracle = Some(s"""
+        WITH ms AS (SELECT unnest(range(8)) AS m),
+        subv AS (
+          SELECT e.vec_id, ms.m,
+                 (e.embedding::DOUBLE[])[ms.m*8+1 : ms.m*8+8] AS sv
+          FROM embeddings e CROSS JOIN ms),
+        seeds AS (
+          SELECT m, vec_id AS cent_id, sv AS cv
+          FROM subv WHERE vec_id < 16),
+        a1 AS (
+          SELECT v.m, v.vec_id, v.sv, s.cent_id,
+                 list_sum(list_transform(range(8),
+                   i -> (v.sv[i+1]-s.cv[i+1])*(v.sv[i+1]-s.cv[i+1])))
+                   AS cd2
+          FROM subv v JOIN seeds s ON v.m = s.m),
+        asg1 AS (
+          SELECT m, vec_id, sv, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY m, vec_id
+                ORDER BY cd2 ASC, cent_id) AS ark FROM a1) z
+          WHERE ark = 1),
+        ex AS (SELECT m, cell, unnest(sv) AS v, unnest(range(8)) AS pos
+               FROM asg1),
+        cents AS (
+          SELECT m, cell AS cent_id, list(mv ORDER BY pos) AS cv FROM (
+            SELECT m, cell, pos, round(avg(v), 6) AS mv
+            FROM ex GROUP BY m, cell, pos) mm
+          GROUP BY m, cell),
+        a2 AS (
+          SELECT v.m, v.vec_id, c.cent_id,
+                 list_sum(list_transform(range(8),
+                   i -> (v.sv[i+1]-c.cv[i+1])*(v.sv[i+1]-c.cv[i+1])))
+                   AS cd2
+          FROM subv v JOIN cents c ON v.m = c.m),
+        codes AS (
+          SELECT m, vec_id, cent_id AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY m, vec_id
+                ORDER BY cd2 ASC, cent_id) AS ark FROM a2) z
+          WHERE ark = 1 AND vec_id >= $QUERY_IDS_BELOW),
+        tab AS (
+          SELECT v.vec_id AS q_id, v.m, c.cent_id,
+                 list_sum(list_transform(range(8),
+                   i -> (v.sv[i+1]-c.cv[i+1])*(v.sv[i+1]-c.cv[i+1])))
+                   AS qd2
+          FROM subv v JOIN cents c ON v.m = c.m
+          WHERE v.vec_id < $QUERY_IDS_BELOW),
+        sc AS (
+          SELECT t.q_id, x.vec_id,
+                 ${graft.functions.AggFns.sqlDsumRaw("t.qd2")} AS adc_exact
+          FROM codes x JOIN tab t ON t.m = x.m AND t.cent_id = x.code
+          GROUP BY 1, 2)
+        SELECT q_id, vec_id, CAST(adc_exact AS DOUBLE) AS adc,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY adc_exact ASC, vec_id) AS BIGINT) AS rk
+        FROM sc
+        QUALIFY rk <= $TOPK
+        ORDER BY q_id, rk"""))
   )
 }

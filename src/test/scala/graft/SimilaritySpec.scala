@@ -128,6 +128,32 @@ class SimilaritySpec extends SparkSpecBase {
     assert(recalls.sum / recalls.size >= 0.7)
   }
 
+  test("a08 PQ ranks the identical planted vector first (codes collapse)") {
+    // vec 10 clones query 0's vector, so their 8 subvectors encode to
+    // identical codes and the ADC distance is the minimum achievable —
+    // PQ must put the clone at rank 1 for q0
+    val a08 = run("a08_ann_pq", plantedDir).collect()
+      .filter(r => r.getAs[Long]("q_id") == 0L && r.getAs[Long]("rk") == 1L)
+    assert(a08.length == 1 && a08.head.getAs[Long]("vec_id") == 10L,
+      a08.mkString(";"))
+  }
+
+  test("a08 PQ top-10 keeps usable recall vs exact a01 on sf data") {
+    // embeddings are unit-norm (L2² = 2 − 2·cos), so the ADC ranking is
+    // directly comparable to a01's cosine ranking
+    def top10(name: String) = run(name).collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val exact = top10("a01_ann_bruteforce")
+    val pq = top10("a08_ann_pq")
+    assert(pq.keySet == exact.keySet)
+    val recalls = exact.map { case (q, s) =>
+      pq(q).intersect(s).size.toDouble / s.size }
+    info(f"a08 per-query recall@10: ${recalls.toSeq.sortBy(identity).mkString(", ")}")
+    assert(recalls.sum / recalls.size >= 0.3,
+      s"mean PQ recall ${recalls.sum / recalls.size}")
+  }
+
   test("a07 recall rows = independently recomputed a01 ∩ a02 overlap") {
     def top10(name: String) = run(name).collect()
       .groupBy(_.getAs[Long]("q_id"))
