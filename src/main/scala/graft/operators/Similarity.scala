@@ -577,15 +577,22 @@ object Similarity {
             lit(0.0), (acc, v) => acc + v)
         val seeds = subv.filter(col("vec_id") < 16)
           .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
-        def assign(cents: DataFrame): DataFrame = {
-          val w = Window.partitionBy("m", "vec_id")
-            .orderBy(asc("cd2"), asc("cent_id"))
+        // Nearest-centroid argmin as min(struct(cd2, cent_id, sv)) — the
+        // struct's lexicographic order IS the (cd2 asc, cent_id asc)
+        // ranking (cent_id is unique per m, so sv never gets compared),
+        // and a hash aggregate gets map-side partial min where a
+        // row_number window would full-shuffle all n×8×16 candidate
+        // rows — the difference between a sort and a streaming fold at
+        // a billion vectors.
+        def assign(cents: DataFrame): DataFrame =
           subv.join(broadcast(cents), "m")
-            .select(col("m"), col("vec_id"), col("sv"), col("cent_id"),
-              d2(col("sv"), col("cv")).as("cd2"))
-            .withColumn("ark", row_number().over(w))
-            .filter(col("ark") === 1)
-        }
+            .select(col("m"), col("vec_id"),
+              struct(d2(col("sv"), col("cv")).as("cd2"),
+                col("cent_id").as("cent_id"), col("sv").as("sv")).as("cand"))
+            .groupBy("m", "vec_id")
+            .agg(min(col("cand")).as("b"))
+            .select(col("m"), col("vec_id"), col("b.cent_id").as("cent_id"),
+              col("b.sv").as("sv"))
         val cents = assign(seeds)
           .select(col("m"), col("cent_id").as("cell"),
             posexplode(col("sv")).as(Seq("pos", "v")))
