@@ -136,16 +136,25 @@ object Similarity {
     * rounding-boundary risk at the 1e-6 grid, which is strictly worse.)
     */
   private def ivfTrainedAssigned(e: DataFrame): (DataFrame, DataFrame) = {
-    def assign(cents: DataFrame): DataFrame = {
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(desc("cscore"), asc("cent_id"))
+    // Nearest-centroid argmax as min(struct(−cscore, cent_id, embedding)):
+    // double negation is exact, so struct-asc order IS the old window's
+    // (cscore desc, cent_id asc) — and a hash aggregate gets map-side
+    // partial min where the row_number window full-shuffled all n×8
+    // candidate rows. NULL cosines (zero vectors) coalesce to +∞ so they
+    // still lose to every real score, matching desc NULLS LAST; an
+    // all-zero vector ties every centroid at +∞ and the cent_id
+    // tie-break lands it in the lowest cell, exactly as before.
+    def assign(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("embedding"), col("cent_id"),
-          VectorFns.cosine(col("embedding"), col("cv")).as("cscore"))
-        .withColumn("ark", row_number().over(wAssign))
-        .filter(col("ark") === 1)
-        .select(col("vec_id"), col("embedding"), col("cent_id").as("cell"))
-    }
+        .select(col("vec_id"), struct(
+          coalesce(-VectorFns.cosine(col("embedding"), col("cv")),
+            lit(Double.PositiveInfinity)).as("nscore"),
+          col("cent_id").as("cent_id"),
+          col("embedding").as("embedding")).as("cand"))
+        .groupBy("vec_id")
+        .agg(min(col("cand")).as("b"))
+        .select(col("vec_id"), col("b.embedding").as("embedding"),
+          col("b.cent_id").as("cell"))
     val seeds = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
     // one Lloyd iteration: per-cell per-dimension mean
