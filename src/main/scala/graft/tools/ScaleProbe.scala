@@ -72,7 +72,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.map(_.toLong).toSeq
                 else Seq(25000L, 50000L, 100000L)
-    // which legs to run (comma list: sizes,x02,cc,t07,d06bthr,deliv) —
+    // which legs to run (comma list: sizes,x02,cc,t07,d06bthr,deliv,a08) —
     // lets a harness split the probe across invocations with bounded
     // wall-clock
     val legs = sys.env.getOrElse("SPARK_GRAFT_PROBE_LEGS", "sizes,x02,cc,t07")
@@ -162,6 +162,22 @@ object ScaleProbe {
       def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
       row(n, "d11")(q("d11_dedup_survivors").count())
       row(n, "p09")(q("p09_leakage_safe_split").count())
+      graft.operators.HotCache.releaseAll()
+    }
+    // a08 PQ leg: train 8×16 subspace centroids, encode the corpus to
+    // nibble codes, ADC-score 5 queries × top-10. Output is CONSTANT
+    // (50 rows) at every corpus size, so the scaling claim is pure work
+    // metrics: cpu must grow ~linearly in n (two assign passes + the
+    // code join) and shuffle stays near-flat — codes are 4 B/vector and
+    // the 8×16 tables broadcast, which is the whole point of PQ at a
+    // billion vectors.
+    println(f"${"vecs"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("a08")) {
+      val dir = s"/tmp/graft-probe-$n"
+      genEmb(spark, n, dir)
+      row(n, "a08")(
+        graft.SparkEntry.queries("a08_ann_pq")(spark, dir).count())
       graft.operators.HotCache.releaseAll()
     }
     // d06b threshold leg: the demo 0.3 threshold keeps random 64-dim
