@@ -569,6 +569,55 @@ object Dedup {
         WHERE l.doc_id IS NULL
         ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- d12
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup: Data-
+    // efficient learning at web-scale through semantic deduplication"):
+    // block by TRAINED k-means cell (the a03 coarse quantizer, shared
+    // with a09), verify within-cell pairs by exact cosine, and report
+    // every vector that has a lower-id near-duplicate in its cell — the
+    // removal list under min-id survivorship. Differs from d06 (label-
+    // blocked exact baseline) and d06b (random-hyperplane buckets): the
+    // blocking here is LEARNED from the data, which is what SemDeDup
+    // exploits — semantically close vectors concentrate in one cell, so
+    // the verify touches ~n²/k pairs instead of n².
+    //
+    // Output is integer-safe (vec_id, cell, n_near, dup_of): counts and
+    // ids only, no float column — the threshold compare on the raw
+    // cosine is the single cross-engine float decision, same exposure
+    // d06 already carries (sf margins are orders above ulp noise).
+    //
+    // Scale: within-cell pairing is quadratic in cell size BY DESIGN
+    // (SemDeDup's verify step); the knob is k — production runs
+    // k ≈ n / target_cell_size (SemDeDup uses ~10⁵ clusters for LAION-
+    // scale corpora) so per-cell work is bounded and cells verify
+    // embarrassingly parallel. The demo pins the shared 8-cell trained
+    // quantizer for oracle parity.
+    "d12_semantic_dedup" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val (_, assigned) = Similarity.ivfTrainedAssigned(e)
+        val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+          col("embedding").as("av"))
+        val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+          col("embedding").as("bv"))
+        a.join(b, "cell").filter(col("a_id") < col("b_id"))
+          .filter(VectorFns.cosine(col("av"), col("bv")) >= 0.3)
+          .groupBy(col("b_id"), col("cell"))
+          .agg(count(lit(1)).as("n_near"), min("a_id").as("dup_of"))
+          .select(col("b_id").as("vec_id"), col("cell"), col("n_near"),
+            col("dup_of"))
+          .orderBy("vec_id")
+      },
+      oracle = Some(s"""${Similarity.IVF_ORACLE_CTES},
+        pr AS (
+          SELECT a.cell, a.vec_id AS a_id, b.vec_id AS b_id
+          FROM asg2 a JOIN asg2 b
+            ON a.cell = b.cell AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]) >= 0.3)
+        SELECT b_id AS vec_id, cell, count(*) AS n_near, min(a_id) AS dup_of
+        FROM pr GROUP BY b_id, cell ORDER BY vec_id""")),
+
     // --------------------------------------------------------------- d06b
     // The 100 TB path for embedding near-dup: (label × hyperplane-LSH
     // bucket) blocking with 1-bit multi-probe, then the SAME exact cosine

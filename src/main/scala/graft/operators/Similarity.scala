@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFns
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -83,9 +83,9 @@ object Similarity {
 
   /** Oracle-side twin of [[ivfTrainedAssigned]]: seeds → first
     * assignment → 6-dp-quantized Lloyd means → re-assignment (asg2).
-    * Shared CTE prefix of the a03 and a03b oracles.
+    * Shared CTE prefix of the a03/a03b/a09 oracles and d12's.
     */
-  private val IVF_ORACLE_CTES: String = """
+  private[operators] val IVF_ORACLE_CTES: String = """
         WITH seeds AS (
           SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
           FROM embeddings WHERE vec_id < 8),
@@ -135,7 +135,8 @@ object Similarity {
     * cross-engine noise. (Quantizing asg1 too would trade this for
     * rounding-boundary risk at the 1e-6 grid, which is strictly worse.)
     */
-  private def ivfTrainedAssigned(e: DataFrame): (DataFrame, DataFrame) = {
+  private[operators] def ivfTrainedAssigned(
+      e: DataFrame): (DataFrame, DataFrame) = {
     // Nearest-centroid argmax as min(struct(−cscore, cent_id, embedding)):
     // double negation is exact, so struct-asc order IS the old window's
     // (cscore desc, cent_id asc) — and a hash aggregate gets map-side
@@ -168,6 +169,107 @@ object Similarity {
         expr("transform(sequence(0, 63), i -> m[cast(i AS int)])").as("cv"))
     (trained, assign(trained))
   }
+
+  /** (vec_id, keep..., m, sv): the m-th 8-dim subvector (doubles) of
+    * every vector — the PQ decomposition shared by a08 and a09. `keep`
+    * carries extra per-vector columns (a09 threads the coarse cell
+    * through so codes land in inverted-list layout with no extra join).
+    */
+  private def subvectors(df: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    df.select(col("vec_id") +: keep.map(col) :+ explode(expr(
+        "transform(sequence(0, 7), m -> named_struct(" +
+          "'m', m, 'sv', transform(slice(embedding, m*8+1, 8), " +
+          "x -> cast(x AS double))))")).as("x"): _*)
+      .select(col("vec_id") +: keep.map(col) ++:
+        Seq(col("x.m").as("m"), col("x.sv").as("sv")): _*)
+
+  /** Σ(a−b)² over two same-length double arrays (pure, no division). */
+  private def sqd2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Nearest-PQ-centroid per (m, vec_id) as min(struct(cd2, cent_id,
+    * sv, keep...)): the struct's lexicographic order IS the (cd2 asc,
+    * cent_id asc) ranking (cent_id is unique per m, so the tail is
+    * never compared), and a hash aggregate gets map-side partial min
+    * where a row_number window would full-shuffle all n×8×16 candidate
+    * rows — the difference between a sort and a streaming fold at a
+    * billion vectors. Returns (m, vec_id, cent_id, sv, keep...).
+    */
+  private def pqNearest(subv: DataFrame, cents: DataFrame,
+      keep: Seq[String] = Nil): DataFrame =
+    subv.join(broadcast(cents), "m")
+      .select(col("m"), col("vec_id"),
+        struct(sqd2(col("sv"), col("cv")).as("cd2") +:
+          col("cent_id").as("cent_id") +: col("sv").as("sv") +:
+          keep.map(k => col(k).as(k)): _*).as("cand"))
+      .groupBy("m", "vec_id")
+      .agg(min(col("cand")).as("b"))
+      .select(Seq(col("m"), col("vec_id"), col("b.cent_id").as("cent_id"),
+        col("b.sv").as("sv")) ++ keep.map(k => col(s"b.$k").as(k)): _*)
+
+  /** Trained PQ codebook (m, cent_id, cv): per subspace, 16 centroids
+    * seeded from vec_id 0..15's subvectors + one Lloyd iteration with
+    * 6-dp-quantized means (a03's trained-quantizer scheme per
+    * subspace). Shared by a08 and a09 — training always runs on the
+    * FULL corpus subvectors so both operators score against the same
+    * codebook construction.
+    */
+  private def pqCodebook(subv: DataFrame): DataFrame = {
+    val seeds = subv.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
+    pqNearest(subv, seeds)
+      .select(col("m"), col("cent_id").as("cell"),
+        posexplode(col("sv")).as(Seq("pos", "v")))
+      .groupBy("m", "cell", "pos")
+      .agg(round(avg("v"), 6).as("mv"))
+      .groupBy("m", "cell")
+      .agg(map_from_arrays(collect_list("pos"), collect_list("mv"))
+        .as("mm"))
+      .select(col("m"), col("cell").as("cent_id"),
+        expr("transform(sequence(0, 7), i -> mm[cast(i AS int)])")
+          .as("cv"))
+  }
+
+  /** Oracle-side twin of the PQ training + corpus encode (p-prefixed
+    * CTE names so it composes with [[IVF_ORACLE_CTES]] in a09's
+    * oracle): psubv = subvector decomposition, pcents = trained
+    * codebook, pa2 = re-assignment distances. Consumers derive `codes`
+    * and the per-query `tab` from these.
+    */
+  private val PQ_ORACLE_CTES: String = s"""
+        pms AS (SELECT unnest(range(8)) AS m),
+        psubv AS (
+          SELECT e.vec_id, pms.m,
+                 (e.embedding::DOUBLE[])[pms.m*8+1 : pms.m*8+8] AS sv
+          FROM embeddings e CROSS JOIN pms),
+        pseeds AS (
+          SELECT m, vec_id AS cent_id, sv AS cv
+          FROM psubv WHERE vec_id < 16),
+        pa1 AS (
+          SELECT v.m, v.vec_id, v.sv, s.cent_id,
+                 list_sum(list_transform(range(8),
+                   i -> (v.sv[i+1]-s.cv[i+1])*(v.sv[i+1]-s.cv[i+1])))
+                   AS cd2
+          FROM psubv v JOIN pseeds s ON v.m = s.m),
+        pasg1 AS (
+          SELECT m, vec_id, sv, cent_id AS cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY m, vec_id
+                ORDER BY cd2 ASC, cent_id) AS ark FROM pa1) z
+          WHERE ark = 1),
+        pex AS (SELECT m, cell, unnest(sv) AS v, unnest(range(8)) AS pos
+                FROM pasg1),
+        pcents AS (
+          SELECT m, cell AS cent_id, list(mv ORDER BY pos) AS cv FROM (
+            SELECT m, cell, pos, round(avg(v), 6) AS mv
+            FROM pex GROUP BY m, cell, pos) mm
+          GROUP BY m, cell),
+        pa2 AS (
+          SELECT v.m, v.vec_id, c.cent_id,
+                 list_sum(list_transform(range(8),
+                   i -> (v.sv[i+1]-c.cv[i+1])*(v.sv[i+1]-c.cv[i+1])))
+                   AS cd2
+          FROM psubv v JOIN pcents c ON v.m = c.m)"""
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -575,51 +677,15 @@ object Similarity {
     "a08_ann_pq" -> QueryDef(
       build = (s, d) => {
         val e = t(s, d, "embeddings")
-        // (vec_id, m, sv): the m-th 8-dim subvector of every vector
-        val subv = e.select(col("vec_id"), explode(expr(
-            "transform(sequence(0, 7), m -> named_struct(" +
-              "'m', m, 'sv', transform(slice(embedding, m*8+1, 8), " +
-              "x -> cast(x AS double))))")).as("x"))
-          .select(col("vec_id"), col("x.m").as("m"), col("x.sv").as("sv"))
-        def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, v) => acc + v)
-        val seeds = subv.filter(col("vec_id") < 16)
-          .select(col("m"), col("vec_id").as("cent_id"), col("sv").as("cv"))
-        // Nearest-centroid argmin as min(struct(cd2, cent_id, sv)) — the
-        // struct's lexicographic order IS the (cd2 asc, cent_id asc)
-        // ranking (cent_id is unique per m, so sv never gets compared),
-        // and a hash aggregate gets map-side partial min where a
-        // row_number window would full-shuffle all n×8×16 candidate
-        // rows — the difference between a sort and a streaming fold at
-        // a billion vectors.
-        def assign(cents: DataFrame): DataFrame =
-          subv.join(broadcast(cents), "m")
-            .select(col("m"), col("vec_id"),
-              struct(d2(col("sv"), col("cv")).as("cd2"),
-                col("cent_id").as("cent_id"), col("sv").as("sv")).as("cand"))
-            .groupBy("m", "vec_id")
-            .agg(min(col("cand")).as("b"))
-            .select(col("m"), col("vec_id"), col("b.cent_id").as("cent_id"),
-              col("b.sv").as("sv"))
-        val cents = assign(seeds)
-          .select(col("m"), col("cent_id").as("cell"),
-            posexplode(col("sv")).as(Seq("pos", "v")))
-          .groupBy("m", "cell", "pos")
-          .agg(round(avg("v"), 6).as("mv"))
-          .groupBy("m", "cell")
-          .agg(map_from_arrays(collect_list("pos"), collect_list("mv"))
-            .as("mm"))
-          .select(col("m"), col("cell").as("cent_id"),
-            expr("transform(sequence(0, 7), i -> mm[cast(i AS int)])")
-              .as("cv"))
-        val codes = assign(cents)
+        val subv = subvectors(e)
+        val cents = pqCodebook(subv)
+        val codes = pqNearest(subv, cents)
           .filter(col("vec_id") >= QUERY_IDS_BELOW)
           .select(col("m"), col("vec_id"), col("cent_id").as("code"))
         val tab = subv.filter(col("vec_id") < QUERY_IDS_BELOW)
           .join(broadcast(cents), "m")
           .select(col("vec_id").as("q_id"), col("m").as("qm"),
-            col("cent_id").as("qcent"), d2(col("sv"), col("cv")).as("qd2"))
+            col("cent_id").as("qcent"), sqd2(col("sv"), col("cv")).as("qd2"))
         val w = Window.partitionBy("q_id")
           .orderBy(asc("adc_exact"), asc("vec_id"))
         codes.join(broadcast(tab),
@@ -633,54 +699,103 @@ object Similarity {
           .orderBy("q_id", "rk")
       },
       oracle = Some(s"""
-        WITH ms AS (SELECT unnest(range(8)) AS m),
-        subv AS (
-          SELECT e.vec_id, ms.m,
-                 (e.embedding::DOUBLE[])[ms.m*8+1 : ms.m*8+8] AS sv
-          FROM embeddings e CROSS JOIN ms),
-        seeds AS (
-          SELECT m, vec_id AS cent_id, sv AS cv
-          FROM subv WHERE vec_id < 16),
-        a1 AS (
-          SELECT v.m, v.vec_id, v.sv, s.cent_id,
-                 list_sum(list_transform(range(8),
-                   i -> (v.sv[i+1]-s.cv[i+1])*(v.sv[i+1]-s.cv[i+1])))
-                   AS cd2
-          FROM subv v JOIN seeds s ON v.m = s.m),
-        asg1 AS (
-          SELECT m, vec_id, sv, cent_id AS cell FROM (
-            SELECT *, row_number() OVER (PARTITION BY m, vec_id
-                ORDER BY cd2 ASC, cent_id) AS ark FROM a1) z
-          WHERE ark = 1),
-        ex AS (SELECT m, cell, unnest(sv) AS v, unnest(range(8)) AS pos
-               FROM asg1),
-        cents AS (
-          SELECT m, cell AS cent_id, list(mv ORDER BY pos) AS cv FROM (
-            SELECT m, cell, pos, round(avg(v), 6) AS mv
-            FROM ex GROUP BY m, cell, pos) mm
-          GROUP BY m, cell),
-        a2 AS (
-          SELECT v.m, v.vec_id, c.cent_id,
-                 list_sum(list_transform(range(8),
-                   i -> (v.sv[i+1]-c.cv[i+1])*(v.sv[i+1]-c.cv[i+1])))
-                   AS cd2
-          FROM subv v JOIN cents c ON v.m = c.m),
+        WITH $PQ_ORACLE_CTES,
         codes AS (
           SELECT m, vec_id, cent_id AS code FROM (
             SELECT *, row_number() OVER (PARTITION BY m, vec_id
-                ORDER BY cd2 ASC, cent_id) AS ark FROM a2) z
+                ORDER BY cd2 ASC, cent_id) AS ark FROM pa2) z
           WHERE ark = 1 AND vec_id >= $QUERY_IDS_BELOW),
         tab AS (
           SELECT v.vec_id AS q_id, v.m, c.cent_id,
                  list_sum(list_transform(range(8),
                    i -> (v.sv[i+1]-c.cv[i+1])*(v.sv[i+1]-c.cv[i+1])))
                    AS qd2
-          FROM subv v JOIN cents c ON v.m = c.m
+          FROM psubv v JOIN pcents c ON v.m = c.m
           WHERE v.vec_id < $QUERY_IDS_BELOW),
         sc AS (
           SELECT t.q_id, x.vec_id,
                  ${graft.functions.AggFns.sqlDsumRaw("t.qd2")} AS adc_exact
           FROM codes x JOIN tab t ON t.m = x.m AND t.cent_id = x.code
+          GROUP BY 1, 2)
+        SELECT q_id, vec_id, CAST(adc_exact AS DOUBLE) AS adc,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY adc_exact ASC, vec_id) AS BIGINT) AS rk
+        FROM sc
+        QUALIFY rk <= $TOPK
+        ORDER BY q_id, rk""")),
+
+    // ---------------------------------------------------------------- a09
+    // IVF + PQ (IVFADC, Jégou et al. 2011 "Product Quantization for
+    // Nearest Neighbor Search"): the billion-vector serving layout.
+    // a03's trained coarse quantizer prunes the candidate set to the
+    // query's cell; a08's PQ codes + broadcast ADC tables score the
+    // survivors without touching raw vectors. The corpus encode is ONE
+    // fused pass — subvectors are derived from the coarse assignment
+    // with the cell carried through the min-struct hash aggregate, so
+    // codes emerge already in inverted-list layout (cell, 8 nibbles):
+    // at scale that's a codes table partitioned by cell, 4 B/vector,
+    // probed per query without a join against a separate assignment.
+    // (Production IVFADC encodes residuals vector − coarse_centroid;
+    // here the codebook is shared verbatim with a08 so both score
+    // against the same trained quantizer — the pruning, not the
+    // residual, is what this operator adds.)
+    // ADC sums run exactly in DECIMAL(30,6) (AggFns.dsum scheme) with
+    // vec_id tie-breaks, so the full per-cell top-k is hash-oracled.
+    "a09_ann_ivfpq" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val (_, assigned) = ivfTrainedAssigned(e)
+        val subvAll = subvectors(e)
+        val cents = pqCodebook(subvAll)
+        val codes = pqNearest(
+            subvectors(assigned.filter(col("vec_id") >= QUERY_IDS_BELOW),
+              keep = Seq("cell")), cents, keep = Seq("cell"))
+          .select(col("m"), col("vec_id"), col("cell"),
+            col("cent_id").as("code"))
+        val qcell = assigned.filter(col("vec_id") < QUERY_IDS_BELOW)
+          .select(col("vec_id").as("q_id"), col("cell").as("q_cell"))
+        val tab = subvAll.filter(col("vec_id") < QUERY_IDS_BELOW)
+          .join(broadcast(cents), "m")
+          .select(col("vec_id").as("q_id"), col("m").as("qm"),
+            col("cent_id").as("qcent"), sqd2(col("sv"), col("cv")).as("qd2"))
+          .join(broadcast(qcell), "q_id")
+        val w = Window.partitionBy("q_id")
+          .orderBy(asc("adc_exact"), asc("vec_id"))
+        codes.join(broadcast(tab),
+            col("m") === col("qm") && col("code") === col("qcent") &&
+              col("cell") === col("q_cell"))
+          .groupBy("q_id", "vec_id")
+          .agg(graft.functions.AggFns.dsumRaw(col("qd2")).as("adc_exact"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= TOPK)
+          .select(col("q_id"), col("vec_id"),
+            col("adc_exact").cast("double").as("adc"), col("rk"))
+          .orderBy("q_id", "rk")
+      },
+      oracle = Some(s"""$IVF_ORACLE_CTES,
+        $PQ_ORACLE_CTES,
+        pcodes AS (
+          SELECT z.m, z.vec_id, z.cent_id AS code, g.cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY m, vec_id
+                ORDER BY cd2 ASC, cent_id) AS ark FROM pa2) z
+          JOIN asg2 g ON g.vec_id = z.vec_id
+          WHERE z.ark = 1 AND z.vec_id >= $QUERY_IDS_BELOW),
+        qcell AS (SELECT vec_id AS q_id, cell AS q_cell FROM asg2
+                  WHERE vec_id < $QUERY_IDS_BELOW),
+        tab AS (
+          SELECT v.vec_id AS q_id, v.m, c.cent_id,
+                 list_sum(list_transform(range(8),
+                   i -> (v.sv[i+1]-c.cv[i+1])*(v.sv[i+1]-c.cv[i+1])))
+                   AS qd2
+          FROM psubv v JOIN pcents c ON v.m = c.m
+          WHERE v.vec_id < $QUERY_IDS_BELOW),
+        sc AS (
+          SELECT t.q_id, x.vec_id,
+                 ${graft.functions.AggFns.sqlDsumRaw("t.qd2")} AS adc_exact
+          FROM pcodes x
+          JOIN qcell qc ON qc.q_cell = x.cell
+          JOIN tab t ON t.q_id = qc.q_id AND t.m = x.m
+                    AND t.cent_id = x.code
           GROUP BY 1, 2)
         SELECT q_id, vec_id, CAST(adc_exact AS DOUBLE) AS adc,
                CAST(row_number() OVER (PARTITION BY q_id

@@ -493,6 +493,57 @@ object TrainingPipeline {
           FROM documents)
         SELECT doc_id, source, n_tok, n_stop FROM f
         WHERE v * n_tok < 1024 * n_stop
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- p11
+    // Dedup-savings report per source — the curation metric a corpus
+    // owner reads before paying for a dedup run: under d01's exact
+    // dedup with global min-doc_id survivorship, how many documents and
+    // TOKENS does each source lose? (Token-weighted, because a source
+    // whose dups are its longest docs shrinks far more than its doc
+    // count suggests.) All-integer output; tokenization is t01's exact
+    // whitespace split, digests are d01's md5 — drift against either
+    // operator is structurally impossible only for md5 (shared
+    // expression); the token split is pinned by the oracle.
+    //
+    // Scale: ONE corpus scan → one hash shuffle on the digest (same key
+    // d01 shuffles on) carrying only (digest, doc_id, source, n_tok) —
+    // the unordered min-window needs no sort buffer beyond the hash
+    // partition — then a map-side-partial agg on source. No joins, no
+    // second scan.
+    "p11_dedup_savings" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            md5(col("text").cast("binary")).as("h"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tok"))
+        val removed = col("doc_id") =!=
+          min("doc_id").over(Window.partitionBy("h"))
+        docs.withColumn("removed", removed)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_tok").as("n_tokens"),
+            sum(when(col("removed"), 1L).otherwise(0L)).as("dup_docs"),
+            sum(when(col("removed"), col("n_tok")).otherwise(0L))
+              .as("dup_tokens"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, source, md5(text) AS h,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS n_tok
+          FROM documents),
+        k AS (
+          SELECT source, n_tok,
+                 doc_id <> min(doc_id) OVER (PARTITION BY h) AS removed
+          FROM d)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_docs,
+               CAST(sum(CASE WHEN removed THEN n_tok ELSE 0 END) AS BIGINT)
+                 AS dup_tokens
+        FROM k GROUP BY source ORDER BY source"""))
   )
 }

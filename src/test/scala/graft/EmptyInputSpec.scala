@@ -34,7 +34,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "p02_seq_pack", "p03_domain_mix", "p04_repetition_score",
     "p05_source_overlap", "p06_prep_pipeline", "p06b_prep_pipeline_cached",
     "p07_token_budget", "p08_contamination_attribution", "d10_incremental_dedup",
-    "t07_token_familiarity", "d11_dedup_survivors", "p09_leakage_safe_split")
+    "t07_token_familiarity", "d11_dedup_survivors", "p09_leakage_safe_split",
+    "p11_dedup_savings")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

@@ -154,6 +154,50 @@ class SimilaritySpec extends SparkSpecBase {
       s"mean PQ recall ${recalls.sum / recalls.size}")
   }
 
+  test("a09 IVF+PQ ranks the identical planted vector first in its cell") {
+    // vec 10 clones query 0: identical cosine profile → same coarse
+    // cell, identical PQ codes → minimum ADC distance → rank 1
+    val rows = run("a09_ann_ivfpq", plantedDir).collect()
+      .filter(r => r.getAs[Long]("q_id") == 0L && r.getAs[Long]("rk") == 1L)
+    assert(rows.length == 1 && rows.head.getAs[Long]("vec_id") == 10L,
+      rows.mkString(";"))
+  }
+
+  test("a09 agrees with a08 on shared hits and keeps usable recall vs a01") {
+    def rows(name: String) = run(name).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("adc"))
+    val pq = rows("a08_ann_pq").toMap
+    val ivfpq = rows("a09_ann_ivfpq")
+    // shared (q, vec) hits score IDENTICALLY — same trained codebook,
+    // same exact-decimal ADC sum; a09 only prunes candidates
+    ivfpq.foreach { case (k, adc) =>
+      pq.get(k).foreach(a => assert(a == adc, s"$k: a09 adc $adc, a08 $a")) }
+    val exact = run("a01_ann_bruteforce").collect()
+      .groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val got = ivfpq.map(_._1).groupBy(_._1)
+      .map { case (q, ks) => q -> ks.map(_._2).toSet }
+    val recalls = exact.map { case (q, s) =>
+      got.getOrElse(q, Set.empty).intersect(s).size.toDouble / s.size }
+    info(f"a09 per-query recall@10: ${recalls.toSeq.sortBy(identity).mkString(", ")}")
+    assert(recalls.sum / recalls.size >= 0.2,
+      s"mean IVF+PQ recall ${recalls.sum / recalls.size}")
+  }
+
+  test("d12 semantic dedup flags the planted clone with its original as rep") {
+    val out = run("d12_semantic_dedup", plantedDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("n_near"), r.getAs[Long]("dup_of"))).toMap
+    // vec 10 clones vec 0 (cos exactly 1): same trained cell, removed
+    // under min-id survivorship with vec 0 as its representative
+    assert(out.contains(10L), s"clone not flagged: $out")
+    assert(out(10L)._2 == 0L, s"clone rep: ${out(10L)}")
+    // removal-list invariants: a rep is always a lower id, counts >= 1
+    out.foreach { case (v, (n, rep)) =>
+      assert(rep < v && n >= 1L, s"vec $v: n_near $n, dup_of $rep") }
+  }
+
   test("a07 recall rows = independently recomputed a01 ∩ a02 overlap") {
     def top10(name: String) = run(name).collect()
       .groupBy(_.getAs[Long]("q_id"))

@@ -180,6 +180,26 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(out(3L) == ((1L, 1L, 0L, 0L, 0))) // present, not silently dropped
   }
 
+  test("p11 dedup savings match hand-computed token-weighted removal") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tpipe11").toString
+    Seq(
+      (1L, "aa bb cc", "s1"), // canonical copy (min id of its digest)
+      (2L, "aa bb cc", "s2"), // dup of 1 -> s2 loses 3 tokens
+      (3L, "dd ee", "s1"),    // unique
+      (4L, "aa bb cc", "s1"), // dup of 1 -> s1 loses 3 tokens
+      (5L, "ff", "s2"))       // unique
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = run("p11_dedup_savings", dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+         r.getAs[Long]("dup_docs"), r.getAs[Long]("dup_tokens"))).toMap
+    assert(out("s1") == ((3L, 8L, 1L, 3L)), out.toString)
+    assert(out("s2") == ((2L, 4L, 1L, 3L)), out.toString)
+  }
+
   test("p09 split never straddles a dup group and covers every doc once") {
     val docs = graft.Tables(spark, sf, "documents")
     val out = run("p09_leakage_safe_split").collect()
