@@ -30,6 +30,24 @@ object Tables {
   }
 }
 
+/** Timestamp arithmetic helpers shared by the event/temporal operators. */
+object Timestamps {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{lit, unix_micros}
+
+  /** Epoch seconds as DOUBLE, matching DuckDB's epoch(CAST(ts AS
+    * TIMESTAMP)): micros (exact integer < 2^53) divided by 1e6 in one IEEE
+    * rounding. A direct `ts.cast("double")` is DATATYPE_MISMATCH when the
+    * parquet column arrives as TIMESTAMP_NTZ (pandas-written files carry
+    * isAdjustedToUTC=false, which Spark 4 reads as NTZ by default); the
+    * NTZ->TIMESTAMP cast below is exact because every graft session pins
+    * spark.sql.session.timeZone=UTC, and it is a no-op when the column is
+    * already TIMESTAMP.
+    */
+  def epochSec(c: Column): Column =
+    unix_micros(c.cast("timestamp")).cast("double") / lit(1e6)
+}
+
 /** Tuned local session for tests; Verify/Bench build their own (driver
   * contract) with the same switches. AQE is on everywhere: it coalesces
   * post-shuffle partitions and splits skewed ones — the Spark-native

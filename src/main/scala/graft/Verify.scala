@@ -35,13 +35,27 @@ object Verify {
           System.err.println(s"[verify] oracle-bound check errored: ${e.getMessage}")
           Set.empty
       }
+    // A failed query must still leave a dump: the drop-the-key alternative
+    // makes the correctness artifact silently overstate coverage (r8: three
+    // analyzer-rejected queries were simply absent from CORRECTNESS_r08).
+    // The marker's schema can never match an oracle, so the key shows up as
+    // an explicit red row on every downstream compare.
+    def errorMarker(name: String, msg: String): Unit =
+      try {
+        import spark.implicits._
+        Seq(msg.take(500)).toDF("__graft_error")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case scala.util.control.NonFatal(_) => () }
     SparkEntry.queries.foreach { case (name, fn) =>
-      if (planeSkip(name))
+      if (planeSkip(name)) {
         System.err.println(s"[verify] $name skipped: pinned-plane oracle invalid for this corpus")
+        errorMarker(name, "pinned-plane oracle invalid for this corpus")
+      }
       else try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errorMarker(name, Option(e.getMessage).getOrElse(e.getClass.getName))
       }
     }
     graft.operators.HotCache.releaseAll() // cached intermediates (d09, p06b)

@@ -63,7 +63,8 @@ object EventsOps {
           .withColumn("prev_ts", lag("ts", 1).over(byUser))
           .withColumn("new_session",
             when(col("prev_ts").isNull ||
-              col("ts").cast("double") - col("prev_ts").cast("double") > 1800,
+              graft.Timestamps.epochSec(col("ts")) -
+                graft.Timestamps.epochSec(col("prev_ts")) > 1800,
               lit(1L)).otherwise(lit(0L)))
           .withColumn("session_id", sum("new_session").over(byUser))
           .groupBy("user_id")
@@ -146,7 +147,8 @@ object EventsOps {
         val ev = t(s, d, "events")
           .filter(col("user_id") % 50 === 0)
           .select(col("user_id"),
-            floor(col("ts").cast("double") / 3600).cast("long").as("hr"))
+            floor(graft.Timestamps.epochSec(col("ts")) / 3600)
+              .cast("long").as("hr"))
         val counts = ev.groupBy("user_id", "hr").agg(count(lit(1)).as("n"))
         val grid = counts.groupBy("user_id")
           .agg(min("hr").as("h0"), max("hr").as("h1"))

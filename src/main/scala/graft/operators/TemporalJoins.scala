@@ -118,12 +118,12 @@ object TemporalJoins {
       build = (s, d) => {
         val ev = t(s, d, "events")
         val views = ev.filter(col("event_type") === "view")
-          .select(col("user_id"), col("ts").cast("double").as("tv"))
+          .select(col("user_id"), graft.Timestamps.epochSec(col("ts")).as("tv"))
           .withColumn("bucket",
             explode(array(floor(col("tv") / 3600).cast("long"),
               floor(col("tv") / 3600).cast("long") + 1)))
         val purchases = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts").cast("double").as("tp"))
+          .select(col("user_id"), graft.Timestamps.epochSec(col("ts")).as("tp"))
           .withColumn("bucket", floor(col("tp") / 3600).cast("long"))
         views.join(purchases, Seq("user_id", "bucket"))
           .filter(col("tp") >= col("tv") && col("tp") - col("tv") <= 3600)

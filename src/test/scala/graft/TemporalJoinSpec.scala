@@ -25,22 +25,32 @@ class TemporalJoinSpec extends SparkSpecBase {
       (2L, 300L, None, None)))           // key with no right rows
   }
 
+  // testdata ts arrives as TIMESTAMP, TIMESTAMP_NTZ, or nanos-long
+  // depending on the writer; collect() surfaces the first two as
+  // java.sql.Timestamp vs java.time.LocalDateTime respectively.
+  private def micros(a: Any): Long = a match {
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    case d: java.time.LocalDateTime =>
+      d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    case x => sys.error(s"unexpected timestamp class ${x.getClass}")
+  }
+
   test("q33 as-of: click_ts <= purchase ts whenever present") {
     val rows = run("q33_asof_join").collect()
     assert(rows.nonEmpty)
     assert(rows.forall { r =>
       r.isNullAt(r.fieldIndex("click_ts")) ||
-        !r.getAs[java.sql.Timestamp]("click_ts")
-          .after(r.getAs[java.sql.Timestamp]("ts"))
+        micros(r.getAs[Any]("click_ts")) <= micros(r.getAs[Any]("ts"))
     })
   }
 
   test("q34 interval join equals the naive inequality join on sf data") {
     val ev = Tables(spark, sf, "events")
     val v = ev.filter(col("event_type") === "view")
-      .select(col("user_id"), col("ts").cast("double").as("tv"))
+      .select(col("user_id"), Timestamps.epochSec(col("ts")).as("tv"))
     val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("pu"), col("ts").cast("double").as("tp"))
+      .select(col("user_id").as("pu"), Timestamps.epochSec(col("ts")).as("tp"))
     val naive = v.join(p, col("user_id") === col("pu") &&
         col("tp") >= col("tv") && col("tp") - col("tv") <= 3600)
       .groupBy("user_id").agg(count(lit(1)).as("n_pairs"))

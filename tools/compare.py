@@ -35,10 +35,22 @@ for name in sorted(oracle):
         print(f"FAIL {name}: duckdb error {e}")
         fail += 1
         continue
-    sdf = pd.concat([pd.read_parquet(p) for p in
-                     sorted(glob.glob(f"{vout}/{name}/*.parquet"))],
-                    ignore_index=True) if glob.glob(f"{vout}/{name}/*.parquet") \
-        else pd.read_parquet(f"{vout}/{name}")
+    try:
+        sdf = pd.concat([pd.read_parquet(p) for p in
+                         sorted(glob.glob(f"{vout}/{name}/*.parquet"))],
+                        ignore_index=True) if glob.glob(f"{vout}/{name}/*.parquet") \
+            else pd.read_parquet(f"{vout}/{name}")
+    except Exception as e:
+        # A query that crashed in Verify leaves NO dump (or an unreadable
+        # one); that must be a loud failure, not a silently absent key.
+        print(f"FAIL {name}: spark dump missing/unreadable ({e})")
+        fail += 1
+        continue
+    if list(sdf.columns) == ["__graft_error"]:
+        msg = sdf["__graft_error"].iloc[0] if len(sdf) else "?"
+        print(f"FAIL {name}: spark query errored in Verify: {msg}")
+        fail += 1
+        continue
     ddf = ddf.reindex(sorted(ddf.columns), axis=1)
     sdf = sdf.reindex(sorted(sdf.columns), axis=1)
     if list(ddf.columns) != list(sdf.columns):
