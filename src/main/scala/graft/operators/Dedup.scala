@@ -835,7 +835,65 @@ object Dedup {
         SELECT a_id, b_id, cos, """ +
         sqlExactJaccard4("inter", "uni") + """ AS jaccard
         FROM jv WHERE inter * 2 >= uni
-        ORDER BY a_id, b_id"""))
+        ORDER BY a_id, b_id""")),
+
+    // ---------------------------------------------------------------- d13
+    // SPAN-level duplication audit (exact-substring dedup lite, the
+    // Lee et al. 2022 "Deduplicating Training Data" shape): for every
+    // doc, how many of its distinct 16-token spans also appear in some
+    // OTHER doc — boilerplate headers, licence blocks and quoted chunks
+    // that doc-level dedup (d01–d05) never sees. `dup_heavy` flags docs
+    // whose shared-span mass is over half their span set: the removal
+    // candidates a span-dedup pass would rewrite.
+    //
+    // Scale shape: spans are md5-hashed map-side (distinct per doc, so
+    // a doc repeating its own boilerplate internally counts once), the
+    // doc-frequency rollup and the shared-join are both keyed by the
+    // 128-bit span hash — work is linear in corpus span volume, never
+    // doc pairs. The span→doc-frequency table is the same cardinality
+    // class as t07's vocab table; per-key fan-in on the join-back is
+    // bounded by true span popularity (a licence block shared by 10^6
+    // docs lands in one AQE-splittable key, not a cross product).
+    "d13_span_dedup" -> QueryDef(
+      build = (s, d) => {
+        val spans = t(s, d, "documents")
+          .select(col("doc_id"),
+            graft.functions.TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 16)
+          .select(col("doc_id"), explode(array_distinct(
+            transform(graft.functions.TextFns.shingles(col("tk"), 16),
+              g => md5(g.cast("binary"))))).as("h"))
+        val shared = spans.groupBy("h").agg(count(lit(1)).as("nd"))
+          .filter(col("nd") >= 2).select("h")
+        val perDoc = spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"))
+        val sharedPerDoc = spans.join(shared, "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        perDoc.join(sharedPerDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_spans"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            (coalesce(col("n_shared"), lit(0L)) * 2 > col("n_spans"))
+              .as("dup_heavy"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        sp AS (
+          SELECT DISTINCT doc_id, md5(array_to_string(t[i+1:i+16], ' ')) AS h
+          FROM tk, unnest(range(len(t) - 15)) AS u(i)
+          WHERE len(t) >= 16),
+        shared AS (SELECT h FROM sp GROUP BY h HAVING count(*) >= 2),
+        per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+                FROM sp GROUP BY doc_id),
+        shr AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                FROM sp s JOIN shared USING (h) GROUP BY s.doc_id)
+        SELECT p.doc_id, p.n_spans,
+               coalesce(h.n_shared, 0) AS n_shared,
+               coalesce(h.n_shared, 0) * 2 > p.n_spans AS dup_heavy
+        FROM per p LEFT JOIN shr h USING (doc_id)
+        ORDER BY doc_id"""))
   )
 
   /** Name → QueryDef for intra-object composition (d09 reuses d06b). */

@@ -258,6 +258,47 @@ object EventsOps {
                (st.w * c.n - st.s) * (st.w * c.n - st.s)
                  > 9 * (st.w * st.ss - st.s * st.s) AS spike
         FROM c JOIN st USING (event_type)
-        ORDER BY event_type, window_start"""))
+        ORDER BY event_type, window_start""")),
+
+    // ---------------------------------------------------------------- e08
+    // User-journey analysis: each user's first 8 events in event-time
+    // order collapse to a '>'-joined event-type path; the top 20 paths
+    // by user count are the product's dominant behavioral flows. Scale
+    // shape: the only heavy shuffle is the user_id-keyed window (bounded
+    // per-user rows); collect_list is capped at 8 rows by the rank
+    // filter BEFORE aggregation, so per-group state is constant-size —
+    // never an unbounded per-user event buffer — and the final path agg
+    // rolls up to #distinct-journeys rows (≤ 4^8 event-type strings).
+    // Determinism: (ts, event_id) is a total order per user, the
+    // collected structs are array_sort-ed by rank, and the top-20 is
+    // tie-broken by the journey string itself.
+    "e08_user_journey" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val firstN = t(s, d, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 8)
+        firstN.groupBy("user_id")
+          .agg(array_sort(collect_list(struct(col("rn"), col("event_type"))))
+            .as("steps"))
+          .select(concat_ws(">", expr("transform(steps, x -> x.event_type)"))
+            .as("journey"))
+          .groupBy("journey")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(desc("n_users"), asc("journey"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH rn AS (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS rn
+          FROM events),
+        paths AS (
+          SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS journey
+          FROM rn WHERE rn <= 8 GROUP BY user_id)
+        SELECT journey, CAST(count(*) AS BIGINT) AS n_users
+        FROM paths GROUP BY journey
+        ORDER BY n_users DESC, journey LIMIT 20"""))
   )
 }

@@ -802,6 +802,61 @@ object Similarity {
                     ORDER BY adc_exact ASC, vec_id) AS BIGINT) AS rk
         FROM sc
         QUALIFY rk <= $TOPK
-        ORDER BY q_id, rk"""))
+        ORDER BY q_id, rk""")),
+
+    // ---------------------------------------------------------------- a10
+    // RANGE search (radius query): everything within cos >= 0.75 of each
+    // query, reported as (count, best match) — the "find all near
+    // neighbors" primitive behind dedup candidate generation and
+    // retrieval-filtering, where top-k's fixed k is the wrong contract.
+    // Exact baseline shape: broadcast query set × one corpus scan
+    // (O(n·q) map-side, like a01); the per-query best is the min-struct
+    // argmax (map-side partial agg — no window shuffle), and queries
+    // with an empty ball survive via the left join with n_in_range = 0.
+    // The scale path for huge q is a02/a03's bucketing — compose the
+    // same predicate after an LSH/IVF block instead of the crossJoin.
+    "a10_range_search" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = queriesDf(e)
+        val c = e.filter(col("vec_id") >= QUERY_IDS_BELOW)
+        val agg = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"),
+            VectorFns.cosine(col("qv"), col("embedding")).as("sc"))
+          .filter(col("sc") >= 0.75)
+          .groupBy("q_id")
+          .agg(count(lit(1)).as("n_in_range"),
+            min(struct((-col("sc")).as("ns"), col("vec_id").as("vec_id")))
+              .as("b"))
+        q.select("q_id").join(agg, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("n_in_range"), lit(0L)).as("n_in_range"),
+            col("b.vec_id").as("best_vec"),
+            round(-col("b.ns"), 4).as("best_score"))
+          .orderBy("q_id")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < $QUERY_IDS_BELOW),
+        c AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= $QUERY_IDS_BELOW),
+        inr AS (
+          SELECT * FROM (
+            SELECT q_id, c.vec_id,
+                   list_cosine_similarity(qv::DOUBLE[],
+                     c.embedding::DOUBLE[]) AS sc
+            FROM q CROSS JOIN c) z
+          WHERE sc >= 0.75),
+        agg AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n FROM inr
+                GROUP BY q_id),
+        best AS (
+          SELECT q_id, vec_id, sc FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY sc DESC, vec_id) AS rk FROM inr) z
+          WHERE rk = 1)
+        SELECT q.q_id, coalesce(a.n, 0) AS n_in_range,
+               b.vec_id AS best_vec, round(b.sc, 4) AS best_score
+        FROM q LEFT JOIN agg a USING (q_id) LEFT JOIN best b USING (q_id)
+        ORDER BY q.q_id"""))
   )
 }

@@ -293,6 +293,68 @@ object TextAnalysis {
         SELECT i.doc_id, CAST(sum(c.c) AS BIGINT) AS fam_sum,
                CAST(count(*) AS BIGINT) AS n_tok
         FROM inst i JOIN counts c ON i.w = c.w
+        GROUP BY i.doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t08
+    // Bigram language-model scoring ("KenLM-lite", order 2): per-doc
+    // average SURPRISAL −ln P(w2|w1) under the corpus bigram MLE
+    // P(w2|w1) = c(w1 w2)/c(w1 ·). Natural text (frequent transitions)
+    // scores low, shuffled/gibberish text high — the canonical LM-based
+    // quality filter, one order above t07's unigram familiarity.
+    //
+    // Exactness: each bigram's surprisal ln(cp/cb) ≥ 0 is rounded to
+    // 6 dp and summed in DECIMAL(30,6) (t06's scheme), so the per-doc
+    // aggregation is partition-order-free; the final avg rounds to 4 dp.
+    // Scale shape: the bigram-counts table is vocab²-bounded, its
+    // prefix-totals rollup is vocab-bounded, and both joins are keyed
+    // by the bigram — work scales with corpus token count, never doc
+    // pairs. Hot-bigram skew ("of the") is the same exposure t07
+    // documents; its hot/cold split applies verbatim if a profile ever
+    // shows it (the per-key fan-in here is corpus-bounded, not
+    // unbounded: each instance row joins exactly one counts row).
+    "t08_bigram_lm" -> QueryDef(
+      build = (s, d) => {
+        val inst = t(s, d, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(TextFns.shingles(col("tk"), 2)).as("bg"))
+        val bgc = inst.groupBy("bg").agg(count(lit(1)).as("cb"))
+        val pfx = bgc
+          .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum("cb").as("cp"))
+        val ll = bgc
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(pfx, "w1")
+          .select(col("bg"),
+            round(log(col("cp").cast("double") / col("cb")), 6)
+              .cast("decimal(30,6)").as("l"))
+        inst.join(ll, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("l").as("sl"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("sl").cast("double") / col("n_bigrams"), 4)
+              .as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        inst AS (
+          SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg
+          FROM tk, unnest(range(len(t) - 1)) AS u(i)
+          WHERE len(t) >= 2),
+        bgc AS (SELECT bg, count(*) AS cb FROM inst GROUP BY bg),
+        pfx AS (SELECT string_split(bg, ' ')[1] AS w1,
+                       CAST(sum(cb) AS BIGINT) AS cp
+                FROM bgc GROUP BY 1),
+        ll AS (SELECT bg, CAST(round(ln(CAST(cp AS DOUBLE) / cb), 6)
+                          AS DECIMAL(30,6)) AS l
+               FROM bgc JOIN pfx ON string_split(bgc.bg, ' ')[1] = pfx.w1)
+        SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(CAST(sum(l) AS DOUBLE) / count(*), 4) AS avg_nll
+        FROM inst i JOIN ll USING (bg)
         GROUP BY i.doc_id ORDER BY doc_id"""))
   )
 }

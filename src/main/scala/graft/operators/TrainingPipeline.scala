@@ -544,6 +544,73 @@ object TrainingPipeline {
                  AS dup_docs,
                CAST(sum(CASE WHEN removed THEN n_tok ELSE 0 END) AS BIGINT)
                  AS dup_tokens
-        FROM k GROUP BY source ORDER BY source"""))
+        FROM k GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- p12
+    // Mixture REBALANCE by water-filling: equalize per-lang token mass
+    // at the level the scarcest language can sustain — the multilingual
+    // rebalancing step that runs before p02's packing. Target per lang
+    // = K = min over langs of total tokens; each lang keeps docs with
+    // P = K/T_lang via the deterministic md5 draw (v ∈ [0,65536) from 4
+    // hex digits), so the kept stream is reproducible and incremental
+    // (a doc's verdict never changes as other langs grow).
+    //
+    // Exactness at any scale: the keep predicate is the cross-
+    // multiplication v·T_lang < K·65536 evaluated in DECIMAL(38,0) —
+    // never a float ratio, and no int64 overflow even at 100 TB token
+    // counts (v·T fits 38 digits for T up to ~10^33). Scale shape: the
+    // per-lang totals table is #langs rows (broadcast back), the draw
+    // is map-side, and the report agg is map-side partial — one corpus
+    // scan, one tiny shuffle.
+    "p12_mix_waterfill" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(graft.functions.TextFns.tokens(col("text")))
+              .cast("long").as("ntok"))
+        val totals = docs.groupBy("lang")
+          .agg(sum("ntok").as("t_tok"), count(lit(1)).as("n_docs"))
+        val kDf = totals.agg(min("t_tok").as("k_tok"))
+        val draw = conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 4), 16, 10).cast("long")
+        val keptAgg = docs.withColumn("v", draw)
+          .join(broadcast(totals.select("lang", "t_tok")), "lang")
+          .crossJoin(broadcast(kDf))
+          .filter(col("v").cast("decimal(38,0)") * col("t_tok") <
+            col("k_tok").cast("decimal(38,0)") * lit(65536L))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs_kept"), sum("ntok").as("tokens_kept"))
+        totals.crossJoin(broadcast(kDf))
+          .join(keptAgg, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs").as("docs_total"),
+            col("t_tok").as("tokens_total"), col("k_tok").as("tokens_target"),
+            coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH docs AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok
+          FROM documents),
+        totals AS (
+          SELECT lang, CAST(sum(ntok) AS BIGINT) AS t_tok,
+                 count(*) AS n_docs
+          FROM docs GROUP BY lang),
+        k AS (SELECT min(t_tok) AS k_tok FROM totals),
+        kept AS (
+          SELECT d.lang, count(*) AS docs_kept,
+                 CAST(sum(d.ntok) AS BIGINT) AS tokens_kept
+          FROM docs d JOIN totals t ON d.lang = t.lang CROSS JOIN k
+          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  * t.t_tok < k.k_tok * 65536
+          GROUP BY d.lang)
+        SELECT t.lang, t.n_docs AS docs_total, t.t_tok AS tokens_total,
+               k.k_tok AS tokens_target,
+               coalesce(kp.docs_kept, 0) AS docs_kept,
+               coalesce(kp.tokens_kept, 0) AS tokens_kept
+        FROM totals t CROSS JOIN k LEFT JOIN kept kp ON t.lang = kp.lang
+        ORDER BY t.lang"""))
   )
 }

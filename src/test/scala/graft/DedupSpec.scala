@@ -323,4 +323,35 @@ class DedupSpec extends SparkSpecBase {
         s"survivor ${r.getAs[Long]("doc_id")} of group $rep is not longest")
     }
   }
+
+  test("d13 span dedup: planted corpus shares exactly the expected spans") {
+    // plantedDir: 20-token docs → 5 sliding 16-token spans each.
+    // 0/1/3 identical → all 5 shared; 2 differs at token 18 (1-based),
+    // which sits in windows 3..5 → exactly windows 1-2 shared; 4 and 5
+    // (reversed token order) share nothing.
+    val got = run("d13_span_dedup", plantedDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_shared"),
+          r.getAs[Boolean]("dup_heavy")))).toMap
+    assert(got == Map(
+      0L -> ((5L, 5L, true)), 1L -> ((5L, 5L, true)), 3L -> ((5L, 5L, true)),
+      2L -> ((5L, 2L, false)),
+      4L -> ((5L, 0L, false)), 5L -> ((5L, 0L, false))))
+    // sf invariants: shared never exceeds the span count, flag is the
+    // exact integer majority test, and identical-text dups (if any)
+    // share their whole span set
+    val sf13 = run("d13_span_dedup").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_shared"),
+          r.getAs[Boolean]("dup_heavy")))).toMap
+    assert(sf13.values.forall { case (n, s, h) => s <= n && h == (2 * s > n) })
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    docs.groupBy(_._2).values.filter(g =>
+        g.length >= 2 && g.head._2.trim.toLowerCase.split("\\s+").length >= 16)
+      .flatMap(_.map(_._1)).foreach { id =>
+        val (n, s, _) = sf13(id)
+        assert(s == n, s"exact-dup doc $id shares only $s of $n spans")
+      }
+  }
 }

@@ -35,7 +35,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "p05_source_overlap", "p06_prep_pipeline", "p06b_prep_pipeline_cached",
     "p07_token_budget", "p08_contamination_attribution", "d10_incremental_dedup",
     "t07_token_familiarity", "d11_dedup_survivors", "p09_leakage_safe_split",
-    "p11_dedup_savings")
+    "p11_dedup_savings", "t08_bigram_lm", "d13_span_dedup",
+    "p12_mix_waterfill")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

@@ -214,4 +214,44 @@ class SimilaritySpec extends SparkSpecBase {
       assert(recall == hits.toDouble / 10)
     }
   }
+
+  test("a10 range search: planted ball membership and empty-ball rows") {
+    // plantedDir: vec 10 == vec 0 (cos exactly 1 → inside any ball),
+    // vec 11 = −vec 0 (cos −1 → outside)
+    val got = run("a10_range_search", plantedDir).collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("n_in_range"), Option(r.getAs[Any]("best_vec")),
+          Option(r.getAs[Any]("best_score"))))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L)) // every query, always
+    val (n0, best0, score0) = got(0L)
+    assert(n0 >= 1 && best0.contains(10L) && score0.contains(1.0))
+    // empty balls report 0 with NULL best, never a dropped row
+    got.values.foreach { case (n, b, s) =>
+      assert((n == 0) == b.isEmpty && b.isEmpty == s.isEmpty)
+    }
+    // driver replay on sf data: same count and best per query
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val queries = vecs.filter(_._1 < 5); val corpus = vecs.filter(_._1 >= 5)
+    val sfGot = run("a10_range_search").collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("n_in_range"), Option(r.getAs[Any]("best_vec"))))).toMap
+    queries.foreach { case (q, qv) =>
+      val inBall = corpus.map { case (id, v) => id -> cos(qv, v) }
+        .filter(_._2 >= 0.75)
+      val want = inBall.length.toLong
+      val wantBest = inBall.sortBy { case (id, sc) => (-sc, id) }
+        .headOption.map(_._1)
+      assert(sfGot(q) == ((want, wantBest)), s"q$q mismatch")
+    }
+  }
 }

@@ -130,4 +130,59 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(planted == Map(1L -> (2000L * 2001L, 2000L),
       2L -> (1L + 1L + 2001L, 3L)))
   }
+
+  test("t08 bigram surprisal = exact driver replay of the corpus MLE") {
+    // mirror Spark's round(): BigDecimal.valueOf (shortest decimal
+    // string) + HALF_UP, not the exact-binary BigDecimal(double)
+    def r(x: Double, dp: Int): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(dp, BigDecimal.RoundingMode.HALF_UP)
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect()
+      .map(row => row.getAs[Long]("doc_id") -> row.getAs[String]("text"))
+    val bigrams = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq
+        .sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    }.filter(_._2.nonEmpty)
+    val cb = bigrams.flatMap(_._2).groupBy(identity)
+      .map { case (g, xs) => g -> xs.length.toLong }
+    val cp = cb.toSeq.groupBy(_._1.split(" ")(0))
+      .map { case (w, m) => w -> m.map(_._2).sum }
+    val expect = bigrams.map { case (id, bgs) =>
+      val s = bgs.map(g =>
+        r(math.log(cp(g.split(" ")(0)).toDouble / cb(g)), 6)).sum
+      id -> ((bgs.length.toLong, r(s.toDouble / bgs.length, 4).toDouble))
+    }.toMap
+    val got = run("t08_bigram_lm").collect()
+      .map(row => row.getAs[Long]("doc_id") ->
+        ((row.getAs[Long]("n_bigrams"), row.getAs[Double]("avg_nll")))).toMap
+    assert(got == expect)
+    // surprisal is non-negative by construction (cp >= cb)
+    assert(got.values.forall(_._2 >= 0.0))
+  }
+
+  test("e08 journeys = driver replay of the first-8 path distribution") {
+    def micros(a: Any): Long = a match {
+      case t: java.sql.Timestamp =>
+        t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+      case d: java.time.LocalDateTime =>
+        d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      case x => sys.error(s"unexpected timestamp class ${x.getClass}")
+    }
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+    val paths = ev.groupBy(_.getAs[Long]("user_id")).values.map { rows =>
+      rows.sortBy(row =>
+          (micros(row.getAs[Any]("ts")), row.getAs[Long]("event_id")))
+        .take(8).map(_.getAs[String]("event_type")).mkString(">")
+    }.toSeq
+    val top = paths.groupBy(identity)
+      .map { case (j, xs) => j -> xs.length.toLong }.toSeq
+      .sortBy { case (j, n) => (-n, j) }.take(20)
+    val got = run("e08_user_journey").collect()
+      .map(row =>
+        row.getAs[String]("journey") -> row.getAs[Long]("n_users")).toSeq
+    assert(got == top)
+    assert(got.forall(_._1.split(">").length <= 8))
+  }
 }

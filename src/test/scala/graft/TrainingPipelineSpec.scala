@@ -253,4 +253,33 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(sureKeep.subsetOf(accepted),
       s"${(sureKeep -- accepted).size} sure-keep docs missing")
   }
+
+  test("p12 waterfill = exact driver replay; the scarcest lang keeps everything") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").length.toLong))
+    val totals = docs.groupBy(_._2).map { case (l, xs) =>
+      l -> ((xs.map(_._3).sum, xs.length.toLong)) }
+    val k = totals.values.map(_._1).min
+    val keptAgg = docs.filter { case (id, l, _) =>
+      val v = java.lang.Long.parseLong(md5hex(id.toString).take(4), 16)
+      BigInt(v) * totals(l)._1 < BigInt(k) * 65536
+    }.groupBy(_._2).map { case (l, xs) =>
+      l -> ((xs.length.toLong, xs.map(_._3).sum)) }
+    val expect = totals.map { case (l, (t, n)) =>
+      l -> ((n, t, k, keptAgg.get(l).map(_._1).getOrElse(0L),
+        keptAgg.get(l).map(_._2).getOrElse(0L)))
+    }
+    val got = run("p12_mix_waterfill").collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("docs_total"), r.getAs[Long]("tokens_total"),
+          r.getAs[Long]("tokens_target"), r.getAs[Long]("docs_kept"),
+          r.getAs[Long]("tokens_kept")))).toMap
+    assert(got == expect)
+    // langs at the waterline (T == K) have keep probability exactly 1
+    totals.collect { case (l, (t, n)) if t == k => l -> n }.foreach {
+      case (l, n) => assert(got(l)._4 == n, s"argmin lang $l dropped docs")
+    }
+  }
 }
