@@ -42,6 +42,13 @@ object Dedup {
     */
   private val d09CandCache = HotCache.slot()
 
+  /** d13's shared-span sliver: materialized ONCE (the guard probe's
+    * count doubles as the cache fill), then reused by the join-back —
+    * without the slot the probe and the join each re-run the full
+    * span rollup.
+    */
+  private val d13SharedCache = HotCache.slot()
+
   /** Largest embeddings corpus for which d06b's adaptive sizing still
     * resolves to the 4 hyperplanes inlined in the d06b/d09 oracle SQL:
     * nPlanes = max(4, ceil(log2(rows / 2560))) == 4  ⇔  rows ≤ 2560·2⁴.
@@ -848,12 +855,18 @@ object Dedup {
     //
     // Scale shape: spans are md5-hashed map-side (distinct per doc, so
     // a doc repeating its own boilerplate internally counts once), the
-    // doc-frequency rollup and the shared-join are both keyed by the
-    // 128-bit span hash — work is linear in corpus span volume, never
-    // doc pairs. The span→doc-frequency table is the same cardinality
-    // class as t07's vocab table; per-key fan-in on the join-back is
-    // bounded by true span popularity (a licence block shared by 10^6
-    // docs lands in one AQE-splittable key, not a cross product).
+    // doc-frequency rollup is keyed by the 128-bit span hash — work is
+    // linear in corpus span volume, never doc pairs. The join-back
+    // touches only the SHARED sliver (spans with doc-frequency ≥ 2),
+    // which is broadcast when it fits: per-doc span counts and shared
+    // counts then need zero instance-level shuffles beyond the rollup.
+    // (The alternative — joining every instance against the full
+    // doc-frequency table — shuffles and sorts the whole span stream
+    // twice; measured 4x the cpu at 200k docs.) Because the sliver's
+    // size is data-dependent (boilerplate can put billions of spans
+    // over any broadcast threshold), the same guard as d10 probes it
+    // with an early-terminating limit scan and degrades to a shuffle
+    // join instead of OOM-ing the driver.
     "d13_span_dedup" -> QueryDef(
       build = (s, d) => {
         val spans = t(s, d, "documents")
@@ -863,11 +876,21 @@ object Dedup {
           .select(col("doc_id"), explode(array_distinct(
             transform(graft.functions.TextFns.shingles(col("tk"), 16),
               g => md5(g.cast("binary"))))).as("h"))
-        val shared = spans.groupBy("h").agg(count(lit(1)).as("nd"))
-          .filter(col("nd") >= 2).select("h")
+        val shared = d13SharedCache.register(
+          spans.groupBy("h").agg(count(lit(1)).as("nd"))
+            .filter(col("nd") >= 2).select("h"))
+        val maxB = s.conf.getOption("graft.d13.maxBroadcastSpans")
+          .map(_.toLong).getOrElse(5000000L)
+        // the probe fills the cache slot, so the sliver is computed once
+        val fits = shared.limit((maxB + 1).min(Int.MaxValue.toLong).toInt)
+          .count() <= maxB
+        if (!fits) System.err.println(
+          s"[graft] d13: shared-span set exceeds $maxB rows - " +
+            "falling back to a shuffle join")
         val perDoc = spans.groupBy("doc_id")
           .agg(count(lit(1)).as("n_spans"))
-        val sharedPerDoc = spans.join(shared, "h")
+        val sharedPerDoc = spans
+          .join(if (fits) broadcast(shared) else shared, "h")
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         perDoc.join(sharedPerDoc, Seq("doc_id"), "left")
           .select(col("doc_id"), col("n_spans"),

@@ -20,6 +20,12 @@ object TextAnalysis {
     */
   private val countsCache = HotCache.slot()
 
+  /** t08's bigram-counts cache slot: the vocab²-bounded counts table is
+    * consumed twice (prefix rollup + surprisal join) — without the slot
+    * each consumer re-runs the full corpus tokenize+shingle+count pass.
+    */
+  private val bigramCache = HotCache.slot()
+
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -319,7 +325,8 @@ object TextAnalysis {
           .filter(size(col("tk")) >= 2)
           .select(col("doc_id"),
             explode(TextFns.shingles(col("tk"), 2)).as("bg"))
-        val bgc = inst.groupBy("bg").agg(count(lit(1)).as("cb"))
+        val bgc = bigramCache.register(
+          inst.groupBy("bg").agg(count(lit(1)).as("cb")))
         val pfx = bgc
           .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
           .agg(sum("cb").as("cp"))

@@ -201,6 +201,41 @@ object ScaleProbe {
       println(f"$n%9d ${cnts.getLong(0)}%10d ${cnts.getLong(1)}%10d " +
         f"${n / 100}%9d $w%8.2f $c%8.2f $s%9.1f")
     }
+    // r9 leg: the round-9 operators on the same planted corpora. d13's
+    // span inverted index and t08's bigram-MLE joins must grow ~linearly
+    // in docs (both are shingle/bigram-keyed — never doc pairs); p12 is
+    // one scan + a #langs-row broadcast, so its cpu tracks the scan.
+    // e08 runs on a generated events table (n events, n/100 users):
+    // output is the constant top-20, so the claim is linear cpu and
+    // user-keyed (not corpus-keyed) shuffle volume.
+    println(f"${"rows"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("r9")) {
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "d13")(q("d13_span_dedup").count())
+      row(n, "t08")(q("t08_bigram_lm").count())
+      row(n, "p12")(q("p12_mix_waterfill").count())
+      val edir = s"/tmp/graft-probe-ev-$n"
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        pmod(col("id"), lit(math.max(n / 100, 1))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("scroll")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$edir/events.parquet")
+      row(n, "e08")(
+        graft.SparkEntry.queries("e08_user_journey")(spark, edir).count())
+      graft.operators.HotCache.releaseAll()
+    }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the

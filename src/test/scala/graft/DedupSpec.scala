@@ -354,4 +354,26 @@ class DedupSpec extends SparkSpecBase {
         assert(s == n, s"exact-dup doc $id shares only $s of $n spans")
       }
   }
+
+  test("d13 red path: oversized shared sliver drops the broadcast, " +
+    "falls back to a shuffle join, same answer") {
+    val want = run("d13_span_dedup", plantedDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_shared")))).toMap
+    spark.conf.set("graft.d13.maxBroadcastSpans", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = run("d13_span_dedup", plantedDir)
+      val got = df.collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_shared")))).toMap
+      assert(got == want) // fallback must not change counts
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p)
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally {
+      spark.conf.unset("graft.d13.maxBroadcastSpans")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
