@@ -133,4 +133,53 @@ object EventsStream {
           out.iterator
       }
   }
+
+  /** Input row for the journey tracker. */
+  final case class JourneyEvent(userId: Long, ts: java.sql.Timestamp,
+                                eventId: Long, eventType: String)
+  /** steps = the up-to-maxSteps EARLIEST (tsMicros, eventId, type)
+    * triples seen so far; lastSeenMicros drives the idle timeout.
+    */
+  final case class JourneyState(steps: Seq[(Long, Long, String)],
+                                lastSeenMicros: Long)
+  final case class Journey(userId: Long, journey: String, nSteps: Int)
+
+  /** Streaming twin of the batch e08_user_journey: per user, the first
+    * `maxSteps` events in EVENT-TIME order collapse to a '>'-joined
+    * event-type path, emitted once the user goes idle (event-time
+    * timeout). State per user is a constant-size buffer of the maxSteps
+    * earliest steps — a late event that belongs inside the prefix
+    * displaces a later one (insert-sort by (ts, event_id)), so arrival
+    * order never changes the answer for events inside the watermark.
+    * Total state is bounded by concurrently-active users × maxSteps.
+    */
+  def journeyTracker(events: Dataset[JourneyEvent], maxSteps: Int = 8,
+                     watermark: String = "2 hours",
+                     idleSec: Long = 3600): Dataset[Journey] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[JourneyState, Journey](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[JourneyState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(Journey(userId,
+              st.steps.map(_._3).mkString(">"), st.steps.size))
+          } else {
+            val st = state.getOption.getOrElse(JourneyState(Nil, Long.MinValue))
+            val incoming = evs.map(e =>
+              (e.ts.getTime * 1000L, e.eventId, e.eventType)).toSeq
+            val merged = (st.steps ++ incoming)
+              .sortBy(t => (t._1, t._2)).take(maxSteps)
+            val lastSeen = (st.lastSeenMicros +: incoming.map(_._1)).max
+            state.update(JourneyState(merged, lastSeen))
+            // finalize once the watermark passes the idle horizon
+            state.setTimeoutTimestamp(lastSeen / 1000L + idleSec * 1000L)
+            Iterator.empty
+          }
+      }
+  }
 }

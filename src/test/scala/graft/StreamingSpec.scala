@@ -136,6 +136,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("journeyTracker finalizes event-time-ordered paths, bounded to maxSteps") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import EventsStream.JourneyEvent
+    val input = MemoryStream[JourneyEvent]
+    val q = EventsStream.journeyTracker(input.toDS(),
+        maxSteps = 3, watermark = "1 hour", idleSec = 60)
+      .writeStream.format("memory").queryName("journeys")
+      .outputMode("append").start()
+    try {
+      // user 1's first and third steps arrive in batch 1...
+      input.addData(
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"),
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:00:20"), 3L, "purchase"),
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:00:30"), 4L, "scroll"))
+      q.processAllAvailable()
+      // ...the SECOND step arrives late in batch 2 (inside the 1-hour
+      // lateness allowance): it must displace 'scroll' from the 3-step
+      // prefix, whatever the arrival order
+      input.addData(
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:00:10"), 2L, "click"))
+      q.processAllAvailable()
+      // a user far ahead advances the watermark (13:00 − 1h = 12:00)
+      // past user 1's idle horizon (10:01:30); the timeout fires on the
+      // following trigger, so a second advancing batch flushes it
+      input.addData(
+        JourneyEvent(2L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L, "view"))
+      q.processAllAvailable()
+      input.addData(
+        JourneyEvent(3L, Timestamp.valueOf("2024-01-01 15:00:00"), 10L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("journeys").as[EventsStream.Journey].collect()
+        .filter(_.userId == 1L)
+      assert(got.length == 1)
+      assert(got.head.journey == "view>click>purchase") // not scroll
+      assert(got.head.nSteps == 3)
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated ids within the watermark horizon") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
