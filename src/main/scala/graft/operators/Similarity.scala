@@ -857,6 +857,76 @@ object Similarity {
         SELECT q.q_id, coalesce(a.n, 0) AS n_in_range,
                b.vec_id AS best_vec, round(b.sc, 4) AS best_score
         FROM q LEFT JOIN agg a USING (q_id) LEFT JOIN best b USING (q_id)
-        ORDER BY q.q_id"""))
+        ORDER BY q.q_id""")),
+
+    // ---------------------------------------------------------------- a11
+    // Nearest-neighbor JOIN between two vector sets (odd vec_ids ⋈ even
+    // vec_ids): for every left vector, its highest-cosine right vector
+    // within its nprobe=2 nearest trained IVF cells — the linking/
+    // clustering primitive (dedup across snapshots, label transfer)
+    // where BOTH sides are corpus-sized, so a query-set broadcast
+    // (a01/a10) is the wrong shape. Blocking by a03's shared coarse
+    // quantizer bounds per-pair work by cell population: each side
+    // shuffles ONCE on the cell id and the argmax is the min-struct
+    // hash aggregate (map-side partial, no window) — never |L|×|R|.
+    // The left's top-2 cells come from a bounded collect_list aggregate
+    // (k structs per group, k = cell count = the scale knob, ≈ √n) —
+    // NOT a per-left row_number window, which would full-shuffle the
+    // n×k candidate rows (a03b's window is fine only because its query
+    // set is tiny). Lefts whose probed cells hold no right rows survive
+    // via the left join with NULL nn.
+    "a11_nn_join" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val (trained, asg) = ivfTrainedAssigned(e)
+        val left0 = e.filter(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("l_id"), col("embedding").as("lv"))
+        val left = left0.crossJoin(broadcast(trained))
+          .select(col("l_id"), struct(
+            coalesce(-VectorFns.cosine(col("lv"), col("cv")),
+              lit(Double.PositiveInfinity)).as("ns"),
+            col("cent_id").as("cell"), col("lv").as("lv")).as("cand"))
+          .groupBy("l_id")
+          .agg(slice(sort_array(collect_list(col("cand"))), 1, 2).as("t2"))
+          .select(col("l_id"), col("t2").getItem(0).getField("lv").as("lv"),
+            explode(expr("transform(t2, x -> x.cell)")).as("cell"))
+        val right = asg.filter(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("r_id"), col("embedding").as("rv"),
+            col("cell"))
+        val best = left.join(right, "cell")
+          .select(col("l_id"), struct(
+            coalesce(-VectorFns.cosine(col("lv"), col("rv")),
+              lit(Double.PositiveInfinity)).as("ns"),
+            col("r_id").as("r_id")).as("cand"))
+          .groupBy("l_id")
+          .agg(min(col("cand")).as("b"))
+          .select(col("l_id"), col("b.r_id").as("nn_id"),
+            round(-col("b.ns"), 4).as("cos"))
+        left0.select("l_id").join(best, Seq("l_id"), "left")
+          .orderBy("l_id")
+      },
+      oracle = Some(s"""$IVF_ORACLE_CTES,
+        l0 AS (SELECT vec_id AS l_id, embedding AS lv
+               FROM embeddings WHERE vec_id % 2 = 1),
+        lp AS (SELECT l_id, cell FROM (
+            SELECT l0.l_id, c.cent_id AS cell,
+                   row_number() OVER (PARTITION BY l0.l_id
+                     ORDER BY list_cosine_similarity(l0.lv::DOUBLE[], c.cv)
+                       DESC, c.cent_id) AS prk
+            FROM l0 CROSS JOIN cents c) z
+          WHERE prk <= 2),
+        r AS (SELECT vec_id AS r_id, embedding AS rv, cell
+              FROM asg2 WHERE vec_id % 2 = 0),
+        nsc AS (SELECT l0.l_id, r.r_id,
+                  list_cosine_similarity(l0.lv::DOUBLE[], r.rv::DOUBLE[])
+                    AS c
+                FROM l0 JOIN lp USING (l_id) JOIN r ON lp.cell = r.cell),
+        nbest AS (SELECT l_id, r_id, c FROM (
+            SELECT *, row_number() OVER (PARTITION BY l_id
+                ORDER BY c DESC, r_id) AS rk FROM nsc) z
+          WHERE rk = 1)
+        SELECT l0.l_id, b.r_id AS nn_id, round(b.c, 4) AS cos
+        FROM l0 LEFT JOIN nbest b USING (l_id)
+        ORDER BY l0.l_id"""))
   )
 }

@@ -254,4 +254,42 @@ class SimilaritySpec extends SparkSpecBase {
       assert(sfGot(q) == ((want, wantBest)), s"q$q mismatch")
     }
   }
+
+  test("a11 nn-join: full left coverage, right-side nns, sane cell recall") {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecs = Tables(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray)
+    val odd = vecs.filter(_._1 % 2 == 1); val even = vecs.filter(_._1 % 2 == 0)
+    val got = run("a11_nn_join").collect()
+      .map(r => r.getAs[Long]("l_id") ->
+        ((Option(r.getAs[Any]("nn_id")).map(_.asInstanceOf[Long]),
+          Option(r.getAs[Any]("cos")).map(_.asInstanceOf[Double])))).toMap
+    assert(got.keySet == odd.map(_._1).toSet) // one row per left vector
+    assert(got.values.flatMap(_._1).forall(_ % 2 == 0)) // nns are rights
+    // recall vs the GLOBAL (unblocked) nearest neighbor: misses can come
+    // only from cell pruning, and on the clustered sf embeddings the
+    // within-cluster NN shares the cell most of the time
+    val globalNN = odd.map { case (id, v) =>
+      id -> even.map { case (rid, rv) => (rid, cos(v, rv)) }
+        .sortBy { case (rid, c) => (-c, rid) }.head
+    }.toMap
+    val hits = odd.count { case (id, _) =>
+      got(id)._1.contains(globalNN(id)._1) }
+    val recall = hits.toDouble / odd.length
+    assert(recall >= 0.5, s"cell-blocked NN recall $recall")
+    // where the blocked NN is the global NN, the score must match the
+    // driver replay at the shipped 4-dp rounding
+    odd.foreach { case (id, _) =>
+      if (got(id)._1.contains(globalNN(id)._1))
+        assert(math.abs(got(id)._2.get - globalNN(id)._2) < 5e-5)
+    }
+  }
 }
