@@ -219,6 +219,53 @@ object PipelineOps {
                  AS redacted_sig,
                CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT)
                  AS n_redactions
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- x07
+    // Deterministic output SHARDING + balance audit: assign every doc
+    // to one of 32 shards by an md5 draw on doc_id and report each
+    // shard's doc/token mass plus a balance verdict (within ±20% of
+    // the mean doc count, in exact integer cross-multiplication). This
+    // is the write-side primitive for a 100 TB corpus: shard =
+    // pure map-side hash (stable under reruns and corpus growth —
+    // `df.repartition(col("shard")).write.partitionBy("shard")` gives
+    // reproducible, evenly-sized output files), and the audit is one
+    // map-side-partial aggregate. A skewed shard here means the HASH
+    // is broken, not the data — which is exactly why it's worth a
+    // standing tripwire in the pipeline.
+    "x07_shard_balance" -> QueryDef(
+      build = (s, d) => {
+        val shard = pmod(conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 8), 16, 10).cast("long"), lit(32L))
+        val docs = t(s, d, "documents")
+          .select(shard.as("shard"),
+            size(graft.functions.TextFns.tokens(col("text")))
+              .cast("long").as("ntok"))
+        val perShard = docs.groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        val total = perShard.agg(sum("n_docs").as("tot"),
+          count(lit(1)).as("nsh"))
+        perShard.crossJoin(broadcast(total))
+          // |n·S − tot| ≤ tot/5  ⇔  n within ±20% of tot/S, all-integer
+          .select(col("shard"), col("n_docs"), col("n_tokens"),
+            (abs(col("n_docs") * col("nsh") - col("tot")) * 5 <=
+              col("tot")).as("balanced"))
+          .orderBy("shard")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 32 AS shard,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok
+          FROM documents),
+        ps AS (SELECT shard, count(*) AS n_docs,
+                      CAST(sum(ntok) AS BIGINT) AS n_tokens
+               FROM d GROUP BY shard),
+        tt AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot,
+                      count(*) AS nsh FROM ps)
+        SELECT shard, n_docs, n_tokens,
+               abs(n_docs * nsh - tot) * 5 <= tot AS balanced
+        FROM ps CROSS JOIN tt ORDER BY shard"""))
   )
 }

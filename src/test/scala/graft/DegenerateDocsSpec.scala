@@ -49,7 +49,8 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "p07_token_budget", "p08_contamination_attribution",
     "p09_leakage_safe_split", "p10_quality_sample", "m01_binary_meta",
     "m02_feature_extract", "m03_frame_sample", "m04_resize_stub",
-    "t08_bigram_lm", "d13_span_dedup", "p12_mix_waterfill")
+    "t08_bigram_lm", "d13_span_dedup", "p12_mix_waterfill",
+    "x07_shard_balance")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

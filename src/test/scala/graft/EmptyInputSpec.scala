@@ -36,7 +36,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "p07_token_budget", "p08_contamination_attribution", "d10_incremental_dedup",
     "t07_token_familiarity", "d11_dedup_survivors", "p09_leakage_safe_split",
     "p11_dedup_savings", "t08_bigram_lm", "d13_span_dedup",
-    "p12_mix_waterfill")
+    "p12_mix_waterfill", "x07_shard_balance")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

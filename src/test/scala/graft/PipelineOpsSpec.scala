@@ -79,4 +79,27 @@ class PipelineOpsSpec extends SparkSpecBase {
       r.getAs[Long]("n_chunks") == expected
     })
   }
+
+  test("x07 shards partition the corpus; balance verdicts replay exactly") {
+    val rows = run("x07_shard_balance").collect()
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs) // a partition
+    assert(rows.map(_.getAs[Long]("shard")).distinct.length == rows.length)
+    assert(rows.forall(r => (0L until 32L).contains(r.getAs[Long]("shard"))))
+    val nsh = rows.length.toLong
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("balanced") ==
+        (math.abs(r.getAs[Long]("n_docs") * nsh - nDocs) * 5 <= nDocs))
+    }
+    // the md5 draw replays per doc
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val byShard = Tables(spark, sf, "documents").select("doc_id").collect()
+      .map(_.getAs[Long]("doc_id"))
+      .groupBy(id => java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 32)
+      .map { case (s, xs) => s -> xs.length.toLong }
+    assert(rows.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs"))
+      .toMap == byShard)
+  }
 }
