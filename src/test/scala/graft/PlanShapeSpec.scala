@@ -193,4 +193,45 @@ class PlanShapeSpec extends SparkSpecBase {
       case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("a11 nn-join ranks via aggregates, never a corpus-keyed window") {
+    // the scaladoc's claim: both the top-2 cell probe and the final
+    // argmax are hash aggregates (map-side partial), not row_number
+    // windows over the n×k candidate stream
+    val p = plan("a11_nn_join")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("d13 span dedup happy path broadcasts the shared sliver, no window") {
+    val p = plan("d13_span_dedup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("t08 bigram counts materialize once (cache) and feed both consumers") {
+    val p = plan("t08_bigram_lm")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e08 journeys: one user-keyed window, bounded path agg, no cartesian") {
+    val p = plan("e08_user_journey")
+    // exactly one Window NODE (the rank); the token also appears inside
+    // windowspecdefinition expressions, so count node headers
+    assert(countOf(p, "Window [") == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p12 waterfill joins only broadcast #langs-row tables") {
+    val p = plan("p12_mix_waterfill")
+    // corpus never shuffles for the join: totals + k are broadcast
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("x07 sharding is one partial-agg shuffle over the scan") {
+    val p = plan("x07_shard_balance")
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
+  }
 }
