@@ -152,6 +152,28 @@ object ShuffleWorkloads {
                      CAST(o_orderkey % 100 AS DOUBLE) + 1.0 AS weight
               FROM orders) b
           ON f.key = b.key
-        GROUP BY f.key ORDER BY f.key"""))
+        GROUP BY f.key ORDER BY f.key""")),
+
+    // The aggregate-first rewrite of s03: |A ⋈ₖ A| = Σₖ cnt(k)², so the
+    // self-join's cardinality needs only the per-key counts — one partial
+    // (map-side) aggregation over 10k keys and a sum of squares, never the
+    // ~36M joined rows s03 materializes to count. s03 is kept as the
+    // honest shuffle-join stress (the reference's commented
+    // synthetic_workload.py:31 `data.join(data)`); s03b is what a
+    // Spark-first engine should actually RUN when the downstream consumer
+    // only needs the count: at 100 TB the join output is O(Σc²) rows
+    // (quadratic in the hot keys) while the rewrite moves O(distinct
+    // keys) counters. Same oracle as s03 — the results are identical.
+    "s03b_join_count_rewrite" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy((col("l_orderkey") % 10000).as("k"))
+          .agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * col("c")).as("cnt")),
+      oracle = Some("""
+        SELECT count(*) AS cnt
+        FROM (SELECT l_orderkey % 10000 AS k FROM lineitem) a
+        JOIN (SELECT l_orderkey % 10000 AS k2 FROM lineitem) b
+          ON a.k = b.k2"""))
   )
 }

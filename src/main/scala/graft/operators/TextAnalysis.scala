@@ -362,6 +362,86 @@ object TextAnalysis {
         SELECT i.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
                round(CAST(sum(l) AS DOUBLE) / count(*), 4) AS avg_nll
         FROM inst i JOIN ll USING (bg)
-        GROUP BY i.doc_id ORDER BY doc_id"""))
+        GROUP BY i.doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t09
+    // Lexical diversity: per-doc token count, type (distinct-token) count,
+    // hapax-legomena count, and a type-token-ratio flag in exact integer
+    // cross-multiplication (2·types ≥ tokens ⇔ TTR ≥ 0.5 — no division,
+    // no float). Physically: explode → (doc_id, token)-keyed count —
+    // per-key fan-in bounded by a single document's length, so the
+    // shuffle is corpus-linear at any scale — then a doc-keyed rollup
+    // with map-side partials. The in-array alternative (filter(toks,
+    // x -> x = t) per distinct t) is shuffle-free but O(len²) per doc:
+    // fine at 30 tokens, quadratic pain at a 100 TB corpus's 1k-token
+    // docs, so the exploded formulation is the one that ships.
+    "t09_lexical_diversity" -> QueryDef(
+      build = (s, d) => {
+        val tok = t(s, d, "documents")
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+        tok.groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
+          .groupBy("doc_id")
+          .agg(sum("n").as("n_tokens"),
+               count(lit(1)).as("n_types"),
+               sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+          .select(col("doc_id"), col("n_tokens"), col("n_types"),
+            col("n_hapax"),
+            (col("n_types") * 2 >= col("n_tokens")).as("diverse"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        c AS (SELECT doc_id, w, count(*) AS n FROM tk GROUP BY 1, 2)
+        SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+               count(*) AS n_types,
+               CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS n_hapax,
+               count(*) * 2 >= sum(n) AS diverse
+        FROM c GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t10
+    // Readability features: sentence count (non-blank [.!?]+ segments),
+    // word count, letter count, words-per-sentence (one rounded IEEE
+    // division for the report), and a readability gate in pure integer
+    // cross-multiplication (≤30 words/sentence AND ≤10 letters/word) —
+    // the flag never touches a float so it is engine- and
+    // partition-order-exact. Zero shuffle: every column derives from the
+    // row's own text, so this composes into scan-stage pipelines (t02's
+    // quality gate shape) for free at any corpus size.
+    "t10_readability" -> QueryDef(
+      build = (s, d) => {
+        val nSent = size(filter(split(col("text"), "[.!?]+"),
+          x => trim(x) =!= "")).cast("long")
+        val nWords = size(TextFns.tokens(col("text"))).cast("long")
+        val nLetters = length(
+          regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long")
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            nSent.as("n_sentences"), nWords.as("n_words"),
+            nLetters.as("n_letters"),
+            round(nWords.cast("double") / nullif(nSent, lit(0L)), 4)
+              .as("words_per_sentence"),
+            (nWords <= nSent * 30 && nLetters <= nWords * 10)
+              .as("readable"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                   x -> trim(x) <> '')) AS BIGINT) AS n_sentences,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS n_words,
+                 CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                   AS BIGINT) AS n_letters
+          FROM documents)
+        SELECT doc_id, n_sentences, n_words, n_letters,
+               round(CAST(n_words AS DOUBLE) / nullif(n_sentences, 0), 4)
+                 AS words_per_sentence,
+               n_words <= n_sentences * 30 AND n_letters <= n_words * 10
+                 AS readable
+        FROM f ORDER BY doc_id"""))
   )
 }

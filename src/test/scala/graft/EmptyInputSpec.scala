@@ -36,7 +36,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "p07_token_budget", "p08_contamination_attribution", "d10_incremental_dedup",
     "t07_token_familiarity", "d11_dedup_survivors", "p09_leakage_safe_split",
     "p11_dedup_savings", "t08_bigram_lm", "d13_span_dedup",
-    "p12_mix_waterfill", "x07_shard_balance")
+    "p12_mix_waterfill", "x07_shard_balance", "t09_lexical_diversity",
+    "t10_readability")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

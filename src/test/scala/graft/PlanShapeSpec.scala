@@ -194,6 +194,18 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("s03b rewrite: same count as s03 with no join in the plan") {
+    // |A ⋈ₖ A| = Σₖ cnt(k)² — the aggregate-first rewrite must produce
+    // s03's exact count while planning as two hash aggregates (map-side
+    // partial + final), with no join operator of any kind.
+    val expected = run("s03_shuffle_join").collect()(0).getLong(0)
+    val q = run("s03b_join_count_rewrite")
+    assert(q.collect()(0).getLong(0) == expected)
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("a11 nn-join ranks via aggregates, never a corpus-keyed window") {
     // the scaladoc's claim: both the top-2 cell probe and the final
     // argmax are hash aggregates (map-side partial), not row_number

@@ -161,6 +161,47 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(got.values.forall(_._2 >= 0.0))
   }
 
+  test("t09 lexical diversity = exact driver replay") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val expect = docs.map { case (id, t) =>
+      val counts = t.trim.toLowerCase.split("\\s+").toSeq
+        .groupBy(identity).map(_._2.length)
+      val nTok = counts.sum.toLong
+      id -> ((nTok, counts.size.toLong, counts.count(_ == 1).toLong,
+        counts.size * 2 >= nTok))
+    }.toMap
+    val got = run("t09_lexical_diversity").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"),
+          r.getAs[Long]("n_hapax"), r.getAs[Boolean]("diverse")))).toMap
+    assert(got == expect)
+    // hapax ⊆ types ⊆ tokens
+    assert(got.values.forall { case (nt, ty, ha, _) => ha <= ty && ty <= nt })
+  }
+
+  test("t10 readability = exact driver replay; flag is pure-integer") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val expect = docs.map { case (id, t) =>
+      // Spark/DuckDB trim() strips SPACES only — not \n\t like Scala's
+      // String.trim — so the replay must strip spaces only too
+      val nSent = t.split("[.!?]+", -1)
+        .count(_.replaceAll("^ +| +$", "").nonEmpty).toLong
+      val nWords = t.trim.toLowerCase.split("\\s+").length.toLong
+      val nLet = t.count(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')).toLong
+      id -> ((nSent, nWords, nLet,
+        nWords <= nSent * 30 && nLet <= nWords * 10))
+    }.toMap
+    val got = run("t10_readability").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sentences"), r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_letters"), r.getAs[Boolean]("readable")))).toMap
+    assert(got == expect)
+  }
+
   test("e08 journeys = driver replay of the first-8 path distribution") {
     def micros(a: Any): Long = a match {
       case t: java.sql.Timestamp =>

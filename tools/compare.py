@@ -14,8 +14,13 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
 
 oracle = json.load(open(f"{vout}/oracle_sql.json"))
+# Optional argv[3]: comma-list of keys — iteration aid matching Verify's
+# SPARK_GRAFT_ONLY. The real gate always runs without it (all keys).
+only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 fail = ok = 0
 for name in sorted(oracle):
+    if only is not None and name not in only:
+        continue
     sql = oracle[name]
     try:
         rel = con.sql(sql)
