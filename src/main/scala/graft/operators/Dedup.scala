@@ -916,7 +916,45 @@ object Dedup {
                coalesce(h.n_shared, 0) AS n_shared,
                coalesce(h.n_shared, 0) * 2 > p.n_spans AS dup_heavy
         FROM per p LEFT JOIN shr h USING (doc_id)
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d14
+    // Shared-prefix (boilerplate/template) detection: web-crawl corpora
+    // are full of pages that OPEN identically — navigation chrome, license
+    // headers, generated-report preambles — while the bodies differ, so
+    // neither exact dedup (d01, whole-text digest) nor near-dup (d03,
+    // global Jaccard) flags them. Group by the digest of the first-K
+    // normalized tokens: groups of ≥2 docs share an opening; those whose
+    // FULL digests also differ (n_bodies ≥ 2) are templated families —
+    // the boilerplate-strip worklist. K=8 here so the synthetic sf docs
+    // (~50 tokens) exercise the operator; production K is 32-64. One
+    // prefix-digest-keyed shuffle, map-side partial — corpus-linear, and
+    // the per-group state is three counters however hot a template is.
+    "d14_prefix_dedup" -> QueryDef(
+      build = (s, d) => {
+        val prefixHash = md5(concat_ws(" ",
+          slice(TextFns.tokens(col("text")), 1, 8)).cast("binary"))
+        t(s, d, "documents")
+          .groupBy(prefixHash.as("prefix_hash"))
+          .agg(count(lit(1)).as("n_docs"),
+               countDistinct(md5(col("text").cast("binary"))).as("n_bodies"),
+               min("doc_id").as("keep_id"))
+          .filter(col("n_docs") >= 2)
+          .select(col("prefix_hash"), col("n_docs"), col("n_bodies"),
+            col("keep_id"), (col("n_bodies") >= 2).as("templated"))
+          .orderBy("keep_id")
+      },
+      oracle = Some("""
+        SELECT md5(array_to_string(
+                 string_split_regex(lower(trim(text)), '\s+')[1:8], ' '))
+                 AS prefix_hash,
+               count(*) AS n_docs,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_bodies,
+               min(doc_id) AS keep_id,
+               count(DISTINCT md5(text)) >= 2 AS templated
+        FROM documents
+        GROUP BY 1 HAVING count(*) >= 2
+        ORDER BY keep_id"""))
   )
 
   /** Name → QueryDef for intra-object composition (d09 reuses d06b). */

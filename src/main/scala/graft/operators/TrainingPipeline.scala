@@ -611,6 +611,67 @@ object TrainingPipeline {
                coalesce(kp.docs_kept, 0) AS docs_kept,
                coalesce(kp.tokens_kept, 0) AS tokens_kept
         FROM totals t CROSS JOIN k LEFT JOIN kept kp ON t.lang = kp.lang
-        ORDER BY t.lang"""))
+        ORDER BY t.lang""")),
+
+    // ---------------------------------------------------------------- p14
+    // Snapshot diff: the incremental-ingestion delta between two crawl
+    // snapshots of the same corpus (here: even doc_ids as the "old"
+    // snapshot, odd as the "new" — the driver data has no snapshot
+    // column). Content identity is the text digest, so a re-crawled
+    // unchanged page lands in `common` wherever its id moved. One
+    // digest-keyed full-outer join between two pre-aggregated digest
+    // tables — both sides shrink to distinct digests BEFORE the join, so
+    // at 100 TB the join moves one row per distinct document, not one
+    // per copy, and the output is three constant rows. This is the
+    // cheap gate in front of a full re-prep: `added`'s token mass is
+    // exactly the work an incremental pipeline (d10's broadcast shape)
+    // has to process.
+    "p14_snapshot_diff" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          md5(col("text").cast("binary")).as("h"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+        val old = docs.filter(col("doc_id") % 2 === 0).groupBy("h")
+          .agg(count(lit(1)).as("od"), sum("ntok").as("ot"))
+        val neu = docs.filter(col("doc_id") % 2 === 1).groupBy("h")
+          .agg(count(lit(1)).as("nd"), sum("ntok").as("nt"))
+        old.join(neu, Seq("h"), "full_outer")
+          .select(
+            when(col("od").isNull, lit("added"))
+              .when(col("nd").isNull, lit("removed"))
+              .otherwise(lit("common")).as("status"),
+            coalesce(col("od"), lit(0L)).as("od"),
+            coalesce(col("ot"), lit(0L)).as("ot"),
+            coalesce(col("nd"), lit(0L)).as("nd"),
+            coalesce(col("nt"), lit(0L)).as("nt"))
+          .groupBy("status")
+          .agg(count(lit(1)).as("n_digests"),
+               sum("od").as("old_docs"), sum("ot").as("old_tokens"),
+               sum("nd").as("new_docs"), sum("nt").as("new_tokens"))
+          .orderBy("status")
+      },
+      oracle = Some("""
+        WITH docs AS (
+          SELECT doc_id, md5(text) AS h,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok
+          FROM documents),
+        old AS (SELECT h, count(*) AS od, CAST(sum(ntok) AS BIGINT) AS ot
+                FROM docs WHERE doc_id % 2 = 0 GROUP BY h),
+        neu AS (SELECT h, count(*) AS nd, CAST(sum(ntok) AS BIGINT) AS nt
+                FROM docs WHERE doc_id % 2 = 1 GROUP BY h),
+        j AS (
+          SELECT CASE WHEN old.h IS NULL THEN 'added'
+                      WHEN neu.h IS NULL THEN 'removed'
+                      ELSE 'common' END AS status,
+                 coalesce(od, 0) AS od, coalesce(ot, 0) AS ot,
+                 coalesce(nd, 0) AS nd, coalesce(nt, 0) AS nt
+          FROM old FULL OUTER JOIN neu ON old.h = neu.h)
+        SELECT status, count(*) AS n_digests,
+               CAST(sum(od) AS BIGINT) AS old_docs,
+               CAST(sum(ot) AS BIGINT) AS old_tokens,
+               CAST(sum(nd) AS BIGINT) AS new_docs,
+               CAST(sum(nt) AS BIGINT) AS new_tokens
+        FROM j GROUP BY status ORDER BY status"""))
   )
 }

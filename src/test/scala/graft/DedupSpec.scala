@@ -355,6 +355,29 @@ class DedupSpec extends SparkSpecBase {
       }
   }
 
+  test("d14 prefix dedup: templated families vs exact dups vs singletons") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit, col}
+    val dir = java.nio.file.Files.createTempDirectory("d14").toString
+    Seq(
+      (0L, "p1 p2 p3 p4 p5 p6 p7 p8 body alpha"),   // shared prefix,
+      (1L, "p1 p2 p3 p4 p5 p6 p7 p8 body beta"),    //   different bodies
+      (2L, "x1 x2 x3 x4 x5 x6 x7 x8 same body"),    // exact dup pair
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 same body"),
+      (4L, "a lone document with no shared opening whatsoever"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("d14_prefix_dedup", dir).collect()
+      .map(r => r.getAs[Long]("keep_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_bodies"),
+          r.getAs[Boolean]("templated")))).toMap
+    // singleton 4 never appears; 0/1 are a templated family; 2/3 are an
+    // exact-dup group (one body — d01's case, NOT flagged as template)
+    assert(got == Map(0L -> ((2L, 2L, true)), 2L -> ((2L, 1L, false))))
+  }
+
   test("d13 red path: oversized shared sliver drops the broadcast, " +
     "falls back to a shuffle join, same answer") {
     val want = run("d13_span_dedup", plantedDir).collect()

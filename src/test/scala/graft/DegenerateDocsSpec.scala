@@ -50,7 +50,8 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "p09_leakage_safe_split", "p10_quality_sample", "m01_binary_meta",
     "m02_feature_extract", "m03_frame_sample", "m04_resize_stub",
     "t08_bigram_lm", "d13_span_dedup", "p12_mix_waterfill",
-    "x07_shard_balance", "t09_lexical_diversity", "t10_readability")
+    "x07_shard_balance", "t09_lexical_diversity", "t10_readability",
+    "d14_prefix_dedup", "p14_snapshot_diff")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

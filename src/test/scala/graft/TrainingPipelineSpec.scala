@@ -282,4 +282,35 @@ class TrainingPipelineSpec extends SparkSpecBase {
       case (l, n) => assert(got(l)._4 == n, s"argmin lang $l dropped docs")
     }
   }
+
+  test("p14 snapshot diff classifies planted added/removed/common digests") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit, col}
+    val dir = java.nio.file.Files.createTempDirectory("p14").toString
+    Seq(
+      (0L, "common text"),   // old snapshot (even id) ─┐ same digest
+      (1L, "common text"),   // new snapshot (odd id)  ─┘ → common
+      (2L, "removed text"),  // only in old → removed
+      (3L, "freshly added")) // only in new → added
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("p14_snapshot_diff", dir).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n_digests"), r.getAs[Long]("old_docs"),
+          r.getAs[Long]("old_tokens"), r.getAs[Long]("new_docs"),
+          r.getAs[Long]("new_tokens")))).toMap
+    assert(got == Map(
+      "added" -> ((1L, 0L, 0L, 1L, 2L)),
+      "common" -> ((1L, 1L, 2L, 1L, 2L)),
+      "removed" -> ((1L, 1L, 2L, 0L, 0L))))
+    // conservation on sf data: every old/new doc lands in exactly one class
+    val sfGot = run("p14_snapshot_diff").collect()
+      .map(r => (r.getAs[Long]("old_docs"), r.getAs[Long]("new_docs")))
+    val docs = Tables(spark, sf, "documents").select("doc_id").collect()
+      .map(_.getLong(0))
+    assert(sfGot.map(_._1).sum == docs.count(_ % 2 == 0))
+    assert(sfGot.map(_._2).sum == docs.count(_ % 2 == 1))
+  }
 }
