@@ -299,6 +299,84 @@ object EventsOps {
           FROM rn WHERE rn <= 8 GROUP BY user_id)
         SELECT journey, CAST(count(*) AS BIGINT) AS n_users
         FROM paths GROUP BY journey
-        ORDER BY n_users DESC, journey LIMIT 20"""))
+        ORDER BY n_users DESC, journey LIMIT 20""")),
+
+    // ---------------------------------------------------------------- e09
+    // Markov transition matrix over user journeys: counts and MLE
+    // probability of each adjacent (from → to) event-type pair, adjacency
+    // per user in event-time order (ts, event_id tie-break). The lead()
+    // window is user-keyed — the same bounded-partition shape as e03's
+    // sessionize, never a global sort — and the output is |types|² rows,
+    // so the totals join is a broadcast of a constant-size table at any
+    // corpus scale. n/n_from ride along as exact integers; the MLE `p`
+    // is one rounded IEEE division for the report.
+    "e09_transition_matrix" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cnt = t(s, d, "events")
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy("from_type").agg(sum("n").as("n_from"))
+        cnt.join(broadcast(tot), "from_type")
+          .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+            round(col("n").cast("double") / col("n_from"), 6).as("p"))
+          .orderBy("from_type", "to_type")
+      },
+      oracle = Some("""
+        WITH nx AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, count(*) AS n
+              FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+              FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n, t.n_from,
+               round(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p
+        FROM c JOIN t USING (from_type)
+        ORDER BY from_type, to_type""")),
+
+    // ---------------------------------------------------------------- e10
+    // Last-touch attribution: each purchase is credited to the user's
+    // most recent PRECEDING touch event (view/click), or 'none' if the
+    // purchase had no prior touch. last(_, ignoreNulls) over a
+    // user-keyed, strictly-preceding frame is the as-of-join shape
+    // (q33) fused into one window pass: one user-keyed shuffle, state
+    // per row is a single carried value, and the purchase filter prunes
+    // before the final constant-size channel rollup. Purchase revenue
+    // is summed with the exact-decimal scheme so the per-channel totals
+    // are partition-order-free.
+    "e10_attribution" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touch = when(col("event_type").isin("view", "click"),
+          col("event_type"))
+        t(s, d, "events")
+          .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("last_touch"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+               graft.functions.AggFns.dsum(col("value")).as("total_value"))
+          .orderBy("channel")
+      },
+      oracle = Some("""
+        WITH lt AS (
+          SELECT event_type, value,
+                 last_value(CASE WHEN event_type IN ('view', 'click')
+                     THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS last_touch
+          FROM events)
+        SELECT coalesce(last_touch, 'none') AS channel,
+               count(*) AS n_purchases,
+               CAST(round(sum(CAST(round(value, 6) AS DECIMAL(30,6))), 2)
+                 AS DOUBLE) AS total_value
+        FROM lt WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY channel"""))
   )
 }

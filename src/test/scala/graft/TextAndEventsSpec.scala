@@ -226,4 +226,91 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(got == top)
     assert(got.forall(_._1.split(">").length <= 8))
   }
+
+  private def evMicros(a: Any): Long = a match {
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+    case d: java.time.LocalDateTime =>
+      val i = d.toInstant(java.time.ZoneOffset.UTC)
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case x => sys.error(s"unexpected timestamp class ${x.getClass}")
+  }
+
+  private def sparkRound(x: Double, dp: Int): Double =
+    BigDecimal(java.math.BigDecimal.valueOf(x))
+      .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("e09 transitions = driver replay; per-from probabilities sum to ~1") {
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type").collect()
+    val pairs = ev.groupBy(_.getAs[Long]("user_id")).values.toSeq.flatMap {
+      rows =>
+        val sorted = rows.sortBy(r =>
+          (evMicros(r.getAs[Any]("ts")), r.getAs[Long]("event_id")))
+          .map(_.getAs[String]("event_type"))
+        sorted.zip(sorted.drop(1))
+    }
+    val n = pairs.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val nFrom = pairs.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val expect = n.map { case ((f, to), c) =>
+      (f, to) -> ((c, nFrom(f), sparkRound(c.toDouble / nFrom(f), 6))) }
+    val got = run("e09_transition_matrix").collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_from"),
+          r.getAs[Double]("p")))).toMap
+    assert(got == expect)
+    // MLE rows per from_type sum to the from-total exactly (integers)
+    got.groupBy(_._1._1).foreach { case (f, rows) =>
+      assert(rows.values.map(_._1).sum == rows.values.head._2, f)
+    }
+  }
+
+  test("e10 attribution = driver replay; planted no-touch purchase lands in 'none'") {
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+    val credited = ev.groupBy(_.getAs[Long]("user_id")).values.toSeq.flatMap {
+      rows =>
+        val sorted = rows.sortBy(r =>
+          (evMicros(r.getAs[Any]("ts")), r.getAs[Long]("event_id")))
+        var lastTouch: String = null
+        sorted.flatMap { r =>
+          val et = r.getAs[String]("event_type")
+          val out = if (et == "purchase")
+            Some((if (lastTouch == null) "none" else lastTouch,
+              r.getAs[Double]("value")))
+          else None
+          if (et == "view" || et == "click") lastTouch = et
+          out
+        }
+    }
+    val expect = credited.groupBy(_._1).map { case (ch, xs) =>
+      val s = xs.map(x => BigDecimal(java.math.BigDecimal.valueOf(x._2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+      ch -> ((xs.length.toLong,
+        s.setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = run("e10_attribution").collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Double]("total_value")))).toMap
+    assert(got == expect)
+    // planted: purchase before any touch → none; touch AFTER a purchase
+    // must not be credited backwards
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e10").toString
+    Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "purchase", 5.0),  // no prior touch
+      (1L, "2024-01-01 00:01:00", 11L, "click", 0.0),
+      (1L, "2024-01-01 00:02:00", 12L, "view", 0.0),
+      (1L, "2024-01-01 00:03:00", 13L, "purchase", 7.0),  // credits view
+      (2L, "2024-01-01 00:00:30", 20L, "purchase", 1.0))  // other user: none
+      .toDF("user_id", "tss", "event_id", "event_type", "value")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = run("e10_attribution", dir).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("n_purchases"), r.getAs[Double]("total_value")))).toMap
+    assert(planted == Map("none" -> ((2L, 6.0)), "view" -> ((1L, 7.0))))
+  }
 }
