@@ -150,6 +150,51 @@ object Multimodal {
             generate_series(0, greatest(CAST(floor((length(text)-64)/256) AS INT), 0)),
             i -> substr(text, i*256+1, 64)) AS frames
           FROM documents) z
-        ORDER BY doc_id"""))
+        ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- m05
+    // Chunk-level payload dedup (fixed-block CDC-lite): split each opaque
+    // payload into aligned 64-byte blocks, digest each, and count blocks
+    // whose digest recurs in OTHER payloads — the storage-dedup estimate
+    // a content-addressed blob store (or a multimodal shard compactor)
+    // runs before writing. Physically d13's inverted-index shape on
+    // binary blocks: per-doc DISTINCT digests (explode is map-side, the
+    // distinct rides the digest-keyed count shuffle), a ≥2-doc rollup,
+    // and a join-back — block-linear at any corpus size, never doc-pairs.
+    "m05_chunk_dedup" -> QueryDef(
+      build = (s, d) => {
+        val chunks = t(s, d, "documents")
+          .withColumn("ch", expr(
+            "transform(sequence(0, greatest(cast(floor((length(text)-1)/64) as int), 0))," +
+              " i -> md5(cast(substring(text, i*64+1, 64) AS binary)))"))
+          .select(col("doc_id"), explode(array_distinct(col("ch"))).as("h"))
+        val shared = chunks.groupBy("h")
+          .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
+        val per = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        val shr = chunks.join(shared, "h")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        per.join(shr, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_chunks"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            (coalesce(col("n_shared"), lit(0L)) * 2 > col("n_chunks"))
+              .as("dup_heavy"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH ch AS (
+          SELECT DISTINCT doc_id,
+                 md5(substr(text, CAST(i*64+1 AS INT), 64)) AS h
+          FROM documents,
+               unnest(range(greatest(CAST(floor((length(text)-1)/64) AS INT), 0)
+                 + 1)) AS u(i)),
+        shared AS (SELECT h FROM ch GROUP BY h HAVING count(*) >= 2),
+        per AS (SELECT doc_id, count(*) AS n_chunks FROM ch GROUP BY doc_id),
+        shr AS (SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+                FROM ch c JOIN shared USING (h) GROUP BY c.doc_id)
+        SELECT p.doc_id, p.n_chunks,
+               coalesce(s.n_shared, 0) AS n_shared,
+               coalesce(s.n_shared, 0) * 2 > p.n_chunks AS dup_heavy
+        FROM per p LEFT JOIN shr s USING (doc_id)
+        ORDER BY p.doc_id"""))
   )
 }

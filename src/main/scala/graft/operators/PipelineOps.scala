@@ -266,6 +266,47 @@ object PipelineOps {
                       count(*) AS nsh FROM ps)
         SELECT shard, n_docs, n_tokens,
                abs(n_docs * nsh - tot) * 5 <= tot AS balanced
-        FROM ps CROSS JOIN tt ORDER BY shard"""))
+        FROM ps CROSS JOIN tt ORDER BY shard""")),
+
+    // ---------------------------------------------------------------- x08
+    // Per-shard output manifest: x07's deterministic md5 shard draw plus
+    // the metadata a 100 TB writer records next to each shard file —
+    // doc/token mass, id bounds, and an ORDER-FREE content signature
+    // (bit_xor of a 60-bit per-doc digest prefix). xor is commutative
+    // and associative, so the signature is identical at any parallelism
+    // and any row order — re-running the job, or re-sharding after a
+    // growth event, diffs as 32 signature compares instead of a
+    // re-read of the corpus. Everything before the shard-keyed
+    // aggregation is map-side; per-shard state is five scalars.
+    "x08_shard_manifest" -> QueryDef(
+      build = (s, d) => {
+        val shard = pmod(conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 8), 16, 10).cast("long"), lit(32L))
+        t(s, d, "documents")
+          .select(shard.as("shard"), col("doc_id"),
+            size(graft.functions.TextFns.tokens(col("text")))
+              .cast("long").as("ntok"),
+            conv(substring(md5(col("text").cast("binary")), 1, 15), 16, 10)
+              .cast("long").as("csum"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+            min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+            expr("bit_xor(csum)").as("content_sig"))
+          .orderBy("shard")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 32 AS shard,
+                 doc_id,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok,
+                 ('0x' || substr(md5(text), 1, 15))::BIGINT AS csum
+          FROM documents)
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+               bit_xor(csum) AS content_sig
+        FROM d GROUP BY shard ORDER BY shard"""))
   )
 }

@@ -927,6 +927,64 @@ object Similarity {
           WHERE rk = 1)
         SELECT l0.l_id, b.r_id AS nn_id, round(b.c, 4) AS cos
         FROM l0 LEFT JOIN nbest b USING (l_id)
-        ORDER BY l0.l_id"""))
+        ORDER BY l0.l_id""")),
+
+    // ---------------------------------------------------------------- a12
+    // kNN label classification: predict each query vector's label by
+    // majority vote of its 5 exact nearest corpus neighbors (cosine),
+    // ties to the smallest label — the standard embedding-space
+    // label-propagation / weak-annotation primitive. Queries are a 1-in-20
+    // id slice, corpus the even ids, so query and corpus never overlap
+    // and the broadcast side stays ~5% of the table. The vote argmax is
+    // a min-struct hash aggregate over the ≤|labels| per-query vote rows
+    // (a03's idiom), never a second corpus-sized shuffle; the top-5
+    // window partitions per query with candidate fan-in bounded by the
+    // corpus slice. The scale path swaps the crossJoin for a11's
+    // IVF-cell blocking — the vote logic is unchanged.
+    "a12_knn_classify" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") % 20 === 1)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("label").as("true_label"))
+        val c = e.filter(col("vec_id") % 2 === 0)
+        val w = Window.partitionBy("q_id").orderBy(desc("sc"), asc("vec_id"))
+        val knn = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("true_label"), col("vec_id"),
+            col("label"), VectorFns.cosine(col("qv"), col("embedding"))
+              .as("sc"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+        knn.groupBy("q_id", "true_label", "label")
+          .agg(count(lit(1)).as("nv"))
+          .groupBy("q_id", "true_label")
+          .agg(min(struct((-col("nv")).as("nnv"), col("label").as("label")))
+            .as("b"))
+          .select(col("q_id"), col("b.label").as("pred_label"),
+            (-col("b.nnv")).as("n_votes"), col("true_label"),
+            (col("b.label") === col("true_label")).as("correct"))
+          .orderBy("q_id")
+      },
+      oracle = Some("""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+                          label AS true_label
+                   FROM embeddings WHERE vec_id % 20 = 1),
+        c AS (SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id % 2 = 0),
+        sc AS (SELECT q_id, true_label, c.vec_id, c.label,
+                 list_cosine_similarity(qv::DOUBLE[],
+                   c.embedding::DOUBLE[]) AS sc
+               FROM q CROSS JOIN c),
+        knn AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY sc DESC, vec_id) AS rk FROM sc) z
+          WHERE rk <= 5),
+        votes AS (SELECT q_id, true_label, label, count(*) AS nv
+                  FROM knn GROUP BY 1, 2, 3),
+        best AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY nv DESC, label) AS r FROM votes)
+        SELECT q_id, label AS pred_label, CAST(nv AS BIGINT) AS n_votes,
+               true_label, label = true_label AS correct
+        FROM best WHERE r = 1 ORDER BY q_id"""))
   )
 }

@@ -672,6 +672,51 @@ object TrainingPipeline {
                CAST(sum(ot) AS BIGINT) AS old_tokens,
                CAST(sum(nd) AS BIGINT) AS new_docs,
                CAST(sum(nt) AS BIGINT) AS new_tokens
-        FROM j GROUP BY status ORDER BY status"""))
+        FROM j GROUP BY status ORDER BY status""")),
+
+    // ---------------------------------------------------------------- p13
+    // Curriculum schedule: partition the corpus into fixed quality
+    // stages — train on the cleanest mass first, append the tail last.
+    // Stage membership is the t02 stopword signal gated in pure integer
+    // cross-multiplication (10·stop ≥ tok ⇔ ratio ≥ 0.10, etc.), so the
+    // assignment is engine-exact, rerun-stable, and entirely map-side;
+    // the only shuffle carries four counter rows. The schedule row
+    // (stage, docs, token mass, lang spread) is what a trainer's data
+    // loader consumes to size each curriculum phase — thresholds are
+    // constants, NOT corpus quantiles, so a shard processed on Tuesday
+    // lands in the same stage when reprocessed on Friday.
+    "p13_curriculum" -> QueryDef(
+      build = (s, d) => {
+        val toks = graft.functions.TextFns.tokens(col("text"))
+        val stopArr = array(graft.functions.TextFns.stopwords.map(lit): _*)
+        val nTok = size(toks).cast("long")
+        val nStop = size(filter(toks, x => array_contains(stopArr, x)))
+          .cast("long")
+        t(s, d, "documents")
+          .select(col("lang"),
+            when(nStop * 10 >= nTok, 0L).when(nStop * 20 >= nTok, 1L)
+              .when(nStop > 0, 2L).otherwise(3L).as("stage"),
+            nTok.as("ntok"))
+          .groupBy("stage")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+               countDistinct("lang").as("n_langs"))
+          .orderBy("stage")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok,
+                 CAST(len(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))
+                   AS BIGINT) AS nstop
+          FROM documents)
+        SELECT CAST(CASE WHEN nstop * 10 >= ntok THEN 0
+                         WHEN nstop * 20 >= ntok THEN 1
+                         WHEN nstop > 0 THEN 2 ELSE 3 END AS BIGINT) AS stage,
+               count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM t GROUP BY 1 ORDER BY stage"""))
   )
 }

@@ -378,6 +378,32 @@ class DedupSpec extends SparkSpecBase {
     assert(got == Map(0L -> ((2L, 2L, true)), 2L -> ((2L, 1L, false))))
   }
 
+  test("m05 chunk dedup: aligned shared blocks, within-doc distinctness") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit, col}
+    def block(c: Char): String = c.toString * 64
+    val dir = java.nio.file.Files.createTempDirectory("m05").toString
+    Seq(
+      (0L, block('a') + block('b')),  // shares block a with 1/4/5
+      (1L, block('a') + block('c')),
+      (2L, block('d') + block('d')),  // same block twice → ONE distinct chunk
+      (3L, block('e') + "tail bytes"),
+      (4L, block('a') + block('f')),  // both blocks shared → dup_heavy
+      (5L, block('f') + block('a')))  // aligned swap of 4
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("m05_chunk_dedup", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_shared"),
+          r.getAs[Boolean]("dup_heavy")))).toMap
+    assert(got == Map(
+      0L -> ((2L, 1L, false)), 1L -> ((2L, 1L, false)),
+      2L -> ((1L, 0L, false)), 3L -> ((2L, 0L, false)),
+      4L -> ((2L, 2L, true)), 5L -> ((2L, 2L, true))))
+  }
+
   test("d13 red path: oversized shared sliver drops the broadcast, " +
     "falls back to a shuffle join, same answer") {
     val want = run("d13_span_dedup", plantedDir).collect()

@@ -51,7 +51,8 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "m02_feature_extract", "m03_frame_sample", "m04_resize_stub",
     "t08_bigram_lm", "d13_span_dedup", "p12_mix_waterfill",
     "x07_shard_balance", "t09_lexical_diversity", "t10_readability",
-    "d14_prefix_dedup", "p14_snapshot_diff")
+    "d14_prefix_dedup", "p14_snapshot_diff", "x08_shard_manifest",
+    "p13_curriculum", "m05_chunk_dedup")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

@@ -37,7 +37,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "t07_token_familiarity", "d11_dedup_survivors", "p09_leakage_safe_split",
     "p11_dedup_savings", "t08_bigram_lm", "d13_span_dedup",
     "p12_mix_waterfill", "x07_shard_balance", "t09_lexical_diversity",
-    "t10_readability", "d14_prefix_dedup", "p14_snapshot_diff")
+    "t10_readability", "d14_prefix_dedup", "p14_snapshot_diff",
+    "x08_shard_manifest", "p13_curriculum", "m05_chunk_dedup")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

@@ -102,4 +102,28 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(rows.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_docs"))
       .toMap == byShard)
   }
+
+  test("x08 manifest = exact driver replay; xor signature is order-free") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val expect = docs.groupBy { case (id, _) =>
+      java.lang.Long.parseLong(md5hex(id.toString).take(8), 16) % 32
+    }.map { case (sh, xs) =>
+      sh -> ((xs.length.toLong,
+        xs.map(_._2.trim.toLowerCase.split("\\s+").length.toLong).sum,
+        xs.map(_._1).min, xs.map(_._1).max,
+        xs.map(x => java.lang.Long.parseLong(md5hex(x._2).take(15), 16))
+          .reduce(_ ^ _)))
+    }
+    val got = run("x08_shard_manifest").collect()
+      .map(r => r.getAs[Long]("shard") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc"),
+          r.getAs[Long]("content_sig")))).toMap
+    assert(got == expect)
+  }
 }

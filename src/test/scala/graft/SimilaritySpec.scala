@@ -292,4 +292,59 @@ class SimilaritySpec extends SparkSpecBase {
         assert(math.abs(got(id)._2.get - globalNN(id)._2) < 5e-5)
     }
   }
+
+  test("a12 knn vote: planted majority + tie-to-smallest-label; sf replay") {
+    import spark.implicits._
+    // query 21 (21 % 20 == 1) = e0 with true label 3; five even corpus
+    // vectors cluster around e0 with labels 7,7,3,3,1 → vote tie 7 vs 3
+    // at 2 → tie-break picks label 3 → correct. Vector 10 points the
+    // other way: rank 6, must never enter the vote.
+    def unit(tilt: Float): Array[Float] = {
+      val a = new Array[Float](64); a(0) = 1f; a(1) = tilt; a
+    }
+    val dir = java.nio.file.Files.createTempDirectory("a12").toString
+    (Seq(
+      (21L, unit(0f), 3),
+      (0L, unit(0.01f), 7), (2L, unit(0.02f), 7),
+      (4L, unit(0.03f), 3), (6L, unit(0.04f), 3),
+      (8L, unit(0.05f), 1),
+      (10L, unit(0f).map(x => -x), 9)))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = run("a12_knn_classify", dir).collect()
+    assert(planted.length == 1)
+    val r0 = planted.head
+    assert(r0.getAs[Long]("q_id") == 21L)
+    assert(r0.getAs[Int]("pred_label") == 3)
+    assert(r0.getAs[Long]("n_votes") == 2L)
+    assert(r0.getAs[Boolean]("correct"))
+
+    // sf replay: exact kNN vote recomputed driver-side
+    val vecs = Tables(spark, sf, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).toArray,
+        r.getAs[Int]("label")))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val corpus = vecs.filter(_._1 % 2 == 0)
+    val expect = vecs.filter(_._1 % 20 == 1).map { case (q, qv, ql) =>
+      val top5 = corpus.map { case (id, v, l) => (id, cos(qv, v), l) }
+        .sortBy { case (id, sc, _) => (-sc, id) }.take(5)
+      val votes = top5.groupBy(_._3).map { case (l, xs) => l -> xs.length }
+      val (pred, nv) = votes.toSeq.sortBy { case (l, n) => (-n, l) }.head
+      q -> ((pred, nv.toLong, ql, pred == ql))
+    }.toMap
+    val got = run("a12_knn_classify").collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Int]("pred_label"), r.getAs[Long]("n_votes"),
+          r.getAs[Int]("true_label"), r.getAs[Boolean]("correct")))).toMap
+    assert(got == expect)
+  }
 }

@@ -313,4 +313,32 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(sfGot.map(_._1).sum == docs.count(_ % 2 == 0))
     assert(sfGot.map(_._2).sum == docs.count(_ % 2 == 1))
   }
+
+  test("p13 curriculum stages: planted docs land on the integer boundaries") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit, col}
+    val dir = java.nio.file.Files.createTempDirectory("p13").toString
+    Seq(
+      // (10·stop ≥ tok) boundary is INCLUSIVE: 1 stop in 10 → stage 0
+      (0L, "the " + Seq.fill(9)("w").mkString(" "), "en"),    // stage 0
+      (1L, "the " + Seq.fill(14)("w").mkString(" "), "en"),   // stage 1
+      (2L, "the " + Seq.fill(29)("w").mkString(" "), "en"),   // stage 2
+      (3L, "w w w", "en"),                                    // stage 3
+      (4L, "v v v v", "fr"))                                  // stage 3
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("p13_curriculum", dir).collect()
+      .map(r => r.getAs[Long]("stage") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_langs")))).toMap
+    assert(got == Map(
+      0L -> ((1L, 10L, 1L)), 1L -> ((1L, 15L, 1L)),
+      2L -> ((1L, 30L, 1L)), 3L -> ((2L, 7L, 2L))))
+    // conservation on sf: stages partition the corpus
+    val sfRows = run("p13_curriculum").collect()
+    assert(sfRows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf, "documents").count())
+  }
 }
