@@ -14,9 +14,23 @@ import org.apache.spark.sql.types.DecimalType
   */
 object AggFns {
 
-  /** Exact decimal sum of a per-row-rounded expression (no final round). */
+  /** Exact decimal sum of a per-row-rounded expression (no final round).
+    *
+    * The 6-dp rounding is done BY the decimal cast, not by an explicit
+    * round(e, 6): Spark's double→DECIMAL(30,6) cast routes through
+    * BigDecimal.valueOf (shortest decimal repr) + HALF_UP at scale 6 —
+    * exactly round(e, 6)'s own path — so `cast` ≡ `round then cast` for
+    * every double, while skipping one BigDecimal round-trip per row.
+    * Measured: 0 differing rows across price/revenue/charge shapes on
+    * 600k rows, and the 3-sum q01 aggregation drops 1.85 s → 1.17 s
+    * (tools/RoundProbe.scala). The DuckDB twin (sqlDsumRaw) KEEPS its
+    * explicit round(x, 6): DuckDB's double→decimal cast rounds the
+    * binary value, not the shortest repr, so dropping round there could
+    * flip k.5-boundary rows — the engines meet at the rounded VALUE, not
+    * at the same expression text.
+    */
   def dsumRaw(e: Column): Column =
-    sum(round(e, 6).cast(DecimalType(30, 6)))
+    sum(e.cast(DecimalType(30, 6)))
 
   /** Order-independent `round(sum(e), scale)` as a double. */
   def dsum(e: Column, scale: Int = 2): Column =

@@ -929,7 +929,7 @@ object Relational {
           .rangeBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d, "orders")
           .withColumn("running_total",
-            round(sum(round(col("o_totalprice"), 6).cast("decimal(30,6)"))
+            round(sum(col("o_totalprice").cast("decimal(30,6)"))
               .over(w).cast("double"), 2))
           .filter(col("o_custkey") % 100 === 0)
           .select("o_custkey", "o_orderkey", "o_orderdate", "running_total")

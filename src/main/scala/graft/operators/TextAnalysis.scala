@@ -181,7 +181,9 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n"))
         tf.groupBy("doc_id")
           .agg(sum("n").as("tot"),
-            sum(round(col("n") * log(col("n").cast("double")), 6)
+            // the decimal cast IS the 6-dp HALF_UP rounding (AggFns
+            // .dsumRaw's proof) — no explicit round() needed per row
+            sum((col("n") * log(col("n").cast("double")))
               .cast("decimal(30,6)")).as("s"))
           .select(col("doc_id"),
             round(log(col("tot").cast("double")) -
@@ -334,7 +336,8 @@ object TextAnalysis {
           .withColumn("w1", substring_index(col("bg"), " ", 1))
           .join(pfx, "w1")
           .select(col("bg"),
-            round(log(col("cp").cast("double") / col("cb")), 6)
+            // decimal cast rounds HALF_UP at 6 dp itself (dsumRaw proof)
+            log(col("cp").cast("double") / col("cb"))
               .cast("decimal(30,6)").as("l"))
         inst.join(ll, "bg")
           .groupBy("doc_id")
