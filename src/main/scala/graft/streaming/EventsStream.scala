@@ -182,4 +182,63 @@ object EventsStream {
           }
       }
   }
+
+  /** buffer = in-watermark events not yet chained; last = the most recent
+    * MATURED event, carried so chains stay unbroken across emissions.
+    */
+  final case class TransitionState(buffer: Seq[(Long, Long, String)],
+                                   last: Option[(Long, Long, String)])
+  final case class Transition(userId: Long, fromType: String, toType: String)
+
+  /** Streaming twin of the batch e09_transition_matrix: emits each
+    * adjacent (from → to) event-type transition per user in EVENT-TIME
+    * order. Events buffer per user until the watermark passes them, so a
+    * late arrival inside the lateness allowance takes its event-time
+    * place in the chain regardless of arrival order; matured events emit
+    * their pairs and LEAVE the buffer, keeping state bounded by each
+    * user's event rate × the watermark horizon (plus one carried chain
+    * head). On event-time idle timeout the residual buffer flushes its
+    * pairs and the user's state is dropped. Downstream, a windowed
+    * groupBy(from, to) over this stream IS e09's matrix, incrementally.
+    */
+  def transitionTracker(events: Dataset[JourneyEvent],
+                        watermark: String = "2 hours",
+                        idleSec: Long = 3600): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[TransitionState, Transition](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[TransitionState]) =>
+          def pairs(head: Option[(Long, Long, String)],
+                    seq: Seq[(Long, Long, String)]): Iterator[Transition] = {
+            val chain = head.toSeq ++ seq
+            chain.zip(chain.drop(1)).iterator
+              .map { case (a, b) => Transition(userId, a._3, b._3) }
+          }
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            pairs(st.last, st.buffer)
+          } else {
+            val st = state.getOption.getOrElse(TransitionState(Nil, None))
+            val incoming = evs.map(e =>
+              (e.ts.getTime * 1000L, e.eventId, e.eventType)).toSeq
+            val merged = (st.buffer ++ incoming).sortBy(t => (t._1, t._2))
+            val wmMicros = state.getCurrentWatermarkMs() * 1000L
+            val (mature, rest) = merged.partition(_._1 < wmMicros)
+            val out = pairs(st.last, mature)
+            val newLast = mature.lastOption.orElse(st.last)
+            val lastSeenMs = merged.map(_._1 / 1000L).max
+            state.update(TransitionState(rest, newLast))
+            // idle horizon, clamped above the current watermark (Spark
+            // rejects a timeout at-or-before the watermark)
+            state.setTimeoutTimestamp(
+              math.max(lastSeenMs, state.getCurrentWatermarkMs() + 1) +
+                idleSec * 1000L)
+            out
+          }
+      }
+  }
 }

@@ -175,6 +175,76 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("transitionTracker emits event-time-ordered pairs; late arrival reorders") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import EventsStream.JourneyEvent
+    val input = MemoryStream[JourneyEvent]
+    val q = EventsStream.transitionTracker(input.toDS(),
+        watermark = "1 hour", idleSec = 60)
+      .writeStream.format("memory").queryName("transitions")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"),
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:00:20"), 3L, "purchase"))
+      q.processAllAvailable()
+      // the middle event arrives LATE (inside the 1-hour allowance): it
+      // must take its event-time place — view>click>purchase, never
+      // view>purchase
+      input.addData(
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:00:10"), 2L, "click"))
+      q.processAllAvailable()
+      // advance the watermark past user 1's idle horizon, then one more
+      // batch so the timeout trigger fires and flushes the buffer
+      input.addData(
+        JourneyEvent(2L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L, "view"))
+      q.processAllAvailable()
+      input.addData(
+        JourneyEvent(3L, Timestamp.valueOf("2024-01-01 15:00:00"), 10L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("transitions").as[EventsStream.Transition]
+        .collect().filter(_.userId == 1L)
+        .map(t => (t.fromType, t.toType)).toSeq
+      assert(got == Seq(("view", "click"), ("click", "purchase")))
+    } finally q.stop()
+  }
+
+  test("transitionTracker matures incrementally and chains across emissions") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import EventsStream.JourneyEvent
+    val input = MemoryStream[JourneyEvent]
+    val q = EventsStream.transitionTracker(input.toDS(),
+        watermark = "1 hour", idleSec = 7200)
+      .writeStream.format("memory").queryName("transitions2")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"),
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "click"))
+      q.processAllAvailable()
+      input.addData( // advances watermark to 12:00 at NEXT batch
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 13:00:00"), 3L, "signup"))
+      q.processAllAvailable()
+      input.addData( // wm now 12:00: 10:00/10:01 mature → first pair out
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 16:00:00"), 4L, "error"))
+      q.processAllAvailable()
+      val afterMature = spark.table("transitions2")
+        .as[EventsStream.Transition].collect()
+        .map(t => (t.fromType, t.toType)).toSeq
+      assert(afterMature == Seq(("view", "click")))
+      input.addData( // wm 15:00: the 13:00 event matures — the chain must
+                     // CONTINUE from the carried last ('click' → 'signup')
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 20:00:00"), 5L, "view"))
+      q.processAllAvailable()
+      val afterMore = spark.table("transitions2")
+        .as[EventsStream.Transition].collect()
+        .map(t => (t.fromType, t.toType)).toSeq
+      assert(afterMore == Seq(("view", "click"), ("click", "signup")))
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated ids within the watermark horizon") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
