@@ -377,6 +377,68 @@ object EventsOps {
                CAST(round(sum(CAST(round(value, 6) AS DECIMAL(30,6))), 2)
                  AS DOUBLE) AS total_value
         FROM lt WHERE event_type = 'purchase'
-        GROUP BY 1 ORDER BY channel"""))
+        GROUP BY 1 ORDER BY channel""")),
+
+    // ---------------------------------------------------------------- e11
+    // RFM segmentation: every user scored on Recency (micros since their
+    // last event, vs the corpus max — pure int64 arithmetic), Frequency
+    // (event count) and Monetary (exact-decimal purchase revenue), each
+    // bucketed 0/1/2 on FIXED thresholds, then rolled up to segment
+    // sizes. All three signals come out of ONE user-keyed aggregation
+    // (the shuffle state per user is four scalars); the corpus max-ts is
+    // a broadcast scalar, and the 27-row segment rollup is constant-size
+    // at any scale. Decimal monetary comparisons make the bucket edges
+    // engine- and order-exact — no float ever decides a segment.
+    "e11_rfm_segments" -> QueryDef(
+      build = (s, d) => {
+        val ev = t(s, d, "events")
+        val perUser = ev.groupBy("user_id").agg(
+          max(unix_micros(col("ts").cast("timestamp"))).as("last_us"),
+          count(lit(1)).as("f"),
+          sum(when(col("event_type") === "purchase", col("value"))
+            .cast("decimal(30,6)")).as("mon"))
+        val mx = ev.agg(max(unix_micros(col("ts").cast("timestamp")))
+          .as("mx_us"))
+        perUser.crossJoin(broadcast(mx))
+          .select(
+            when(col("mx_us") - col("last_us") <= 14400000000L, 2L)
+              .when(col("mx_us") - col("last_us") <= 43200000000L, 1L)
+              .otherwise(0L).as("r_bucket"),
+            when(col("f") >= 70, 2L).when(col("f") >= 62, 1L)
+              .otherwise(0L).as("f_bucket"),
+            when(col("mon") >= 700, 2L).when(col("mon") >= 550, 1L)
+              .otherwise(0L).as("m_bucket"),
+            col("mon"))
+          .groupBy("r_bucket", "f_bucket", "m_bucket")
+          .agg(count(lit(1)).as("n_users"),
+            round(sum(coalesce(col("mon"), lit(0))), 2).cast("double")
+              .as("segment_value"))
+          .orderBy("r_bucket", "f_bucket", "m_bucket")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id,
+                 max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+                 count(*) AS f,
+                 sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(round(value, 6) AS DECIMAL(30,6)) END) AS mon
+          FROM events GROUP BY user_id),
+        m AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS mx_us
+              FROM events),
+        b AS (
+          SELECT CAST(CASE WHEN mx_us - last_us <= 14400000000 THEN 2
+                           WHEN mx_us - last_us <= 43200000000 THEN 1
+                           ELSE 0 END AS BIGINT) AS r_bucket,
+                 CAST(CASE WHEN f >= 70 THEN 2 WHEN f >= 62 THEN 1
+                           ELSE 0 END AS BIGINT) AS f_bucket,
+                 CAST(CASE WHEN mon >= 700 THEN 2 WHEN mon >= 550 THEN 1
+                           ELSE 0 END AS BIGINT) AS m_bucket,
+                 mon
+          FROM u CROSS JOIN m)
+        SELECT r_bucket, f_bucket, m_bucket, count(*) AS n_users,
+               CAST(round(sum(coalesce(mon, 0)), 2) AS DOUBLE)
+                 AS segment_value
+        FROM b GROUP BY 1, 2, 3
+        ORDER BY r_bucket, f_bucket, m_bucket"""))
   )
 }

@@ -985,6 +985,42 @@ object Similarity {
                    ORDER BY nv DESC, label) AS r FROM votes)
         SELECT q_id, label AS pred_label, CAST(nv AS BIGINT) AS n_votes,
                true_label, label = true_label AS correct
-        FROM best WHERE r = 1 ORDER BY q_id"""))
+        FROM best WHERE r = 1 ORDER BY q_id""")),
+
+    // ---------------------------------------------------------------- a13
+    // IVF cell-quality audit: per trained a03 cell, the population, the
+    // mean member→centroid cosine (cohesion) and the worst member
+    // (min cosine) — the measurement run before trusting the coarse
+    // quantizer that a03b/a09/a11/d12 all block on, exactly as a07 is
+    // the measurement run for the LSH path. Mean cohesion sums per-vector
+    // cosines in DECIMAL(30,6) (the cast rounds at 6 dp), so the audit
+    // is partition-order-free; min is order-free by nature. One
+    // cell-keyed aggregation over the assignment; the 8-row centroid
+    // table is broadcast.
+    "a13_cell_quality" -> QueryDef(
+      build = (s, d) => {
+        val (trained, assigned) = ivfTrainedAssigned(t(s, d, "embeddings"))
+        assigned
+          .join(broadcast(trained.select(col("cent_id").as("cell"),
+            col("cv"))), "cell")
+          .select(col("cell"),
+            VectorFns.cosine(col("embedding"), col("cv")).as("cos"))
+          .groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(sum(col("cos").cast("decimal(30,6)")).cast("double") /
+              count(lit(1)), 4).as("avg_cos"),
+            round(min("cos"), 4).as("min_cos"))
+          .orderBy("cell")
+      },
+      oracle = Some(s"""$IVF_ORACLE_CTES,
+        q AS (SELECT a.cell,
+                     list_cosine_similarity(a.embedding::DOUBLE[], c.cv)
+                       AS cos
+              FROM asg2 a JOIN cents c ON a.cell = c.cent_id)
+        SELECT cell, count(*) AS n_vecs,
+               round(CAST(sum(CAST(round(cos, 6) AS DECIMAL(30,6)))
+                 AS DOUBLE) / count(*), 4) AS avg_cos,
+               round(min(cos), 4) AS min_cos
+        FROM q GROUP BY cell ORDER BY cell"""))
   )
 }

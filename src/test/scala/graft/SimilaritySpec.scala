@@ -347,4 +347,32 @@ class SimilaritySpec extends SparkSpecBase {
           r.getAs[Int]("true_label"), r.getAs[Boolean]("correct")))).toMap
     assert(got == expect)
   }
+
+  test("a13 cell quality: cells partition the corpus, cohesion is sane") {
+    val rows = run("a13_cell_quality").collect()
+    val n = Tables(spark, sf, "embeddings").count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == n)
+    assert(rows.length <= 8) // at most the 8 trained cells
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_cos"); val mn = r.getAs[Double]("min_cos")
+      assert(mn <= avg + 1e-9, r.toString)
+      assert(avg <= 1.0001 && mn >= -1.0001, r.toString)
+    }
+    // a planted tight cluster audits at cohesion ~1: every member equals
+    // its seed, so each populated cell's centroid IS the member vector
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("a13").toString
+    val base = Array.tabulate(8) { k =>
+      val a = new Array[Float](64); a(k) = 1f; a
+    }
+    (0L until 32L).map(i => (i, base((i % 8).toInt).clone(), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = run("a13_cell_quality", dir).collect()
+    assert(planted.map(_.getAs[Long]("n_vecs")).sum == 32L)
+    planted.foreach { r =>
+      assert(r.getAs[Double]("avg_cos") == 1.0, r.toString)
+      assert(r.getAs[Double]("min_cos") == 1.0, r.toString)
+    }
+  }
 }

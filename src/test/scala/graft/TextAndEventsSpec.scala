@@ -313,4 +313,38 @@ class TextAndEventsSpec extends SparkSpecBase {
         ((r.getAs[Long]("n_purchases"), r.getAs[Double]("total_value")))).toMap
     assert(planted == Map("none" -> ((2L, 6.0)), "view" -> ((1L, 7.0))))
   }
+
+  test("e11 RFM segments = exact driver replay; users are partitioned") {
+    val ev = Tables(spark, sf, "events")
+      .select("user_id", "ts", "event_type", "value").collect()
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(java.math.BigDecimal.valueOf(x))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val mx = ev.map(r => evMicros(r.getAs[Any]("ts"))).max
+    val expect = ev.groupBy(_.getAs[Long]("user_id")).values.toSeq.map { rows =>
+      val last = rows.map(r => evMicros(r.getAs[Any]("ts"))).max
+      val f = rows.length.toLong
+      val purch = rows.filter(_.getAs[String]("event_type") == "purchase")
+      val mon = if (purch.isEmpty) None
+        else Some(purch.map(r => dec6(r.getAs[Double]("value"))).sum)
+      val r2 = if (mx - last <= 14400000000L) 2L
+        else if (mx - last <= 43200000000L) 1L else 0L
+      val f2 = if (f >= 70) 2L else if (f >= 62) 1L else 0L
+      val m2 = mon.map(m => if (m >= 700) 2L else if (m >= 550) 1L else 0L)
+        .getOrElse(0L)
+      ((r2, f2, m2), mon.getOrElse(BigDecimal(0)))
+    }.groupBy(_._1).map { case (k, xs) =>
+      k -> ((xs.length.toLong,
+        xs.map(_._2).sum.setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }
+    val got = run("e11_rfm_segments").collect()
+      .map(r => (r.getAs[Long]("r_bucket"), r.getAs[Long]("f_bucket"),
+        r.getAs[Long]("m_bucket")) ->
+        ((r.getAs[Long]("n_users"), r.getAs[Double]("segment_value")))).toMap
+    assert(got == expect)
+    // segments partition the user base
+    assert(got.values.map(_._1).sum ==
+      ev.map(_.getAs[Long]("user_id")).distinct.length)
+  }
 }
