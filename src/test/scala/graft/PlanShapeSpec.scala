@@ -246,4 +246,53 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = plan("x07_shard_balance")
     assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("t10 readability is pure map-side: only the sort exchanges") {
+    val p = plan("t10_readability")
+    assert(countOf(p, "Exchange") == 1, p)
+    assert(p.contains("rangepartitioning"), p)
+    assert(!p.contains("Window") && !p.toLowerCase.contains("join"), p)
+  }
+
+  test("p13 curriculum: no window, no join — stage assignment is map-side") {
+    val p = plan("p13_curriculum")
+    assert(!p.contains("Window"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+  }
+
+  test("m05 chunk dedup joins digests, never doc pairs") {
+    val p = plan("m05_chunk_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("a12 vote argmax is an aggregate: exactly the top-5 rank window") {
+    val p = plan("a12_knn_classify")
+    assert(countOf(p, "Window [") == 1, p) // the rank — the vote adds none
+    // and the rank is group-limit-pushed: candidates truncate to 5 per
+    // query BEFORE the q_id shuffle, so the window never moves the full
+    // query×corpus score stream
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p) // query side is broadcast
+  }
+
+  test("e10 attribution is one window pass, no self-join") {
+    val p = plan("e10_attribution")
+    assert(countOf(p, "Window") == 1, p)
+    assert(!p.toLowerCase.contains("join"), p)
+  }
+
+  test("d14/p14 group digests with hash aggregates, no windows") {
+    Seq("d14_prefix_dedup", "p14_snapshot_diff").foreach { k =>
+      val p = plan(k)
+      assert(!p.contains("Window"), s"$k: $p")
+      assert(p.contains("HashAggregate"), s"$k: $p")
+    }
+  }
+
+  test("e11 RFM: corpus max broadcasts; users never re-shuffle for it") {
+    val p = plan("e11_rfm_segments")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
 }
