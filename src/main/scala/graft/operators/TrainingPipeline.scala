@@ -692,11 +692,16 @@ object TrainingPipeline {
         val nTok = size(toks).cast("long")
         val nStop = size(filter(toks, x => array_contains(stopArr, x)))
           .cast("long")
+        // materialize the two counters ONCE before the when-chain: each
+        // branch referencing the raw expressions would re-run the full
+        // tokenize+filter per branch (probe-measured superlinear cpu)
         t(s, d, "documents")
+          .select(col("lang"), nTok.as("ntok"), nStop.as("nstop"))
           .select(col("lang"),
-            when(nStop * 10 >= nTok, 0L).when(nStop * 20 >= nTok, 1L)
-              .when(nStop > 0, 2L).otherwise(3L).as("stage"),
-            nTok.as("ntok"))
+            when(col("nstop") * 10 >= col("ntok"), 0L)
+              .when(col("nstop") * 20 >= col("ntok"), 1L)
+              .when(col("nstop") > 0, 2L).otherwise(3L).as("stage"),
+            col("ntok"))
           .groupBy("stage")
           .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
                countDistinct("lang").as("n_langs"))

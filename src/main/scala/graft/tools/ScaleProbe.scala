@@ -236,6 +236,45 @@ object ScaleProbe {
         graft.SparkEntry.queries("e08_user_journey")(spark, edir).count())
       graft.operators.HotCache.releaseAll()
     }
+    // r9b leg: the later round-9 operators. t09's (doc,token) count and
+    // m05's block index are shingle-shaped (linear, fan-in bounded by
+    // doc length); d14/p14/x08 are digest-keyed aggregations; p13 is a
+    // scan + 4 counter rows. The events trio e09/e10/e11 must show
+    // user-keyed (not corpus-keyed) shuffle: output is |types|²/27/
+    // constant rows, so the claim rides on cpu ~ n and bounded shuffle.
+    println(f"${"rows"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("r9b")) {
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "t09")(q("t09_lexical_diversity").count())
+      row(n, "d14")(q("d14_prefix_dedup").count())
+      row(n, "m05")(q("m05_chunk_dedup").count())
+      row(n, "x08")(q("x08_shard_manifest").count())
+      row(n, "p13")(q("p13_curriculum").count())
+      row(n, "p14")(q("p14_snapshot_diff").count())
+      val edir = s"/tmp/graft-probe-ev-$n" // written by the r9 leg's shape
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        pmod(col("id"), lit(math.max(n / 100, 1))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("scroll")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$edir/events.parquet")
+      def qe(name: String) = graft.SparkEntry.queries(name)(spark, edir)
+      row(n, "e09")(qe("e09_transition_matrix").count())
+      row(n, "e10")(qe("e10_attribution").count())
+      row(n, "e11")(qe("e11_rfm_segments").count())
+      graft.operators.HotCache.releaseAll()
+    }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the
