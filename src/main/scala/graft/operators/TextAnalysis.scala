@@ -445,6 +445,59 @@ object TextAnalysis {
                  AS words_per_sentence,
                n_words <= n_sentences * 30 AND n_letters <= n_words * 10
                  AS readable
-        FROM f ORDER BY doc_id"""))
+        FROM f ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t11
+    // Per-doc keyword extraction: top-3 terms by TF-IDF (x03's corpus
+    // statistics, per-document deliverable) — the doc-tagging /
+    // search-indexing primitive. Ranking happens on the 4-dp-ROUNDED
+    // score with the term string as tie-break, so the order never hinges
+    // on a last-ulp ln() disagreement between engines. The rank window
+    // partitions per doc — fan-in bounded by a doc's distinct terms, so
+    // Spark's WindowGroupLimit truncates to 3 map-side — and the df/tf
+    // joins are term-keyed, never doc-pairs.
+    "t11_keyword_extract" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val toks = docs.select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).as("doc_len"),
+          explode(TextFns.tokens(col("text"))).as("tok"))
+        val tf = toks.groupBy("doc_id", "tok", "doc_len")
+          .agg(count(lit(1)).as("n"))
+        val df = tf.groupBy("tok").agg(count(lit(1)).as("docfreq"))
+        val total = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(desc("score"), asc("tok"))
+        tf.join(df, Seq("tok"))
+          .crossJoin(broadcast(total))
+          .select(col("doc_id"), col("tok"),
+            round((col("n").cast("double") / col("doc_len")) *
+              log(col("n_docs").cast("double") / col("docfreq")), 4)
+              .as("score"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .orderBy("doc_id", "rk")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(string_split_regex(lower(trim(text)), '\s+')) AS doc_len,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        tf AS (
+          SELECT doc_id, tok, doc_len, count(*) AS n
+          FROM toks GROUP BY doc_id, tok, doc_len),
+        df AS (SELECT tok, count(*) AS docfreq FROM tf GROUP BY tok),
+        total AS (SELECT count(*) AS n_docs FROM documents),
+        sc AS (
+          SELECT doc_id, tok,
+                 round((CAST(n AS DOUBLE) / doc_len) *
+                       ln(CAST(n_docs AS DOUBLE) / docfreq), 4) AS score
+          FROM tf JOIN df USING (tok) CROSS JOIN total)
+        SELECT doc_id, tok, score,
+               CAST(rk AS BIGINT) AS rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                ORDER BY score DESC, tok) AS rk FROM sc) z
+        WHERE rk <= 3 ORDER BY doc_id, rk"""))
   )
 }

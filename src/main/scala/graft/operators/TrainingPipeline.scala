@@ -722,6 +722,73 @@ object TrainingPipeline {
                          WHEN nstop > 0 THEN 2 ELSE 3 END AS BIGINT) AS stage,
                count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
-        FROM t GROUP BY 1 ORDER BY stage"""))
+        FROM t GROUP BY 1 ORDER BY stage""")),
+
+    // ---------------------------------------------------------------- p15
+    // Scarce-language oversampling plan: p12's waterfill mirror — every
+    // lang is raised toward the RICHEST lang's token mass M by integer
+    // replication (factor = floor(M / T_lang), exact int64) plus a
+    // fractional md5 draw for the remainder (v·T_lang < rem·65536 in
+    // DECIMAL(38,0) — p12's overflow-free predicate). This is the REPORT
+    // the epoch-mixer consumes: per lang, the base factor, how many docs
+    // win an extra copy, and the resulting token mass; materializing the
+    // copies is one explode(sequence(1, factor + extra)) on top. All
+    // map-side against two broadcast scalars; rerun- and growth-stable
+    // because the draw keys on doc_id alone.
+    "p15_oversample" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("lang"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+        val totals = docs.groupBy("lang")
+          .agg(sum("ntok").as("t_tok"), count(lit(1)).as("n_docs"))
+        val mDf = totals.agg(max("t_tok").as("m_tok"))
+        val draw = conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 4), 16, 10).cast("long")
+        val base = docs.withColumn("v", draw)
+          .join(broadcast(totals.select("lang", "t_tok")), "lang")
+          .crossJoin(broadcast(mDf))
+          .withColumn("factor", expr("m_tok div t_tok")) // exact int64, not a
+          // double division whose rounding could cross the floor boundary
+          .withColumn("rem", col("m_tok") - col("factor") * col("t_tok"))
+          .withColumn("extra",
+            col("v").cast("decimal(38,0)") * col("t_tok") <
+              col("rem").cast("decimal(38,0)") * lit(65536L))
+        base.groupBy("lang")
+          .agg(count(lit(1)).as("docs_total"),
+            sum("ntok").as("tokens_total"),
+            max("factor").as("factor_base"),
+            sum(when(col("extra"), 1L).otherwise(0L)).as("docs_extra"),
+            (sum(col("ntok") * col("factor")) +
+              sum(when(col("extra"), col("ntok")).otherwise(0L)))
+              .as("tokens_out"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH docs AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok
+          FROM documents),
+        totals AS (
+          SELECT lang, CAST(sum(ntok) AS BIGINT) AS t_tok FROM docs
+          GROUP BY lang),
+        m AS (SELECT max(t_tok) AS m_tok FROM totals),
+        b AS (
+          SELECT d.doc_id, d.lang, d.ntok,
+                 ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                   ::BIGINT AS v,
+                 m_tok // t_tok AS factor,
+                 m_tok - (m_tok // t_tok) * t_tok AS rem,
+                 t_tok
+          FROM docs d JOIN totals t ON d.lang = t.lang CROSS JOIN m)
+        SELECT lang, count(*) AS docs_total,
+               CAST(sum(ntok) AS BIGINT) AS tokens_total,
+               CAST(max(factor) AS BIGINT) AS factor_base,
+               CAST(count(*) FILTER (WHERE v * t_tok < rem * 65536)
+                 AS BIGINT) AS docs_extra,
+               CAST(sum(ntok * factor) +
+                    coalesce(sum(ntok) FILTER (WHERE v * t_tok < rem * 65536),
+                             0) AS BIGINT) AS tokens_out
+        FROM b GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -52,7 +52,8 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "t08_bigram_lm", "d13_span_dedup", "p12_mix_waterfill",
     "x07_shard_balance", "t09_lexical_diversity", "t10_readability",
     "d14_prefix_dedup", "p14_snapshot_diff", "x08_shard_manifest",
-    "p13_curriculum", "m05_chunk_dedup")
+    "p13_curriculum", "m05_chunk_dedup", "t11_keyword_extract",
+    "p15_oversample")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

@@ -202,6 +202,29 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(got == expect)
   }
 
+  test("t11 keywords = driver replay of the per-doc top-3 tfidf rank") {
+    val docs = Tables(spark, sf, "documents").select("doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val tokens = docs.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val df = tokens.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length }
+    val nDocs = docs.length.toDouble
+    val expect = tokens.flatMap { case (id, toks) =>
+      val len = toks.length.toDouble
+      toks.groupBy(identity).toSeq.map { case (w, xs) =>
+        (id, w, sparkRound(xs.length / len * math.log(nDocs / df(w)), 4))
+      }.sortBy { case (_, w, sc) => (-sc, w) }.take(3).zipWithIndex
+        .map { case ((i, w, sc), k) => (i, k + 1L) -> ((w, sc)) }
+    }.toMap
+    val got = run("t11_keyword_extract").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rk")) ->
+        ((r.getAs[String]("tok"), r.getAs[Double]("score")))).toMap
+    assert(got == expect)
+    assert(got.keys.groupBy(_._1).values.forall(_.size <= 3))
+  }
+
   test("e08 journeys = driver replay of the first-8 path distribution") {
     def micros(a: Any): Long = a match {
       case t: java.sql.Timestamp =>

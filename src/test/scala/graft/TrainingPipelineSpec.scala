@@ -341,4 +341,35 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(sfRows.map(_.getAs[Long]("n_docs")).sum ==
       Tables(spark, sf, "documents").count())
   }
+
+  test("p15 oversample = exact driver replay; richest lang replicates 1x") {
+    val docs = Tables(spark, sf, "documents")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("text").trim.toLowerCase.split("\\s+").length.toLong))
+    val totals = docs.groupBy(_._2).map { case (l, xs) =>
+      l -> xs.map(_._3).sum }
+    val m = totals.values.max
+    val expect = docs.groupBy(_._2).map { case (l, xs) =>
+      val t = totals(l); val factor = m / t; val rem = m - factor * t
+      val extras = xs.filter { case (id, _, _) =>
+        val v = java.lang.Long.parseLong(md5hex(id.toString).take(4), 16)
+        BigInt(v) * t < BigInt(rem) * 65536
+      }
+      l -> ((xs.length.toLong, xs.map(_._3).sum, factor,
+        extras.length.toLong,
+        xs.map(_._3).sum * factor + extras.map(_._3).sum))
+    }
+    val got = run("p15_oversample").collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("docs_total"), r.getAs[Long]("tokens_total"),
+          r.getAs[Long]("factor_base"), r.getAs[Long]("docs_extra"),
+          r.getAs[Long]("tokens_out")))).toMap
+    assert(got == expect)
+    // the argmax lang is already at the waterline: factor 1, no extras
+    totals.collect { case (l, t) if t == m => l }.foreach { l =>
+      val (_, tt, f, ex, out) = got(l)
+      assert(f == 1L && ex == 0L && out == tt, s"richest lang $l: ${got(l)}")
+    }
+  }
 }
