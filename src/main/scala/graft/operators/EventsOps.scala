@@ -439,6 +439,39 @@ object EventsOps {
                CAST(round(sum(coalesce(mon, 0)), 2) AS DOUBLE)
                  AS segment_value
         FROM b GROUP BY 1, 2, 3
-        ORDER BY r_bucket, f_bucket, m_bucket"""))
+        ORDER BY r_bucket, f_bucket, m_bucket""")),
+
+    // ---------------------------------------------------------------- e12
+    // Hour-of-day seasonality profile: event counts per (hour, type) and
+    // each cell's share of its type's total — the traffic-shape matrix
+    // capacity planning and anomaly baselines (e07) read from. One
+    // map-side hour() projection, one (hr, type)-keyed count with
+    // map-side partials, and a broadcast join against the |types|-row
+    // totals — output is ≤ 24×|types| rows at any corpus size. Counts
+    // and totals ride as exact integers; the share is one rounded IEEE
+    // division for the report.
+    "e12_hourly_profile" -> QueryDef(
+      build = (s, d) => {
+        val cnt = t(s, d, "events")
+          .select(hour(col("ts").cast("timestamp")).cast("long").as("hr"),
+            col("event_type"))
+          .groupBy("hr", "event_type").agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy("event_type").agg(sum("n").as("n_type"))
+        cnt.join(broadcast(tot), "event_type")
+          .select(col("hr"), col("event_type"), col("n"), col("n_type"),
+            round(col("n").cast("double") / col("n_type"), 6).as("share"))
+          .orderBy("hr", "event_type")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT hour(CAST(ts AS TIMESTAMP)) AS hr, event_type,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+              FROM c GROUP BY 1)
+        SELECT hr, c.event_type, c.n, t.n_type,
+               round(CAST(c.n AS DOUBLE) / t.n_type, 6) AS share
+        FROM c JOIN t USING (event_type)
+        ORDER BY hr, event_type"""))
   )
 }

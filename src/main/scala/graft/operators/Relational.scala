@@ -1066,7 +1066,15 @@ object Relational {
         t(s, d, "customer").createOrReplaceTempView("graft_q40_customer")
         s.sql(lateralTopSql("graft_q40_nation", "graft_q40_customer"))
       },
-      oracle = Some(lateralTopSql("nation", "customer")))
+      oracle = Some(lateralTopSql("nation", "customer"))),
+
+    // ---------------------------------------------------------------- q41
+    "q41_grouping_sets" -> QueryDef(
+      build = (s, d) => {
+        t(s, d, "lineitem").createOrReplaceTempView("graft_q41_lineitem")
+        s.sql(groupingSetsSql("graft_q41_lineitem"))
+      },
+      oracle = Some(groupingSetsSql("lineitem")))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""
@@ -1076,4 +1084,26 @@ object Relational {
              WHERE c.c_nationkey = n.n_nationkey
              ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
     ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""
+
+  /** q41's GROUPING SETS text — identical SQL on both engines (the q39
+    * pattern). Explicit sets (pair, each single, grand total) are the
+    * general form ROLLUP (q21) and CUBE (q31) desugar to; grouping()
+    * bits disambiguate a real NULL key from a superaggregate row.
+    * Physically Spark expands to one Expand + hash aggregate — a single
+    * shuffle carrying 4× the group rows, constant in the set count, so
+    * the shape is as scalable as the plain aggregation. l_quantity sums
+    * are small integers: exact in doubles at any order, no decimal
+    * scheme needed.
+    */
+  private def groupingSetsSql(lineitem: String): String = s"""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+             AS BIGINT) AS gid,
+           count(*) AS cnt,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM $lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), (l_linestatus), ())
+    ORDER BY gid, rflag, lstatus"""
 }

@@ -78,4 +78,24 @@ class RelationalExtSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
     assert(got == expect && got.nonEmpty)
   }
+
+  test("q41 grouping sets: every aggregation level reconciles to the total") {
+    val rows = run("q41_grouping_sets").collect()
+      .map(r => (r.getAs[String]("rflag"), r.getAs[String]("lstatus"),
+        r.getAs[Long]("gid"), r.getAs[Long]("cnt")))
+    val total = Tables(spark, sf, "lineitem").count()
+    // gid 0 = (flag,status) detail; 1 = per-flag; 2 = per-status;
+    // 3 = grand total — each level partitions the same row set
+    (0L to 2L).foreach { g =>
+      assert(rows.filter(_._3 == g).map(_._4).sum == total, s"gid $g")
+    }
+    val grand = rows.filter(_._3 == 3L)
+    assert(grand.length == 1 && grand.head._4 == total)
+    assert(grand.head._1 == "ALL" && grand.head._2 == "ALL")
+    // superaggregate markers appear exactly where the gid bit says
+    rows.foreach { case (rf, ls, g, _) =>
+      assert((rf == "ALL") == ((g & 2L) != 0), s"$rf/$g")
+      assert((ls == "ALL") == ((g & 1L) != 0), s"$ls/$g")
+    }
+  }
 }

@@ -225,6 +225,25 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(got.keys.groupBy(_._1).values.forall(_.size <= 3))
   }
 
+  test("e12 hourly profile = driver replay; shares reconcile per type") {
+    val ev = Tables(spark, sf, "events").select("ts", "event_type").collect()
+      .map(r => ((evMicros(r.getAs[Any]("ts")) / 3600000000L) % 24,
+        r.getAs[String]("event_type")))
+    val n = ev.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    val nType = ev.groupBy(_._2).map { case (t, xs) => t -> xs.length.toLong }
+    val expect = n.map { case ((hr, t), c) =>
+      (hr, t) -> ((c, nType(t), sparkRound(c.toDouble / nType(t), 6))) }
+    val got = run("e12_hourly_profile").collect()
+      .map(r => (r.getAs[Long]("hr"), r.getAs[String]("event_type")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_type"),
+          r.getAs[Double]("share")))).toMap
+    assert(got == expect)
+    // per-type counts reconcile exactly to the type totals
+    got.groupBy(_._1._2).foreach { case (t, cells) =>
+      assert(cells.values.map(_._1).sum == nType(t), t)
+    }
+  }
+
   test("e08 journeys = driver replay of the first-8 path distribution") {
     def micros(a: Any): Long = a match {
       case t: java.sql.Timestamp =>
