@@ -241,4 +241,68 @@ object EventsStream {
           }
       }
   }
+
+  final case class AttribEvent(userId: Long, ts: java.sql.Timestamp,
+                               eventId: Long, eventType: String,
+                               value: Double)
+  /** buffer = in-watermark events; lastTouch = the latest MATURED touch
+    * channel, carried so credit survives across micro-batches.
+    */
+  final case class AttribState(buffer: Seq[(Long, Long, String, Double)],
+                               lastTouch: Option[String])
+  final case class Credit(userId: Long, eventId: Long, channel: String,
+                          value: Double)
+
+  /** Streaming twin of the batch e10_attribution: every purchase is
+    * credited to the user's most recent PRECEDING view/click in
+    * EVENT-TIME order, 'none' if untouched. Same maturation discipline
+    * as [[transitionTracker]]: events buffer per user until the
+    * watermark passes them, so a touch that arrives late but happened
+    * before the purchase claims the credit — arrival order never
+    * decides attribution inside the lateness allowance. State is the
+    * in-watermark buffer plus one carried channel string; idle timeout
+    * flushes and evicts.
+    */
+  def attributionTracker(events: Dataset[AttribEvent],
+                         watermark: String = "2 hours",
+                         idleSec: Long = 3600): Dataset[Credit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[AttribState, Credit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[AttribState]) =>
+          // walk matured events in event-time order: touches move the
+          // carried channel, purchases emit a credit against it
+          def credit(start: Option[String],
+                     seq: Seq[(Long, Long, String, Double)])
+              : (Option[String], Seq[Credit]) =
+            seq.foldLeft((start, Vector.empty[Credit])) {
+              case ((lt, acc), (_, id, "purchase", v)) =>
+                (lt, acc :+ Credit(userId, id, lt.getOrElse("none"), v))
+              case ((lt, acc), (_, _, t, _)) =>
+                (if (t == "view" || t == "click") Some(t) else lt, acc)
+            }
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            credit(st.lastTouch, st.buffer)._2.iterator
+          } else {
+            val st = state.getOption.getOrElse(AttribState(Nil, None))
+            val incoming = evs.map(e => (e.ts.getTime * 1000L, e.eventId,
+              e.eventType, e.value)).toSeq
+            val merged = (st.buffer ++ incoming).sortBy(t => (t._1, t._2))
+            val wmMicros = state.getCurrentWatermarkMs() * 1000L
+            val (mature, rest) = merged.partition(_._1 < wmMicros)
+            val (newTouch, out) = credit(st.lastTouch, mature)
+            val lastSeenMs = merged.map(_._1 / 1000L).max
+            state.update(AttribState(rest, newTouch))
+            state.setTimeoutTimestamp(
+              math.max(lastSeenMs, state.getCurrentWatermarkMs() + 1) +
+                idleSec * 1000L)
+            out.iterator
+          }
+      }
+  }
 }

@@ -245,6 +245,45 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("attributionTracker credits late-arriving touches in event-time order") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import EventsStream.AttribEvent
+    val input = MemoryStream[AttribEvent]
+    val q = EventsStream.attributionTracker(input.toDS(),
+        watermark = "1 hour", idleSec = 60)
+      .writeStream.format("memory").queryName("credits")
+      .outputMode("append").start()
+    try {
+      // purchase arrives FIRST; the view that actually preceded it in
+      // event time arrives in the next batch (inside the allowance)
+      input.addData(
+        AttribEvent(1L, Timestamp.valueOf("2024-01-01 10:00:30"), 2L,
+          "purchase", 9.0))
+      q.processAllAvailable()
+      input.addData(
+        AttribEvent(1L, Timestamp.valueOf("2024-01-01 10:00:10"), 1L,
+          "view", 0.0),
+        AttribEvent(1L, Timestamp.valueOf("2024-01-01 10:01:00"), 3L,
+          "purchase", 5.0))
+      q.processAllAvailable()
+      // advance watermark past the idle horizon, then one more batch so
+      // the timeout trigger flushes user 1
+      input.addData(AttribEvent(2L,
+        Timestamp.valueOf("2024-01-01 13:00:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      input.addData(AttribEvent(3L,
+        Timestamp.valueOf("2024-01-01 15:00:00"), 10L, "view", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("credits").as[EventsStream.Credit].collect()
+        .filter(_.userId == 1L).sortBy(_.eventId)
+        .map(c => (c.eventId, c.channel, c.value)).toSeq
+      // both purchases follow the 10:00:10 view in EVENT time — even the
+      // one that arrived before it
+      assert(got == Seq((2L, "view", 9.0), (3L, "view", 5.0)))
+    } finally q.stop()
+  }
+
   test("dedupStream drops repeated ids within the watermark horizon") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
