@@ -307,6 +307,41 @@ object PipelineOps {
                CAST(sum(ntok) AS BIGINT) AS n_tokens,
                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
                bit_xor(csum) AS content_sig
-        FROM d GROUP BY shard ORDER BY shard"""))
+        FROM d GROUP BY shard ORDER BY shard""")),
+
+    // ---------------------------------------------------------------- x09
+    // Column data-profile: per string column of the corpus — null rate,
+    // distinct cardinality, min/max value, average length — the
+    // data-governance report every ingestion run records before a 100 TB
+    // prep job trusts its inputs. ONE pass: the per-column stats unpivot
+    // through a stack() so the scan is shared, each column's aggregates
+    // are map-side partial, and the output is |columns| rows. Distinct
+    // counts are exact here (the profile is per-shard in production and
+    // shards bound the cardinality); the q28 HLL sketch composes when a
+    // whole-corpus distinct is wanted at scale.
+    "x09_data_profile" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "documents")
+          .select(expr(
+            "stack(3, 'lang', lang, 'source', source, 'text', text) " +
+              "AS (col_name, v)"))
+          .groupBy("col_name")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"),
+            min("v").as("min_val"), max("v").as("max_val"),
+            round(avg(length(col("v"))), 4).as("avg_len"))
+          .orderBy("col_name"),
+      oracle = Some("""
+        WITH u AS (
+          SELECT 'lang' AS col_name, lang AS v FROM documents
+          UNION ALL SELECT 'source', source FROM documents
+          UNION ALL SELECT 'text', text FROM documents)
+        SELECT col_name, count(*) AS n_rows,
+               CAST(count(*) - count(v) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+               min(v) AS min_val, max(v) AS max_val,
+               round(avg(length(v)), 4) AS avg_len
+        FROM u GROUP BY col_name ORDER BY col_name"""))
   )
 }

@@ -789,6 +789,45 @@ object TrainingPipeline {
                CAST(sum(ntok * factor) +
                     coalesce(sum(ntok) FILTER (WHERE v * t_tok < rem * 65536),
                              0) AS BIGINT) AS tokens_out
-        FROM b GROUP BY lang ORDER BY lang"""))
+        FROM b GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- p16
+    // Document-length histogram on power-of-two bucket edges — what the
+    // packing (p02/x05) and curriculum (p13) knobs are tuned against,
+    // and the first thing to diff when a new crawl snapshot shifts the
+    // corpus shape (p14's companion). Bucket edges are integer compares
+    // (<16, <32, ... <256), so membership is exact on every engine and
+    // rerun; one map-side projection, six counter rows out. At 100 TB
+    // this composes with x08's shard manifest: per-shard histograms sum
+    // to the corpus histogram because the buckets are fixed, not
+    // quantile-derived.
+    "p16_length_histogram" -> QueryDef(
+      build = (s, d) => {
+        // p13's lesson: materialize the counter BEFORE the when-chain, or
+        // every branch re-runs the tokenize (probe-measured superlinear)
+        t(s, d, "documents")
+          .select(size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+          .select(
+            when(col("ntok") < 16, 0L).when(col("ntok") < 32, 1L)
+              .when(col("ntok") < 64, 2L).when(col("ntok") < 128, 3L)
+              .when(col("ntok") < 256, 4L).otherwise(5L).as("bucket"),
+            col("ntok"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+            min("ntok").as("min_tok"), max("ntok").as("max_tok"))
+          .orderBy("bucket")
+      },
+      oracle = Some("""
+        WITH t AS (
+          SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok
+          FROM documents)
+        SELECT CAST(CASE WHEN ntok < 16 THEN 0 WHEN ntok < 32 THEN 1
+                         WHEN ntok < 64 THEN 2 WHEN ntok < 128 THEN 3
+                         WHEN ntok < 256 THEN 4 ELSE 5 END AS BIGINT)
+                 AS bucket,
+               count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               min(ntok) AS min_tok, max(ntok) AS max_tok
+        FROM t GROUP BY 1 ORDER BY bucket"""))
   )
 }

@@ -53,7 +53,7 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "x07_shard_balance", "t09_lexical_diversity", "t10_readability",
     "d14_prefix_dedup", "p14_snapshot_diff", "x08_shard_manifest",
     "p13_curriculum", "m05_chunk_dedup", "t11_keyword_extract",
-    "p15_oversample")
+    "p15_oversample", "x09_data_profile", "p16_length_histogram")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

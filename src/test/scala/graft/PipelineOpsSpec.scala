@@ -126,4 +126,26 @@ class PipelineOpsSpec extends SparkSpecBase {
           r.getAs[Long]("content_sig")))).toMap
     assert(got == expect)
   }
+
+  test("x09 profile = exact driver replay over the three string columns") {
+    val docs = Tables(spark, sf, "documents")
+      .select("lang", "source", "text").collect()
+    val cols = Seq(
+      "lang" -> docs.map(_.getAs[String]("lang")),
+      "source" -> docs.map(_.getAs[String]("source")),
+      "text" -> docs.map(_.getAs[String]("text")))
+    val expect = cols.map { case (name, vs) =>
+      val nn = vs.filter(_ != null)
+      name -> ((vs.length.toLong, (vs.length - nn.length).toLong,
+        nn.distinct.length.toLong, nn.min, nn.max,
+        BigDecimal(nn.map(_.length.toLong).sum.toDouble / nn.length)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }.toMap
+    val got = run("x09_data_profile").collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("n_null"),
+          r.getAs[Long]("n_distinct"), r.getAs[String]("min_val"),
+          r.getAs[String]("max_val"), r.getAs[Double]("avg_len")))).toMap
+    assert(got == expect)
+  }
 }

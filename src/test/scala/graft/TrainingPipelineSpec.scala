@@ -372,4 +372,20 @@ class TrainingPipelineSpec extends SparkSpecBase {
       assert(f == 1L && ex == 0L && out == tt, s"richest lang $l: ${got(l)}")
     }
   }
+
+  test("p16 histogram = exact driver replay; buckets partition the corpus") {
+    val lens = Tables(spark, sf, "documents").select("text").collect()
+      .map(_.getAs[String]("text").trim.toLowerCase.split("\\s+").length.toLong)
+    def bucket(n: Long): Long =
+      if (n < 16) 0 else if (n < 32) 1 else if (n < 64) 2
+      else if (n < 128) 3 else if (n < 256) 4 else 5
+    val expect = lens.groupBy(bucket).map { case (b, xs) =>
+      b -> ((xs.length.toLong, xs.sum, xs.min, xs.max)) }
+    val got = run("p16_length_histogram").collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("min_tok"), r.getAs[Long]("max_tok")))).toMap
+    assert(got == expect)
+    assert(got.values.map(_._1).sum == lens.length)
+  }
 }
