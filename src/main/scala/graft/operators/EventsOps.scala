@@ -472,6 +472,38 @@ object EventsOps {
         SELECT hr, c.event_type, c.n, t.n_type,
                round(CAST(c.n AS DOUBLE) / t.n_type, 6) AS share
         FROM c JOIN t USING (event_type)
-        ORDER BY hr, event_type"""))
+        ORDER BY hr, event_type""")),
+
+    // ---------------------------------------------------------------- e13
+    // Semi-structured extraction through Spark 4's VARIANT type: props
+    // parses ONCE into a binary variant (try_parse_json — a malformed
+    // payload yields NULL, never a task kill) and fields project with
+    // variant_get, the engine-native path for open schemas. Where e02's
+    // regex re-scans the string per field, the variant parse amortizes
+    // across every extracted field — the right shape when events carry
+    // wide JSON at 100 TB. Aggregates are exact integers per event
+    // type; the DuckDB oracle walks the same JSON with its native
+    // json_extract.
+    "e13_variant_extract" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "events")
+          .withColumn("k",
+            expr("variant_get(try_parse_json(props), '$.k', 'long')"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("k")).as("n_with_k"),
+            min("k").as("min_k"), max("k").as("max_k"),
+            countDistinct(col("k")).as("distinct_k"))
+          .orderBy("event_type"),
+      oracle = Some("""
+        WITH x AS (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+        SELECT event_type, count(*) AS n,
+               CAST(count(k) AS BIGINT) AS n_with_k,
+               min(k) AS min_k, max(k) AS max_k,
+               CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
+        FROM x GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -36,7 +36,7 @@ class DegenerateEventsSpec extends SparkSpecBase {
     "e01_windowed_agg", "e02_json_extract", "e03_sessionize",
     "e04_funnel", "e05_gap_fill", "e06_retention", "e07_spike_detect",
     "e08_user_journey", "e09_transition_matrix", "e10_attribution",
-    "e11_rfm_segments", "e12_hourly_profile")
+    "e11_rfm_segments", "e12_hourly_profile", "e13_variant_extract")
 
   test("every events operator materializes and reruns identically on degenerate events") {
     val failures = eventOps.flatMap { name =>

@@ -244,6 +244,41 @@ class TextAndEventsSpec extends SparkSpecBase {
     }
   }
 
+  test("e13 variant extraction = regex replay; malformed props yield NULL") {
+    val ev = Tables(spark, sf, "events")
+      .select("event_type", "props").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("props")))
+    val kRe = "\"k\": ([0-9]+)".r
+    val expect = ev.groupBy(_._1).map { case (t, xs) =>
+      val ks = xs.flatMap(x =>
+        kRe.findFirstMatchIn(x._2).map(_.group(1).toLong))
+      t -> ((xs.length.toLong, ks.length.toLong, ks.min, ks.max,
+        ks.distinct.length.toLong))
+    }
+    val got = run("e13_variant_extract").collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_with_k"),
+          r.getAs[Long]("min_k"), r.getAs[Long]("max_k"),
+          r.getAs[Long]("distinct_k")))).toMap
+    assert(got == expect)
+    // malformed / missing-key payloads land in NULL k, never a crash
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e13").toString
+    Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{\"k\": 5}"),
+      (1L, "2024-01-01 10:01:00", 2L, "view", 1.0, "not json at all"),
+      (1L, "2024-01-01 10:02:00", 3L, "view", 1.0, "{\"other\": 1}"))
+      .toDF("user_id", "tss", "event_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = run("e13_variant_extract", dir).collect()
+    assert(planted.length == 1)
+    assert(planted.head.getAs[Long]("n") == 3L)
+    assert(planted.head.getAs[Long]("n_with_k") == 1L)
+    assert(planted.head.getAs[Long]("min_k") == 5L)
+  }
+
   test("e08 journeys = driver replay of the first-8 path distribution") {
     def micros(a: Any): Long = a match {
       case t: java.sql.Timestamp =>
