@@ -504,6 +504,45 @@ object EventsOps {
                CAST(count(k) AS BIGINT) AS n_with_k,
                min(k) AS min_k, max(k) AS max_k,
                CAST(count(DISTINCT k) AS BIGINT) AS distinct_k
-        FROM x GROUP BY event_type ORDER BY event_type"""))
+        FROM x GROUP BY event_type ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- e14
+    // Active-user rollups: exact DAU per day and WAU per ISO week
+    // (Monday-truncated on both engines) in one stacked report. Each
+    // grain is a two-phase distinct — Spark dedups (bucket, user) with
+    // map-side partials before the bucket-keyed count, so the shuffle
+    // carries at most one row per (bucket, user), never the raw event
+    // stream, and no bucket funnels all events through one task. The
+    // day grain reads ONE projected scan shared by both branches
+    // (column-pruned to ts + user_id); output is |days| + |weeks| rows
+    // at any scale. Exact distincts are the correctness baseline here —
+    // q28 already pins the HLL sketch path that replaces them when 100 TB
+    // cardinalities make exact dedup the bottleneck.
+    "e14_active_users" -> QueryDef(
+      build = (s, d) => {
+        val ev = t(s, d, "events")
+          .select(col("ts").cast("timestamp").as("tts"), col("user_id"))
+        def grain(name: String, bucket: org.apache.spark.sql.Column) =
+          ev.groupBy(bucket.as("bucket"))
+            .agg(countDistinct(col("user_id")).as("active_users"),
+              count(lit(1)).as("events"))
+            .withColumn("grain", lit(name))
+        grain("day", date_trunc("day", col("tts")))
+          .unionByName(grain("week", date_trunc("week", col("tts"))))
+          .select("grain", "bucket", "active_users", "events")
+          .orderBy("grain", "bucket")
+      },
+      oracle = Some("""
+        WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS tts, user_id
+                    FROM events)
+        SELECT 'day' AS grain, date_trunc('day', tts) AS bucket,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS active_users,
+               count(*) AS events
+        FROM ev GROUP BY 2
+        UNION ALL
+        SELECT 'week', date_trunc('week', tts),
+               CAST(count(DISTINCT user_id) AS BIGINT), count(*)
+        FROM ev GROUP BY 2
+        ORDER BY grain, bucket"""))
   )
 }

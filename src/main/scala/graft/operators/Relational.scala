@@ -1075,6 +1075,55 @@ object Relational {
         s.sql(groupingSetsSql("graft_q41_lineitem"))
       },
       oracle = Some(groupingSetsSql("lineitem")))
+    ,
+
+    // ---------------------------------------------------------------- q42
+    // MODE aggregate per group: the most frequent order priority per
+    // order month, with its count and share. Two chained hash
+    // aggregations — (month, priority) counts, then a min-struct argmax
+    // per month — both with map-side partials; NO window, NO sort of the
+    // per-group value stream. The struct orders by (−n, priority) so a
+    // count tie resolves to the lexicographically smallest priority on
+    // both engines deterministically. Per-month totals ride out of the
+    // same first aggregate (sum over its groups), so the share costs no
+    // extra scan. Output is |months| rows at any scale.
+    "q42_mode" -> QueryDef(
+      build = (s, d) => {
+        val cnt = t(s, d, "orders")
+          .select(date_trunc("month",
+            col("o_orderdate").cast("timestamp")).as("month"),
+            col("o_orderpriority"))
+          .groupBy("month", "o_orderpriority")
+          .agg(count(lit(1)).as("n"))
+        cnt.groupBy("month")
+          .agg(
+            min(struct((-col("n")).as("nn"),
+              col("o_orderpriority").as("p"))).as("best"),
+            sum("n").as("n_orders"))
+          .select(col("month"),
+            col("best.p").as("mode_priority"),
+            (-col("best.nn")).as("n_mode"),
+            col("n_orders"),
+            round((-col("best.nn")).cast("double") / col("n_orders"), 4)
+              .as("share"))
+          .orderBy("month")
+      },
+      oracle = Some("""
+        WITH cnt AS (
+          SELECT date_trunc('month', CAST(o_orderdate AS TIMESTAMP))
+                   AS month,
+                 o_orderpriority, count(*) AS n
+          FROM orders GROUP BY 1, 2),
+        best AS (
+          SELECT month, o_orderpriority AS mode_priority, n AS n_mode,
+                 row_number() OVER (PARTITION BY month
+                   ORDER BY n DESC, o_orderpriority) AS rk,
+                 sum(n) OVER (PARTITION BY month) AS n_orders
+          FROM cnt)
+        SELECT month, mode_priority, n_mode,
+               CAST(n_orders AS BIGINT) AS n_orders,
+               round(CAST(n_mode AS DOUBLE) / n_orders, 4) AS share
+        FROM best WHERE rk = 1 ORDER BY month"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

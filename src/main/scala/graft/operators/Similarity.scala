@@ -1021,6 +1021,53 @@ object Similarity {
                round(CAST(sum(CAST(round(cos, 6) AS DECIMAL(30,6)))
                  AS DOUBLE) / count(*), 4) AS avg_cos,
                round(min(cos), 4) AS min_cos
-        FROM q GROUP BY cell ORDER BY cell"""))
+        FROM q GROUP BY cell ORDER BY cell""")),
+
+    // ---------------------------------------------------------------- a14
+    // Maximum-inner-product search (MIPS): top-k by RAW dot product, not
+    // cosine — the retrieval semantics of recommendation / two-tower
+    // models, where a vector's norm carries signal (popularity, recency)
+    // and must NOT be normalized away. Same physical shape as a01:
+    // broadcast query set, one candidate scan, the codegen'd
+    // DotProductExpr scoring inside WholeStageCodegen, per-query
+    // WindowGroupLimit top-k (map-side truncation to k before the
+    // q_id shuffle). The scale path composes exactly like cosine's:
+    // MIPS reduces to cosine over norm-augmented vectors
+    // ([x, sqrt(M²−‖x‖²)] with unit queries), after which a02/a03's
+    // LSH/IVF blocks and a08's PQ apply unchanged — the brute pass here
+    // is the recall baseline that reduction is measured against (a07's
+    // role). Scores rank on the raw double (sequential accumulation on
+    // both engines); display rounds at 4 dp.
+    "a14_mips" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = queriesDf(e)
+        val c = e.filter(col("vec_id") >= QUERY_IDS_BELOW)
+        val w = Window.partitionBy("q_id")
+          .orderBy(desc("raw_score"), asc("vec_id"))
+        c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("vec_id"),
+            VectorFns.dot(col("qv"), col("embedding")).as("raw_score"))
+          .withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= TOPK)
+          .select(col("q_id"), col("vec_id"),
+            round(col("raw_score"), 4).as("score"), col("rk"))
+          .orderBy("q_id", "rk")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < $QUERY_IDS_BELOW),
+             c AS (SELECT vec_id, embedding FROM embeddings
+                   WHERE vec_id >= $QUERY_IDS_BELOW),
+             sc AS (SELECT q_id, vec_id,
+                      list_dot_product(qv::DOUBLE[],
+                                       embedding::DOUBLE[]) AS raw_score
+                    FROM q CROSS JOIN c)
+        SELECT q_id, vec_id, round(raw_score, 4) AS score,
+               CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY raw_score DESC, vec_id) AS BIGINT) AS rk
+        FROM sc
+        QUALIFY rk <= $TOPK
+        ORDER BY q_id, rk"""))
   )
 }

@@ -498,6 +498,48 @@ object TextAnalysis {
                CAST(rk AS BIGINT) AS rk
         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                 ORDER BY score DESC, tok) AS rk FROM sc) z
-        WHERE rk <= 3 ORDER BY doc_id, rk"""))
+        WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // ---------------------------------------------------------------- t12
+    // Zipf / head-concentration audit: the corpus's 50 most frequent
+    // tokens with rank and CUMULATIVE share of total token mass — the
+    // one-page answer to "how head-heavy is this corpus?" that sizes
+    // stopword lists (t02), hot/cold splits (t07) and vocab truncation.
+    // One (token)-keyed count with map-side partials, a global top-50 via
+    // orderBy+limit (TakeOrderedAndProject — each task keeps 50 rows, no
+    // full sort), then rank + exact-integer cumulative sum over the
+    // 50-row result — the only window sits on a constant-size frame.
+    // Total token mass rides as a broadcast scalar; the share is one
+    // rounded IEEE division over exact integers.
+    "t12_zipf_audit" -> QueryDef(
+      build = (s, d) => {
+        val freq = t(s, d, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("n"))
+        val total = freq.agg(sum("n").as("n_total"))
+        val ord = Window.orderBy(desc("n"), asc("tok"))
+        freq.orderBy(desc("n"), asc("tok")).limit(50)
+          .crossJoin(broadcast(total))
+          .withColumn("rk", row_number().over(ord).cast("long"))
+          .withColumn("cum_share",
+            round(sum("n").over(ord.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)).cast("double") / col("n_total"), 4))
+          .select("rk", "tok", "n", "cum_share")
+          .orderBy("rk")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+        total AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM freq),
+        top AS (SELECT tok, n,
+                       CAST(row_number() OVER (ORDER BY n DESC, tok)
+                         AS BIGINT) AS rk
+                FROM freq QUALIFY rk <= 50)
+        SELECT rk, tok, n,
+               round(CAST(sum(n) OVER (ORDER BY rk) AS DOUBLE) / n_total, 4)
+                 AS cum_share
+        FROM top CROSS JOIN total ORDER BY rk"""))
   )
 }

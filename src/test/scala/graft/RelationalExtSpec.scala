@@ -98,4 +98,27 @@ class RelationalExtSpec extends SparkSpecBase {
       assert((ls == "ALL") == ((g & 1L) != 0), s"$ls/$g")
     }
   }
+
+  test("q42 mode: driver-side replay + totals reconcile to the table") {
+    val rows = run("q42_mode").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      Tables(spark, sf, "orders").count())
+    // exact replay: (month, priority) counts → max count, min priority
+    val cnt = Tables(spark, sf, "orders")
+      .select(date_trunc("month", col("o_orderdate").cast("timestamp"))
+        .as("month"), col("o_orderpriority"))
+      .collect()
+      .groupBy(r => (r.get(0), r.getString(1)))
+      .map { case ((m, p), rs) => (m, p, rs.length.toLong) }
+    val expect = cnt.groupBy(_._1).map { case (m, g) =>
+      val mx = g.map(_._3).max
+      m -> g.filter(_._3 == mx).map(_._2).min
+    }
+    rows.foreach { r =>
+      val m = r.get(r.fieldIndex("month"))
+      assert(r.getAs[String]("mode_priority") == expect(m), s"month $m")
+      assert(r.getAs[Long]("n_mode") <= r.getAs[Long]("n_orders"))
+    }
+  }
 }

@@ -375,4 +375,45 @@ class SimilaritySpec extends SparkSpecBase {
       assert(r.getAs[Double]("min_cos") == 1.0, r.toString)
     }
   }
+
+  test("a14 mips: exact driver-side replay of the dot-product top-k") {
+    val rows = run("a14_mips").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rk"),
+        r.getAs[Long]("vec_id")))
+    // recompute: sequential double dot product, rank desc with id tiebreak
+    val all = Tables(spark, sf, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val (qs, cs) = all.partition(_._1 < 5L)
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val expect = qs.flatMap { case (qid, qv) =>
+      cs.map { case (vid, v) => (qid, vid, dot(qv, v)) }
+        .sortBy { case (_, vid, sc) => (-sc, vid) }
+        .take(10).zipWithIndex
+        .map { case ((_, vid, _), i) => (qid, i + 1L, vid) }
+    }.toSet
+    assert(rows.toSet == expect && rows.nonEmpty)
+    // norm-sensitivity probe on PLANTED vectors (the sf embeddings are
+    // ~unit-norm, where MIPS and cosine legitimately agree): a short
+    // vector pointing exactly at the query must win cosine (cos=1) but
+    // lose MIPS to a long slightly-off-axis vector
+    import spark.implicits._
+    val dir = Files.createTempDirectory("a14").toString
+    def v(xs: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](64); xs.foreach { case (i, x) => a(i) = x }; a
+    }
+    Seq(
+      (0L, v(0 -> 1f), 0),            // query: e0
+      (10L, v(0 -> 0.1f), 0),         // tiny, perfectly aligned
+      (11L, v(0 -> 5f, 1 -> 1f), 0))  // long, slightly off-axis
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = run("a14_mips", dir).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("vec_id")))
+    assert(planted.toSeq.sorted == Seq((1L, 11L), (2L, 10L)))
+  }
 }

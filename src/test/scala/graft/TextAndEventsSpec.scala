@@ -424,4 +424,71 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(got.values.map(_._1).sum ==
       ev.map(_.getAs[Long]("user_id")).distinct.length)
   }
+
+  test("e14 active users: grains reconcile; day actives ≤ containing week") {
+    val rows = run("e14_active_users").collect()
+    val events = Tables(spark, sf, "events")
+    val total = events.count()
+    val days = rows.filter(_.getAs[String]("grain") == "day")
+    val weeks = rows.filter(_.getAs[String]("grain") == "week")
+    assert(days.nonEmpty && weeks.nonEmpty)
+    // every event lands in exactly one bucket per grain
+    assert(days.map(_.getAs[Long]("events")).sum == total)
+    assert(weeks.map(_.getAs[Long]("events")).sum == total)
+    // the dump's bucket surfaces as LocalDateTime (NTZ) or Timestamp
+    // (LTZ under the UTC session) depending on the cast path — normalize
+    def toLdt(x: Any): java.time.LocalDateTime = x match {
+      case t: java.time.LocalDateTime => t
+      case t: java.sql.Timestamp => t.toLocalDateTime
+    }
+    // a day's distinct users are a subset of its ISO week's
+    val wau = weeks.map(r => toLdt(r.get(r.fieldIndex("bucket"))) ->
+      r.getAs[Long]("active_users")).toMap
+    days.foreach { r =>
+      val dayStart = toLdt(r.get(r.fieldIndex("bucket")))
+      val weekStart = dayStart.toLocalDate
+        .`with`(java.time.DayOfWeek.MONDAY).atStartOfDay
+      assert(r.getAs[Long]("active_users") <= wau(weekStart),
+        s"day $dayStart vs week $weekStart")
+    }
+    // exact DAU replay
+    val ev = events.collect().map(r =>
+      (r.get(r.fieldIndex("ts")), r.getAs[Long]("user_id")))
+    val byDay = ev.groupBy(x => toLdt(x._1).toLocalDate)
+      .map { case (d, xs) => d -> xs.map(_._2).distinct.length.toLong }
+    days.foreach { r =>
+      val d = toLdt(r.get(r.fieldIndex("bucket"))).toLocalDate
+      assert(r.getAs[Long]("active_users") == byDay(d), s"DAU $d")
+    }
+  }
+
+  test("t12 zipf audit: ranks dense, counts nonincreasing, share exact") {
+    val rows = run("t12_zipf_audit").collect()
+    assert(rows.length <= 50 && rows.nonEmpty)
+    val rks = rows.map(_.getAs[Long]("rk"))
+    assert(rks.sameElements(1L to rows.length.toLong))
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    // cumulative share is nondecreasing and ≤ 1
+    val shares = rows.map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last <= 1.0)
+    // replay: head counts match a driver-side token count
+    val freq = Tables(spark, sf, "documents").collect()
+      .flatMap(_.getAs[String]("text").trim.toLowerCase
+        .split("\\s+"))
+      .groupBy(identity).map { case (t, xs) => (t, xs.length.toLong) }
+    val totalToks = freq.values.sum
+    val expectHead = freq.toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(rows.length)
+    rows.zip(expectHead).foreach { case (r, (tok, n)) =>
+      assert(r.getAs[String]("tok") == tok && r.getAs[Long]("n") == n)
+    }
+    val cum = expectHead.map(_._2).scanLeft(0L)(_ + _).tail
+    rows.zip(cum).foreach { case (r, c) =>
+      val want = BigDecimal(java.math.BigDecimal.valueOf(c.toDouble / totalToks))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("cum_share") - want) < 1e-9)
+    }
+  }
 }
