@@ -954,7 +954,40 @@ object Dedup {
                count(DISTINCT md5(text)) >= 2 AS templated
         FROM documents
         GROUP BY 1 HAVING count(*) >= 2
-        ORDER BY keep_id"""))
+        ORDER BY keep_id""")),
+
+    // ---------------------------------------------------------------- d15
+    // Soft dedup: instead of DROPPING exact duplicates (d01/d11), keep
+    // every copy but weight it by 1/|copies| — so a document's total
+    // training mass is independent of how many times the crawl caught it,
+    // without the distribution shift hard dedup can introduce. One
+    // digest-keyed aggregation for group sizes, one digest-keyed join
+    // back — the same two-shuffle shape as p11, never doc-pairs. The
+    // weight ships as exact integer parts-per-million (10^6 DIV n) so no
+    // float rounding ever decides a sampling weight downstream; the
+    // canonical flag marks d01's min-id survivor so a consumer can flip
+    // between hard (filter canonical) and soft (weight_ppm) dedup from
+    // ONE output.
+    "d15_soft_dedup_weights" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), md5(col("text").cast("binary")).as("dg"))
+        val grp = docs.groupBy("dg")
+          .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_id"))
+        docs.join(grp, "dg")
+          .select(col("doc_id"), col("n_copies"),
+            expr("CAST(1000000 DIV n_copies AS BIGINT)").as("weight_ppm"),
+            (col("doc_id") === col("keep_id")).as("canonical"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, md5(text) AS dg FROM documents),
+        g AS (SELECT dg, count(*) AS n_copies, min(doc_id) AS keep_id
+              FROM d GROUP BY dg)
+        SELECT doc_id, n_copies,
+               CAST(1000000 // n_copies AS BIGINT) AS weight_ppm,
+               doc_id = keep_id AS canonical
+        FROM d JOIN g USING (dg) ORDER BY doc_id"""))
   )
 
   /** Name → QueryDef for intra-object composition (d09 reuses d06b). */

@@ -342,6 +342,56 @@ object PipelineOps {
                CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
                min(v) AS min_val, max(v) AS max_val,
                round(avg(length(v)), 4) AS avg_len
-        FROM u GROUP BY col_name ORDER BY col_name"""))
+        FROM u GROUP BY col_name ORDER BY col_name""")),
+
+    // ---------------------------------------------------------------- x10
+    // Compaction plan (the OPTIMIZE/bin-pack step a 100 TB table needs
+    // continuously): pack x07's 32 deterministic shards into output file
+    // groups of ~TARGET token mass by walking shards in id order and
+    // cutting a new group each time the running mass crosses the target —
+    // exactly how a small-file compactor coalesces spill files into
+    // right-sized parquet. group = exclusive-prefix-mass DIV target, in
+    // pure integer arithmetic. The only window runs on the CONSTANT
+    // 32-row shard table (the corpus-sized work is the map-side shard
+    // draw + one shard-keyed count); at a million input files the same
+    // plan swaps the window for the p02 two-pass prefix scheme.
+    "x10_compaction_plan" -> QueryDef(
+      build = (s, d) => {
+        val shard = pmod(conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 8), 16, 10).cast("long"), lit(32L))
+        val perShard = t(s, d, "documents")
+          .select(shard.as("shard"),
+            size(graft.functions.TextFns.tokens(col("text")))
+              .cast("long").as("ntok"))
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"))
+        val w = Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perShard
+          .withColumn("cum_before",
+            coalesce(sum("n_tokens").over(w), lit(0L)))
+          .withColumn("file_group",
+            expr("CAST(cum_before DIV 4096 AS BIGINT)"))
+          .select("shard", "n_docs", "n_tokens", "cum_before", "file_group")
+          .orderBy("shard")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 32 AS shard,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok
+          FROM documents),
+        ps AS (SELECT shard, count(*) AS n_docs,
+                      CAST(sum(ntok) AS BIGINT) AS n_tokens
+               FROM d GROUP BY shard),
+        c AS (SELECT shard, n_docs, n_tokens,
+                     CAST(coalesce(sum(n_tokens) OVER (ORDER BY shard
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_before
+              FROM ps)
+        SELECT shard, n_docs, n_tokens, cum_before,
+               CAST(cum_before // 4096 AS BIGINT) AS file_group
+        FROM c ORDER BY shard"""))
   )
 }

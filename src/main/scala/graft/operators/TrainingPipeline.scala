@@ -828,6 +828,53 @@ object TrainingPipeline {
                  AS bucket,
                count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
                min(ntok) AS min_tok, max(ntok) AS max_tok
-        FROM t GROUP BY 1 ORDER BY bucket"""))
+        FROM t GROUP BY 1 ORDER BY bucket""")),
+
+    // ---------------------------------------------------------------- p17
+    // Corpus datasheet: the one-page per-source report a dataset release
+    // ships with — doc count, token mass, language spread, exact-dup
+    // exposure (share of docs whose d01 content digest appears more than
+    // once ANYWHERE in the corpus — cross-source dups count on both
+    // sides) and mean length. One projected scan feeds a digest-keyed
+    // count + a digest-keyed join back (p11's two-shuffle shape — never
+    // doc-pairs), then a |sources|-row rollup with map-side partials.
+    // Counts ride exact; avg/rate are single rounded IEEE divisions of
+    // exactly-summed integers (n_chars sums stay < 2^53).
+    "p17_datasheet" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("source"), col("lang"), col("n_chars"),
+            size(TextFns.tokens(col("text"))).cast("long").as("ntok"),
+            md5(col("text").cast("binary")).as("dg"))
+        val cnt = docs.groupBy("dg").agg(count(lit(1)).as("cnt"))
+        docs.join(cnt, "dg")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ntok").as("n_tokens"),
+            countDistinct(col("lang")).as("n_langs"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("dup_docs"),
+            round(avg(col("n_chars").cast("double")), 2).as("avg_chars"))
+          .withColumn("dup_rate",
+            round(col("dup_docs").cast("double") / col("n_docs"), 4))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT source, lang, n_chars,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok,
+                 md5(text) AS dg
+          FROM documents),
+        c AS (SELECT dg, count(*) AS cnt FROM d GROUP BY dg)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_docs,
+               round(avg(CAST(n_chars AS DOUBLE)), 2) AS avg_chars,
+               round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
+                 AS DOUBLE) / count(*), 4) AS dup_rate
+        FROM d JOIN c USING (dg)
+        GROUP BY source ORDER BY source"""))
   )
 }

@@ -425,4 +425,28 @@ class DedupSpec extends SparkSpecBase {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("d15 soft-dedup weights: per-group mass conserved, one canonical") {
+    val rows = run("d15_soft_dedup_weights").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_copies"),
+        r.getAs[Long]("weight_ppm"), r.getAs[Boolean]("canonical")))
+    val docs = Tables(spark, sf, "documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    assert(rows.length == docs.length) // soft dedup keeps every doc
+    val groups = docs.groupBy(_._2).values.map(_.map(_._1).sorted).toSeq
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    groups.foreach { ids =>
+      val n = ids.length.toLong
+      ids.foreach { id =>
+        val (_, copies, ppm, canon) = byDoc(id)
+        assert(copies == n && ppm == 1000000L / n, s"doc $id")
+        assert(canon == (id == ids.min), s"canonical flag doc $id")
+      }
+    }
+    // a group's total weight is within one integer remainder of 10^6
+    groups.foreach { ids =>
+      val tot = ids.map(byDoc(_)._3).sum
+      assert(tot <= 1000000L && tot > 1000000L - ids.length, ids.toString)
+    }
+  }
 }

@@ -148,4 +148,33 @@ class PipelineOpsSpec extends SparkSpecBase {
           r.getAs[String]("max_val"), r.getAs[Double]("avg_len")))).toMap
     assert(got == expect)
   }
+
+  test("x10 compaction plan: prefix sums exact, groups bounded by target") {
+    val rows = run("x10_compaction_plan").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("cum_before"), r.getAs[Long]("file_group")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    // cum_before replays as the running sum in shard order
+    var cum = 0L
+    rows.foreach { case (sh, n, cb, g) =>
+      assert(cb == cum, s"shard $sh")
+      assert(g == cum / 4096L, s"group of shard $sh")
+      cum += n
+    }
+    // groups are contiguous in shard order and nondecreasing
+    val gs = rows.map(_._4)
+    assert(gs.zip(gs.tail).forall { case (a, b) => a <= b })
+    // every group's mass is < target + its largest member (the greedy
+    // cut guarantee: a group only exceeds target by the shard that
+    // crossed the line)
+    rows.groupBy(_._4).values.foreach { g =>
+      val mass = g.map(_._2).sum
+      assert(mass < 4096L + g.map(_._2).max, g.toString)
+    }
+    // shard stats agree with x07 (same draw, same tokenization)
+    val x07 = run("x07_shard_balance").collect()
+      .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_tokens")).toMap
+    rows.foreach { case (sh, n, _, _) => assert(x07(sh) == n, s"shard $sh") }
+  }
 }

@@ -388,4 +388,25 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(got == expect)
     assert(got.values.map(_._1).sum == lens.length)
   }
+
+  test("p17 datasheet: sources partition the corpus; dup replay matches") {
+    val rows = run("p17_datasheet").collect()
+    val docs = Tables(spark, sf, "documents").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang"),
+        r.getAs[String]("text")))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    // corpus-wide digest counts → per-source dup exposure replay
+    val copies = docs.groupBy(_._3).view.mapValues(_.length).toMap
+    val bySource = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getAs[String]("source")
+      val mine = bySource(src)
+      assert(r.getAs[Long]("n_docs") == mine.length, src)
+      assert(r.getAs[Long]("n_langs") == mine.map(_._2).distinct.length, src)
+      val dup = mine.count(d => copies(d._3) > 1).toLong
+      assert(r.getAs[Long]("dup_docs") == dup, src)
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0 && rate <= 1, src)
+    }
+  }
 }
