@@ -242,6 +242,35 @@ object EventsStream {
       }
   }
 
+  /** Streaming twin of the batch e07_spike_detect: watermarked tumbling
+    * counts per event type, each CLOSED window (Append semantics under
+    * the watermark) flagged against a STATIC baseline of per-type
+    * population stats (event_type, w, s, ss — window count, count sum,
+    * count sum-of-squares, i.e. exactly what the batch e07/e12 pass
+    * emits over history). The stream side keeps only in-horizon windowed
+    * partials (state bounded by types × windows inside the watermark);
+    * the tiny baseline broadcasts into every micro-batch — a
+    * stream-static join, no stateful join machinery. The flag is the
+    * SAME exact-integer 3σ predicate as batch e07:
+    * (w·n − s)² > 9·(w·ss − s²) — no float ever decides an alert, so
+    * the streaming and batch verdicts can never drift.
+    */
+  def spikeTracker(events: DataFrame, baseline: DataFrame,
+                   windowLen: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+      .join(broadcast(baseline), "event_type")
+      .withColumn("dev", col("w") * col("n") - col("s"))
+      .select(col("event_type"), col("window_start"), col("n"),
+        (col("dev") * col("dev") >
+          lit(9L) * (col("w") * col("ss") - col("s") * col("s")))
+          .as("spike"))
+
   final case class AttribEvent(userId: Long, ts: java.sql.Timestamp,
                                eventId: Long, eventType: String,
                                value: Double)

@@ -354,4 +354,35 @@ class StreamingSpec extends SparkSpecBase {
       assert(out.filter(_.getAs[String]("nname") == "NATION_A").length == 2)
     } finally q.stop()
   }
+
+  test("spikeTracker flags closed windows against the static baseline") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    // baseline: mean 5, σ = 1 → spike iff |10n − 50| > 30 ⇔ n > 8 or n < 2
+    val baseline = Seq(("click", 10L, 50L, 260L))
+      .toDF("event_type", "w", "s", "ss")
+    val q = EventsStream.spikeTracker(events, baseline, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("spikes")
+      .outputMode("append").start()
+    try {
+      val hot = (0 until 9).map(i => // 9 events in hour 10 → spike
+        (Timestamp.valueOf(f"2024-01-01 10:${i * 6}%02d:00"), "click", 1.0))
+      val calm = (0 until 5).map(i => // 5 events in hour 11 → in-band
+        (Timestamp.valueOf(f"2024-01-01 11:${i * 6}%02d:00"), "click", 1.0))
+      input.addData(hot ++ calm: _*)
+      q.processAllAvailable()
+      // nothing closed yet: watermark still behind both window ends
+      assert(spark.table("spikes").isEmpty)
+      // advance the watermark past 12:00 to close both windows
+      input.addData((Timestamp.valueOf("2024-01-01 16:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("spikes").collect()
+        .map(r => r.getAs[Timestamp]("window_start").toString ->
+          ((r.getAs[Long]("n"), r.getAs[Boolean]("spike")))).toMap
+      assert(got("2024-01-01 10:00:00.0") == ((9L, true)))
+      assert(got("2024-01-01 11:00:00.0") == ((5L, false)))
+    } finally q.stop()
+  }
 }
