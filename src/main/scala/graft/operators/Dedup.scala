@@ -987,7 +987,62 @@ object Dedup {
         SELECT doc_id, n_copies,
                CAST(1000000 // n_copies AS BIGINT) AS weight_ppm,
                doc_id = keep_id AS canonical
-        FROM d JOIN g USING (dg) ORDER BY doc_id"""))
+        FROM d JOIN g USING (dg) ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- d16
+    // CONTAINMENT (asymmetric Jaccard) join: pairs where one doc's
+    // shingle set largely sits INSIDE the other's — quotes, aggregator
+    // pages, doc+boilerplate wrappers. Symmetric Jaccard (d03/d05) is
+    // structurally blind to these: a 10-shingle doc fully contained in a
+    // 200-shingle doc scores J = 10/200 = 0.05, far under any dedup
+    // threshold, while its containment is 1.0. Same inverted-index
+    // shape as d05 (shingle-keyed join, counts = |A∩B|, per-doc sizes
+    // rejoined AFTER aggregation — no array payload in any wide
+    // shuffle); the keep rule 2·inter ≥ min(|A|,|B|) and both reported
+    // containments are exact-integer forms (the d05 ratio-rounding
+    // scheme with |A| / |B| as denominators), so no float decides a
+    // pair and the 4-dp display is engine-exact.
+    "d16_containment_join" -> QueryDef(
+      build = (s, d) => {
+        val sets = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextFns.shingleHashes(col("text"), 3).as("sh"))
+          .withColumn("sz", size(col("sh")))
+        val inv = sets.select(col("doc_id"), col("lang"),
+          explode(col("sh")).as("h"))
+          .repartition(col("h"), col("lang"))
+        val sizes = sets.select(col("doc_id"), col("sz"))
+        inv.alias("x")
+          .join(inv.alias("y"),
+            col("x.h") === col("y.h") && col("x.lang") === col("y.lang") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("sz", "sza"), Seq("a_id"))
+          .join(sizes.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("sz", "szb"), Seq("b_id"))
+          // containment of the smaller side ≥ 0.5, exact integers
+          .filter(col("inter") * 2 >= least(col("sza"), col("szb")))
+          .select(col("a_id"), col("b_id"),
+            exactJaccard4(col("inter"), col("sza")).as("cont_a"),
+            exactJaccard4(col("inter"), col("szb")).as("cont_b"))
+          .orderBy("a_id", "b_id")
+      },
+      oracle = Some("\n        WITH" + sh3Cte(", lang") + """,
+        s2 AS (SELECT doc_id, lang, sh, len(sh) AS sz FROM sh
+               WHERE len(sh) > 0),
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 a.sz AS sza, b.sz AS szb
+          FROM s2 a JOIN s2 b
+            ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, """ +
+        sqlExactJaccard4("inter", "sza") + """ AS cont_a,
+               """ + sqlExactJaccard4("inter", "szb") + """ AS cont_b
+        FROM pairs WHERE inter * 2 >= least(sza, szb)
+        ORDER BY a_id, b_id"""))
   )
 
   /** Name → QueryDef for intra-object composition (d09 reuses d06b). */

@@ -543,6 +543,77 @@ object EventsOps {
         SELECT 'week', date_trunc('week', tts),
                CAST(count(DISTINCT user_id) AS BIGINT), count(*)
         FROM ev GROUP BY 2
-        ORDER BY grain, bucket"""))
+        ORDER BY grain, bucket""")),
+
+    // ---------------------------------------------------------------- e15
+    // Session statistics: e03's sessions rolled into a length-bucket
+    // report — how long and how deep sessions run, the engagement shape
+    // product analytics reads daily. Per-session length + duration come
+    // out of e03's user-keyed window machinery (the only heavy shuffle;
+    // duration in exact int64 micros); the bucket rollup is a constant
+    // ≤4-row aggregate with map-side partials. Bucket edges are integer
+    // compares on event counts; avg duration is one rounded IEEE
+    // division of an exact micros sum by an exact integer denominator.
+    "e15_session_stats" -> QueryDef(
+      build = (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val sess = t(s, d, "events")
+          .withColumn("prev_ts", lag("ts", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              graft.Timestamps.epochSec(col("ts")) -
+                graft.Timestamps.epochSec(col("prev_ts")) > 1800,
+              lit(1L)).otherwise(lit(0L)))
+          .withColumn("session_id", sum("new_session").over(byUser))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+            (max(us) - min(us)).as("dur_us"))
+        sess
+          .select(
+            when(col("n_events") === 1, lit(1L))
+              .when(col("n_events") <= 3, lit(2L))
+              .when(col("n_events") <= 7, lit(3L))
+              .otherwise(lit(4L)).as("bucket"),
+            col("n_events"), col("dur_us"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum("n_events").as("n_events_total"),
+            round(sum("dur_us").cast("double") /
+              (count(lit(1)) * 1000000L), 2).as("avg_dur_sec"))
+          .orderBy("bucket")
+      },
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch(CAST(ts AS TIMESTAMP))
+                           - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        se AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged),
+        sess AS (
+          SELECT user_id, session_id, count(*) AS n_events,
+                 max(epoch_us(CAST(ts AS TIMESTAMP)))
+                   - min(epoch_us(CAST(ts AS TIMESTAMP))) AS dur_us
+          FROM se GROUP BY user_id, session_id),
+        b AS (
+          SELECT CAST(CASE WHEN n_events = 1 THEN 1
+                           WHEN n_events <= 3 THEN 2
+                           WHEN n_events <= 7 THEN 3
+                           ELSE 4 END AS BIGINT) AS bucket,
+                 n_events, dur_us
+          FROM sess)
+        SELECT bucket, count(*) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events_total,
+               round(CAST(sum(dur_us) AS DOUBLE) / (count(*) * 1000000), 2)
+                 AS avg_dur_sec
+        FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -174,6 +174,58 @@ object ShuffleWorkloads {
         SELECT count(*) AS cnt
         FROM (SELECT l_orderkey % 10000 AS k FROM lineitem) a
         JOIN (SELECT l_orderkey % 10000 AS k2 FROM lineitem) b
-          ON a.k = b.k2"""))
+          ON a.k = b.k2""")),
+
+    // ---------------------------------------------------------------- s07
+    // Key-skew audit — the MEASUREMENT run before choosing between the
+    // plain (s01) and salted (s05/s06) shapes, i.e. the decision the
+    // reference's task-aware shuffle service makes implicitly from its
+    // block-size metadata. One pass per key space: per-key counts (one
+    // hash aggregation with map-side partials) collapse to a 4-scalar
+    // summary, so the audit costs one narrow shuffle of |keys| counters
+    // however large the fact table is. The verdict is pure integer
+    // cross-multiplication (max·|keys| > 4·total ⇔ hottest key exceeds
+    // 4× the mean — no float, engine/rerun-exact); top1_ppm quantifies
+    // the hot key's share in exact parts-per-million. Run on s01's
+    // uniform key space and s02's 30%-hot one, the audit separates them
+    // exactly as AQE's skew-split threshold would.
+    "s07_skew_audit" -> QueryDef(
+      build = (s, d) => {
+        val li = t(s, d, "lineitem")
+        def audit(name: String, key: org.apache.spark.sql.Column) =
+          li.select(key.as("key"))
+            .groupBy("key").agg(count(lit(1)).as("cnt"))
+            .agg(count(lit(1)).as("n_keys"), sum("cnt").as("n_rows"),
+              max("cnt").as("max_cnt"))
+            .select(lit(name).as("dist"), col("n_keys"), col("n_rows"),
+              col("max_cnt"),
+              expr("CAST(max_cnt * 1000000 DIV n_rows AS BIGINT)")
+                .as("top1_ppm"),
+              (col("max_cnt") * col("n_keys") > col("n_rows") * 4)
+                .as("skewed"))
+        audit("skewed", when(col("l_orderkey") % 10 < 3, lit(1L))
+            .otherwise(col("l_orderkey") % 100))
+          .unionByName(audit("uniform", col("l_orderkey") % 100))
+          .orderBy("dist")
+      },
+      oracle = Some("""
+        WITH ks AS (
+          SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+                      ELSE l_orderkey % 100 END AS key
+          FROM lineitem),
+        ku AS (SELECT l_orderkey % 100 AS key FROM lineitem),
+        cs AS (SELECT key, count(*) AS cnt FROM ks GROUP BY key),
+        cu AS (SELECT key, count(*) AS cnt FROM ku GROUP BY key),
+        a AS (
+          SELECT 'skewed' AS dist, count(*) AS n_keys,
+                 CAST(sum(cnt) AS BIGINT) AS n_rows,
+                 max(cnt) AS max_cnt FROM cs
+          UNION ALL
+          SELECT 'uniform', count(*), CAST(sum(cnt) AS BIGINT),
+                 max(cnt) FROM cu)
+        SELECT dist, n_keys, n_rows, max_cnt,
+               CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS top1_ppm,
+               max_cnt * n_keys > n_rows * 4 AS skewed
+        FROM a ORDER BY dist"""))
   )
 }

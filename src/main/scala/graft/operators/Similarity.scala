@@ -1068,6 +1068,88 @@ object Similarity {
                     ORDER BY raw_score DESC, vec_id) AS BIGINT) AS rk
         FROM sc
         QUALIFY rk <= $TOPK
-        ORDER BY q_id, rk"""))
+        ORDER BY q_id, rk""")),
+
+    // ---------------------------------------------------------------- a15
+    // Recall CURVE: a07's single recall@10 unrolled over k = 1..10 —
+    // the plot an ANN rollout decision actually reads (is the LSH path
+    // good enough at the k the product serves, or only at k=10?). A
+    // (q, vec) pair found by both paths contributes a hit to every
+    // k ≥ max(exact_rk, approx_rk), so the whole curve falls out of ONE
+    // exact⋈approx join (both sides the already-pinned a01/a02 shapes)
+    // + a sequence-explode of at most 10 rows per matched pair + one
+    // 10-group aggregation. Hit counts are exact integers; recall is a
+    // single rounded IEEE division per k. The k-grid left join keeps
+    // zero-hit ks visible instead of silently absent.
+    "a15_recall_curve" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val exact = bruteTopK(e)
+          .select(col("q_id"), col("vec_id"), col("rk").as("erk"))
+        val approx = lshTopK(e)
+          .select(col("q_id").as("aq"), col("vec_id").as("av"),
+            col("rk").as("ark"))
+        val hits = exact.join(approx,
+            col("q_id") === col("aq") && col("vec_id") === col("av"))
+          .select(explode(sequence(greatest(col("erk"), col("ark")),
+            lit(TOPK.toLong))).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_hits"))
+        val nq = queriesDf(e).agg(count(lit(1)).as("nq"))
+        s.range(1, TOPK + 1).select(col("id").as("k"))
+          .join(hits, Seq("k"), "left")
+          .crossJoin(broadcast(nq))
+          .select(col("k"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+              (col("nq") * col("k")), 4).as("recall"))
+          .orderBy("k")
+      },
+      oracle = Some {
+        val planes = VectorFns.hyperplanes(8, 64)
+        val bucketSql = planes.zipWithIndex.map { case (p, i) =>
+          s"(CASE WHEN list_dot_product(embedding::DOUBLE[], " +
+            p.mkString("[", ", ", "]") +
+            s"::DOUBLE[]) >= 0 THEN ${1L << i} ELSE 0 END)"
+        }.mkString(" + ")
+        s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < $QUERY_IDS_BELOW),
+        c AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= $QUERY_IDS_BELOW),
+        exact AS (
+          SELECT q_id, vec_id, rk FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_cosine_similarity(qv::DOUBLE[],
+                                embedding::DOUBLE[]) DESC, vec_id) AS rk
+            FROM q CROSS JOIN c) z
+          WHERE rk <= $TOPK),
+        eb AS (SELECT vec_id, embedding, $bucketSql AS bucket
+               FROM embeddings),
+        qb AS (SELECT vec_id AS q_id, embedding AS qv, bucket AS q_bucket
+               FROM eb WHERE vec_id < $QUERY_IDS_BELOW),
+        cb AS (SELECT vec_id, embedding, bucket FROM eb
+               WHERE vec_id >= $QUERY_IDS_BELOW),
+        approx AS (
+          SELECT q_id, vec_id, rk FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_cosine_similarity(qv::DOUBLE[],
+                                embedding::DOUBLE[]) DESC, vec_id) AS rk
+            FROM qb JOIN cb ON qb.q_bucket = cb.bucket) z
+          WHERE rk <= $TOPK),
+        pr AS (
+          SELECT greatest(e.rk, a.rk) AS mrk
+          FROM exact e JOIN approx a
+            ON e.q_id = a.q_id AND e.vec_id = a.vec_id),
+        nq AS (SELECT count(*) AS n FROM q),
+        ks AS (SELECT unnest(generate_series(1, $TOPK)) AS k),
+        h AS (SELECT k, count(mrk) AS n_hits
+              FROM ks LEFT JOIN pr ON mrk <= k GROUP BY k)
+        SELECT CAST(k AS BIGINT) AS k,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               round(CAST(n_hits AS DOUBLE) / (n * k), 4) AS recall
+        FROM h CROSS JOIN nq ORDER BY k"""
+      })
   )
 }

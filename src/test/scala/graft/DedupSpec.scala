@@ -449,4 +449,30 @@ class DedupSpec extends SparkSpecBase {
       assert(tot <= 1000000L && tot > 1000000L - ids.length, ids.toString)
     }
   }
+
+  test("d16 containment catches a quote pair symmetric Jaccard misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d16").toString
+    // doc 2 = doc 1's text embedded in a much longer page: containment
+    // of 1 in 2 is 1.0 while Jaccard is far below d05's 0.5 threshold
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val page = quote + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    Seq((1L, quote, "en", "a", quote.length.toLong),
+        (2L, page, "en", "b", page.length.toLong),
+        (3L, "unrelated words entirely different content here",
+          "en", "c", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("d16_containment_join", dir).collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"),
+        r.getAs[Double]("cont_a"), r.getAs[Double]("cont_b")))
+    assert(got.length == 1)
+    val (a, b, ca, cb) = got.head
+    assert(a == 1L && b == 2L)
+    assert(ca == 1.0, s"containment of the quote must be exactly 1: $ca")
+    assert(cb < 0.5, s"the page's own containment stays low: $cb")
+    // ...and d05's symmetric-Jaccard join indeed misses the pair
+    val d05 = run("d05_ngram_jaccard", dir).collect()
+    assert(d05.isEmpty)
+  }
 }

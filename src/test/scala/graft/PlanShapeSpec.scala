@@ -295,4 +295,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
     assert(!p.contains("Window"), p)
   }
+
+  test("s07 skew audit separates s01/s02 key spaces; replay matches") {
+    val rows = run("s07_skew_audit").collect()
+      .map(r => r.getAs[String]("dist") ->
+        ((r.getAs[Long]("n_keys"), r.getAs[Long]("max_cnt"),
+          r.getAs[Long]("top1_ppm"), r.getAs[Boolean]("skewed")))).toMap
+    // the audit's numbers ARE s01/s02's per-key counts, summarized
+    val s01 = run("s01_synthetic_groupby").collect()
+      .map(_.getAs[Long]("cnt"))
+    val s02 = run("s02_skewed_groupby").collect()
+      .map(_.getAs[Long]("cnt"))
+    val total = s01.sum
+    assert(rows("uniform")._1 == s01.length.toLong)
+    assert(rows("uniform")._2 == s01.max)
+    assert(rows("skewed")._1 == s02.length.toLong)
+    assert(rows("skewed")._2 == s02.max)
+    assert(rows("skewed")._3 == s02.max * 1000000L / total)
+    // the 30%-hot key space must flag, the uniform one must not
+    assert(rows("skewed")._4 && !rows("uniform")._4)
+    // one narrow aggregation chain per distribution — never a join
+    val p = plan("s07_skew_audit")
+    assert(!p.toLowerCase.contains("join"), p)
+  }
 }

@@ -416,4 +416,31 @@ class SimilaritySpec extends SparkSpecBase {
       .map(r => (r.getAs[Long]("rk"), r.getAs[Long]("vec_id")))
     assert(planted.toSeq.sorted == Seq((1L, 11L), (2L, 10L)))
   }
+
+  test("a15 recall curve: reconciles with a07; planted clusters hit 1.0") {
+    val curve = run("a15_recall_curve").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("recall"))).sortBy(_._1)
+    assert(curve.map(_._1).sameElements(1L to 10L))
+    // hits can only accumulate as k grows; recall stays in [0,1]
+    val hs = curve.map(_._2)
+    assert(hs.zip(hs.tail).forall { case (a, b) => a <= b })
+    assert(curve.forall(c => c._3 >= 0 && c._3 <= 1))
+    // k=10 reconciles with a07's per-query recalls: same join, summed
+    val a07hits = run("a07_ann_recall").collect()
+      .map(_.getAs[Long]("n_hits")).sum
+    assert(curve.last._2 == a07hits)
+    // planted: 5 query directions × 9 members each (cos 1 within, 0
+    // across) — the LSH bucket holds the whole cluster, so the curve is
+    // exactly 1.0 through k = 8 (the non-query same-direction count)
+    import spark.implicits._
+    val dir = Files.createTempDirectory("a15").toString
+    (0L until 45L).map { i =>
+      val a = new Array[Float](64); a((i % 5L).toInt) = 1f; (i, a, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = run("a15_recall_curve", dir).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Double]("recall")).toMap
+    (1L to 8L).foreach(k => assert(planted(k) == 1.0, s"k=$k"))
+  }
 }

@@ -462,6 +462,20 @@ class TextAndEventsSpec extends SparkSpecBase {
     }
   }
 
+  test("e15 session stats reconcile with e03's sessionization") {
+    val rows = run("e15_session_stats").collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("n_events_total"), r.getAs[Double]("avg_dur_sec")))
+    val e03 = run("e03_sessionize").collect()
+    // every event lands in exactly one session; session counts agree
+    assert(rows.map(_._3).sum == Tables(spark, sf, "events").count())
+    assert(rows.map(_._2).sum == e03.map(_.getAs[Long]("n_sessions")).sum)
+    // buckets ordered, durations nonnegative, singleton bucket = 0s
+    assert(rows.map(_._1).sorted.sameElements(rows.map(_._1)))
+    assert(rows.forall(_._4 >= 0))
+    rows.find(_._1 == 1L).foreach { r => assert(r._4 == 0.0) }
+  }
+
   test("t12 zipf audit: ranks dense, counts nonincreasing, share exact") {
     val rows = run("t12_zipf_audit").collect()
     assert(rows.length <= 50 && rows.nonEmpty)
