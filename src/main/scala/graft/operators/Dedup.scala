@@ -1042,7 +1042,70 @@ object Dedup {
         sqlExactJaccard4("inter", "sza") + """ AS cont_a,
                """ + sqlExactJaccard4("inter", "szb") + """ AS cont_b
         FROM pairs WHERE inter * 2 >= least(sza, szb)
-        ORDER BY a_id, b_id"""))
+        ORDER BY a_id, b_id""")),
+
+    // ---------------------------------------------------------------- d17
+    // Bloom-prefiltered incremental dedup — d10's OTHER scale regime.
+    // d10 broadcasts the increment's digest set to the base scan: right
+    // when the increment is small. When the increment is itself huge
+    // (a backfill, a merged crawl), the exchanged object must not grow
+    // with either side — so build Spark's native Bloom sketch over the
+    // BASE digests (one base aggregation → a fixed bits-sized binary,
+    // the same machinery Spark's runtime join pruning injects), prune
+    // the batch with might_contain (map-side, no false negatives), and
+    // exact-verify ONLY the surviving candidates against the base —
+    // false positives die in the verify join, so the verdicts are
+    // EXACTLY d10's (the oracle is d10's oracle). Verify-join traffic
+    // is true-dups + the bloom's FP residue instead of the whole batch.
+    "d17_bloom_incremental" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.GraftShim
+        val docs = t(s, d, "documents")
+        val isNew = col("doc_id") % 7 === 3
+        val digest = md5(coalesce(col("text"), lit("")).cast("binary"))
+        val batch = docs.filter(isNew).select(col("doc_id"), digest.as("h"))
+        val base = docs.filter(!isNew).select(digest.as("h"))
+        val bloom = base.agg(
+          GraftShim.bloomFilterAgg(col("h"), 1000000L).as("bf"))
+        // map-side prune: candidates = batch rows the bloom says MAYBE;
+        // the sketch rides as a scalar subquery (a literal once computed)
+        val cand = batch
+          .filter(GraftShim.mightContain(
+            GraftShim.scalarSubquery(bloom), col("h")))
+          .select("h").distinct()
+        // exact verify only the candidate digests against the base
+        val inBase = base.join(broadcast(cand), Seq("h"), "left_semi")
+          .distinct()
+          .withColumn("in_base", lit(1))
+        val firstInBatch = batch.groupBy("h").agg(min("doc_id").as("first_id"))
+        batch
+          .join(broadcast(inBase), Seq("h"), "left")
+          .join(broadcast(firstInBatch), Seq("h"))
+          .select(col("doc_id"),
+            when(col("in_base") === 1, lit("dup_of_base"))
+              .when(col("doc_id") > col("first_id"), lit("dup_in_batch"))
+              .otherwise(lit("new")).as("status"))
+          .orderBy("doc_id")
+      },
+      // the bloom is transparent after exact verification: the oracle is
+      // incremental dedup's ground truth, identical to d10's
+      oracle = Some("""
+        WITH batch AS (
+          SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
+          WHERE doc_id % 7 = 3),
+        base AS (
+          SELECT DISTINCT md5(coalesce(text, '')) AS h FROM documents
+          WHERE doc_id % 7 <> 3),
+        fib AS (
+          SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h)
+        SELECT b.doc_id,
+               CASE WHEN base.h IS NOT NULL THEN 'dup_of_base'
+                    WHEN b.doc_id > f.first_id THEN 'dup_in_batch'
+                    ELSE 'new' END AS status
+        FROM batch b
+        LEFT JOIN base ON b.h = base.h
+        JOIN fib f ON b.h = f.h
+        ORDER BY b.doc_id"""))
   )
 
   /** Name → QueryDef for intra-object composition (d09 reuses d06b). */

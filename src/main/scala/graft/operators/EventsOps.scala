@@ -614,6 +614,45 @@ object EventsOps {
                CAST(sum(n_events) AS BIGINT) AS n_events_total,
                round(CAST(sum(dur_us) AS DOUBLE) / (count(*) * 1000000), 2)
                  AS avg_dur_sec
-        FROM b GROUP BY bucket ORDER BY bucket"""))
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ---------------------------------------------------------------- e16
+    // Trending: the top-3 event types per day with their share of the
+    // day's traffic — the daily-digest leaderboard. One (day, type)
+    // count with map-side partials (≤ |days|·|types| rows out of the
+    // shuffle), day totals summed from the SAME counts table (no second
+    // scan), and the rank window partitions per day over ≤ |types| rows
+    // — WindowGroupLimit truncates to 3 map-side. Share = one rounded
+    // IEEE division of exact integers; (cnt desc, type) ordering makes
+    // the pick deterministic under count ties.
+    "e16_trending" -> QueryDef(
+      build = (s, d) => {
+        val cnt = t(s, d, "events")
+          .select(date_trunc("day", col("ts").cast("timestamp")).as("day"),
+            col("event_type"))
+          .groupBy("day", "event_type").agg(count(lit(1)).as("n"))
+        val tot = cnt.groupBy("day").agg(sum("n").as("n_day"))
+        val w = Window.partitionBy("day").orderBy(desc("n"), asc("event_type"))
+        cnt.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 3)
+          .join(tot, "day")
+          .select(col("day"), col("rk"), col("event_type"), col("n"),
+            round(col("n").cast("double") / col("n_day"), 4).as("share"))
+          .orderBy("day", "rk")
+      },
+      oracle = Some("""
+        WITH cnt AS (
+          SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                 event_type, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        tot AS (SELECT day, CAST(sum(n) AS BIGINT) AS n_day
+                FROM cnt GROUP BY day),
+        rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY day
+                 ORDER BY n DESC, event_type) AS BIGINT) AS rk
+               FROM cnt)
+        SELECT r.day, rk, event_type, n,
+               round(CAST(n AS DOUBLE) / n_day, 4) AS share
+        FROM rk r JOIN tot t ON r.day = t.day
+        WHERE rk <= 3 ORDER BY r.day, rk"""))
   )
 }

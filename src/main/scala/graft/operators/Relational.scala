@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryDef, Tables}
 import graft.functions.AggFns.{dsum, dsumRaw}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** §2.A — the relational-analytics surface (TPC-style) mirroring the
@@ -1124,6 +1125,45 @@ object Relational {
                CAST(n_orders AS BIGINT) AS n_orders,
                round(CAST(n_mode AS DOUBLE) / n_orders, 4) AS share
         FROM best WHERE rk = 1 ORDER BY month"""))
+    ,
+
+    // ---------------------------------------------------------------- q43
+    // Ranking-function family over TIED data: rank / dense_rank /
+    // percent_rank / cume_dist per return flag, ordered by a count that
+    // genuinely ties (completing q30's lag/lead/ntile coverage with the
+    // gap/no-gap/relative rank semantics). Runs on the pre-aggregated
+    // (flag, quantity) table — ≤ |flags|·50 constant rows into the
+    // window, so the rank sort never touches fact-table volume. Tie
+    // handling is the point: rank values are well-defined under any
+    // within-peer order, so no unique tie-break is needed INSIDE the
+    // window; the output ORDER BY carries the unique key. The two
+    // relative ranks are single IEEE divisions of exact integers,
+    // rounded at 6 dp for display.
+    "q43_rank_funcs" -> QueryDef(
+      build = (s, d) => {
+        val cnt = t(s, d, "lineitem")
+          .groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("l_returnflag").orderBy(desc("n"))
+        cnt.select(col("l_returnflag"), col("l_quantity"), col("n"),
+            rank().over(w).cast("long").as("rnk"),
+            dense_rank().over(w).cast("long").as("drnk"),
+            round(percent_rank().over(w), 6).as("prnk"),
+            round(cume_dist().over(w), 6).as("cdist"))
+          .orderBy("l_returnflag", "l_quantity")
+      },
+      oracle = Some("""
+        WITH cnt AS (
+          SELECT l_returnflag, l_quantity, count(*) AS n
+          FROM lineitem GROUP BY 1, 2)
+        SELECT l_returnflag, l_quantity, n,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+               round(percent_rank() OVER w, 6) AS prnk,
+               round(cume_dist() OVER w, 6) AS cdist
+        FROM cnt
+        WINDOW w AS (PARTITION BY l_returnflag ORDER BY n DESC)
+        ORDER BY l_returnflag, l_quantity"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

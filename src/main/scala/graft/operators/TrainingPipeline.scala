@@ -875,6 +875,30 @@ object TrainingPipeline {
                round(CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END)
                  AS DOUBLE) / count(*), 4) AS dup_rate
         FROM d JOIN c USING (dg)
-        GROUP BY source ORDER BY source"""))
+        GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- p18
+    // Content-keyed k-fold assignment (ablation / cross-validation
+    // splits): fold = md5 of the doc's CONTENT digest mod 5 — keying on
+    // content, not doc_id, means exact duplicates land in the SAME fold
+    // by construction (no join, no group machinery — the leakage-safety
+    // p09 needs a cluster join for, free at the exact-dup tier), and the
+    // assignment is stable across reruns, shards and corpus growth
+    // (adding docs never moves an existing doc's fold). Pure map-side:
+    // zero shuffle, the same draw arithmetic as x07's sharding.
+    "p18_kfold_split" -> QueryDef(
+      build = (s, d) => {
+        val digest = md5(coalesce(col("text"), lit("")).cast("binary"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            pmod(conv(substring(md5(digest.cast("binary")), 1, 8), 16, 10)
+              .cast("long"), lit(5L)).as("fold"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               ('0x' || substr(md5(md5(coalesce(text, ''))), 1, 8))::BIGINT
+                 % 5 AS fold
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -15,4 +15,32 @@ object GraftShim {
   def ofRows(spark: SparkSession,
              plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Spark's native Bloom-filter aggregate (the machinery behind runtime
+    * join pruning), exposed as a Column: builds a bits-sized sketch over
+    * xxhash64 of `c`. Not SQL-registered in Spark 4, hence the shim.
+    */
+  def bloomFilterAgg(c: Column, estimatedNumItems: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(expression(c))), estimatedNumItems)
+      .toAggregateExpression())
+
+  /** Membership probe against a [[bloomFilterAgg]] sketch: true/maybe
+    * semantics — false positives possible, false negatives impossible.
+    * The analyzer requires the bloom side to be a constant or scalar
+    * subquery — pass [[scalarSubquery]] of the 1-row aggregate, exactly
+    * the shape InjectRuntimeFilter builds internally.
+    */
+  def mightContain(bloom: Column, c: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expression(bloom),
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(expression(c)))))
+
+  /** A 1-row/1-column DataFrame as a scalar-subquery expression. */
+  def scalarSubquery(df: DataFrame): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed))
 }

@@ -475,4 +475,18 @@ class DedupSpec extends SparkSpecBase {
     val d05 = run("d05_ngram_jaccard", dir).collect()
     assert(d05.isEmpty)
   }
+
+  test("d17 bloom-prefiltered incremental dedup = d10's exact verdicts") {
+    // the bloom is an optimization, never a semantic: after the exact
+    // verify join, every verdict must equal the broadcast-digest path's
+    val d10 = run("d10_incremental_dedup").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    val d17df = run("d17_bloom_incremental")
+    val d17 = d17df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status")).toMap
+    assert(d17 == d10 && d17.nonEmpty)
+    // and the plan really goes through the native bloom machinery
+    val p = d17df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), p)
+  }
 }

@@ -121,4 +121,35 @@ class RelationalExtSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_mode") <= r.getAs[Long]("n_orders"))
     }
   }
+
+  test("q43 rank family: tie semantics replayed exactly") {
+    val rows = run("q43_rank_funcs").collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Double]("l_quantity"),
+        r.getAs[Long]("n"), r.getAs[Long]("rnk"), r.getAs[Long]("drnk"),
+        r.getAs[Double]("prnk"), r.getAs[Double]("cdist")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { part =>
+      val np = part.length.toLong
+      // replay rank = 1 + #strictly-greater counts; dense = #distinct
+      // greater + 1; peers share all four values
+      val counts = part.map(_._3)
+      part.foreach { case (_, q, n, rnk, drnk, prnk, cdist) =>
+        val greater = counts.count(_ > n).toLong
+        val denseG = counts.filter(_ > n).distinct.length.toLong
+        val peers = counts.count(_ == n).toLong
+        assert(rnk == greater + 1, s"rank at n=$n")
+        assert(drnk == denseG + 1, s"dense_rank at n=$n")
+        val wantP = if (np == 1) 0.0 else
+          BigDecimal(java.math.BigDecimal.valueOf(greater.toDouble / (np - 1)))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val wantC =
+          BigDecimal(java.math.BigDecimal.valueOf((greater + peers).toDouble / np))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(prnk == wantP, s"percent_rank at n=$n: $prnk vs $wantP")
+        assert(cdist == wantC, s"cume_dist at n=$n: $cdist vs $wantC")
+      }
+      // ties actually occur at sf (integer quantities) — the test bites
+      assert(counts.distinct.length < counts.length || np < 3)
+    }
+  }
 }

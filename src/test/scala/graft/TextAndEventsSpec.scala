@@ -476,6 +476,34 @@ class TextAndEventsSpec extends SparkSpecBase {
     rows.find(_._1 == 1L).foreach { r => assert(r._4 == 0.0) }
   }
 
+  test("e16 trending: per-day top-3 replayed; shares bounded") {
+    val rows = run("e16_trending").collect()
+      .map(r => (r.get(r.fieldIndex("day")), r.getAs[Long]("rk"),
+        r.getAs[String]("event_type"), r.getAs[Long]("n"),
+        r.getAs[Double]("share")))
+    assert(rows.nonEmpty)
+    val events = Tables(spark, sf, "events").collect()
+      .map(r => (r.get(r.fieldIndex("ts")), r.getAs[String]("event_type")))
+    def day(x: Any): java.time.LocalDate = (x match {
+      case t: java.time.LocalDateTime => t
+      case t: java.sql.Timestamp => t.toLocalDateTime
+    }).toLocalDate
+    val byDay = events.groupBy(e => day(e._1))
+    rows.groupBy(_._1).foreach { case (d, rs) =>
+      assert(rs.length <= 3)
+      val ranked = rs.sortBy(_._2)
+      // replay: count per type, order (cnt desc, type), take 3
+      val cnts = byDay(day(d)).groupBy(_._2).view
+        .mapValues(_.length.toLong).toMap
+      val want = cnts.toSeq.sortBy { case (t, n) => (-n, t) }
+        .take(rs.length)
+      ranked.zip(want).foreach { case ((_, _, typ, n, share), (wt, wn)) =>
+        assert(typ == wt && n == wn, s"day $d")
+        assert(share > 0 && share <= 1)
+      }
+    }
+  }
+
   test("t12 zipf audit: ranks dense, counts nonincreasing, share exact") {
     val rows = run("t12_zipf_audit").collect()
     assert(rows.length <= 50 && rows.nonEmpty)

@@ -409,4 +409,36 @@ class TrainingPipelineSpec extends SparkSpecBase {
       assert(rate >= 0 && rate <= 1, src)
     }
   }
+
+  test("p18 kfold: folds partition the corpus; dups share a fold") {
+    val rows = run("p18_kfold_split").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fold"))
+    val docs = Tables(spark, sf, "documents").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    assert(rows.length == docs.length)
+    assert(rows.forall { case (_, f) => f >= 0 && f <= 4 })
+    // content-keyed: same text ⇒ same fold, whatever the doc ids
+    val byFold = rows.toMap
+    docs.groupBy(_._2).values.filter(_.length > 1).foreach { g =>
+      assert(g.map(d => byFold(d._1)).distinct.length == 1, g.toString)
+    }
+    // planted: two ids with identical text land together; growth (a new
+    // doc) never moves them
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p18").toString
+    def write(extra: Seq[(Long, String)]): Unit =
+      ((1L, "same words here", "en", "a", 15L) +:
+        (2L, "same words here", "en", "b", 15L) +:
+        extra.map(e => (e._1, e._2, "en", "c", e._2.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(Nil)
+    val before = run("p18_kfold_split", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fold")).toMap
+    assert(before(1L) == before(2L))
+    write(Seq((3L, "a freshly added document")))
+    val after = run("p18_kfold_split", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fold")).toMap
+    assert(after(1L) == before(1L) && after(2L) == before(2L))
+  }
 }
