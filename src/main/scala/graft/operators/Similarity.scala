@@ -1100,8 +1100,10 @@ object Similarity {
           .crossJoin(broadcast(nq))
           .select(col("k"),
             coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            // nullif: an empty query set (nq = 0) yields NULL recall
+            // instead of an ANSI DIVIDE_BY_ZERO task kill (EmptyInputSpec)
             round(coalesce(col("n_hits"), lit(0L)).cast("double") /
-              (col("nq") * col("k")), 4).as("recall"))
+              nullif(col("nq") * col("k"), lit(0L)), 4).as("recall"))
           .orderBy("k")
       },
       oracle = Some {
