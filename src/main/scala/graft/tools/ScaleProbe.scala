@@ -275,6 +275,47 @@ object ScaleProbe {
       row(n, "e11")(qe("e11_rfm_segments").count())
       graft.operators.HotCache.releaseAll()
     }
+    // r9c leg: the fourth-sitting operators. d16's containment join is
+    // d05's inverted-index shape (shingle-keyed, never doc-pairs) — cpu
+    // and shuffle must grow ~linearly in docs with pair output linear in
+    // the planted dups. d17 must track d10 (same verdicts; the bloom
+    // build adds one base aggregation). d15/p17 are digest-keyed
+    // aggregation+join (linear); t12's output is the constant top-50.
+    // The events trio e14/e15/e16 runs on the generated events table:
+    // bucket/user/day-keyed shuffles, constant or |days|-bounded output.
+    println(f"${"rows"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("r9c")) {
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "d16")(q("d16_containment_join").count())
+      row(n, "d10")(q("d10_incremental_dedup").count())
+      row(n, "d17")(q("d17_bloom_incremental").count())
+      row(n, "d15")(q("d15_soft_dedup_weights").count())
+      row(n, "p17")(q("p17_datasheet").count())
+      row(n, "t12")(q("t12_zipf_audit").count())
+      val edir = s"/tmp/graft-probe-ev-$n"
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        pmod(col("id"), lit(math.max(n / 100, 1))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("scroll")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$edir/events.parquet")
+      def qe(name: String) = graft.SparkEntry.queries(name)(spark, edir)
+      row(n, "e14")(qe("e14_active_users").count())
+      row(n, "e15")(qe("e15_session_stats").count())
+      row(n, "e16")(qe("e16_trending").count())
+      graft.operators.HotCache.releaseAll()
+    }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the
