@@ -195,6 +195,79 @@ object Multimodal {
                coalesce(s.n_shared, 0) AS n_shared,
                coalesce(s.n_shared, 0) * 2 > p.n_chunks AS dup_heavy
         FROM per p LEFT JOIN shr s USING (doc_id)
-        ORDER BY p.doc_id"""))
+        ORDER BY p.doc_id""")),
+
+    // ---------------------------------------------------------------- m06
+    // Payload byte-entropy audit: Shannon entropy (nats) over m02's 8
+    // byte classes per payload — the storage-codec decision a blob store
+    // makes before writing (low entropy → compress; near-ln(8) entropy →
+    // already-compressed/encrypted, store raw). Pure map-side: one
+    // class-code pass per payload, 8 filtered counts, and t06's
+    // decimal-exact entropy scheme — each c·ln(c) term rounds at 6 dp
+    // into DECIMAL(30,6) (exact adds, fixed 8-term order) so H and the
+    // compressibility verdict are engine- and rerun-identical. Empty
+    // payloads take H = 0 by convention (spec-pinned, never a
+    // DIVIDE_BY_ZERO).
+    "m06_blob_entropy" -> QueryDef(
+      build = (s, d) => {
+        val withCodes = t(s, d, "documents")
+          .withColumn("n", length(coalesce(col("text"), lit("")))
+            .cast("long"))
+          // slice guard: a zero-length payload yields an empty code list
+          // (sequence(0,-1) would count DOWN, not empty)
+          .withColumn("codes", expr(
+            "slice(transform(sequence(0, greatest(length(coalesce(text, '')) - 1, 0)), " +
+              "i -> ascii(substring(coalesce(text, ''), i + 1, 1)) div 32), " +
+              "1, length(coalesce(text, '')))"))
+        val terms = (0 until 8).map { k =>
+          val ck = size(filter(col("codes"), c => c === k)).cast("long")
+          when(ck > 0, (ck.cast("double") * log(ck.cast("double")))
+            .cast("decimal(30,6)"))
+            .otherwise(lit(0).cast("decimal(30,6)"))
+        }.reduce(_ + _)
+        withCodes
+          .withColumn("s", terms)
+          .withColumn("entropy",
+            when(col("n") === 0, lit(0.0))
+              .otherwise(round(log(col("n").cast("double")) -
+                col("s").cast("double") / col("n"), 4)))
+          .select(col("doc_id"), col("n").as("n_bytes"), col("entropy"),
+            (col("entropy") < 1.5).as("compressible"))
+          .orderBy("doc_id")
+      },
+      oracle = Some {
+        val counts = (0 until 8).map(k =>
+          s"len(list_filter(codes, c -> c = $k)) AS c$k").mkString(",\n               ")
+        val terms = (0 until 8).map(k =>
+          s"CASE WHEN c$k > 0 THEN CAST(round(c$k * ln(c$k), 6) " +
+            s"AS DECIMAL(30,6)) ELSE CAST(0 AS DECIMAL(30,6)) END")
+          .mkString(" +\n               ")
+        s"""
+        WITH z AS (
+          SELECT doc_id, coalesce(text, '') AS p,
+                 CAST(strlen(coalesce(text, '')) AS BIGINT) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, n,
+                 list_transform(range(strlen(p)),
+                   i -> ord(substr(p, CAST(i + 1 AS INT), 1)) // 32) AS codes
+          FROM z),
+        k AS (
+          SELECT doc_id, n,
+               $counts
+          FROM c),
+        t AS (
+          SELECT doc_id, n,
+               $terms AS s
+          FROM k),
+        h AS (
+          SELECT doc_id, n AS n_bytes,
+                 CASE WHEN n = 0 THEN 0.0
+                      ELSE round(ln(n) - CAST(s AS DOUBLE) / n, 4)
+                 END AS entropy
+          FROM t)
+        SELECT doc_id, n_bytes, entropy, entropy < 1.5 AS compressible
+        FROM h ORDER BY doc_id"""
+      })
   )
 }

@@ -476,6 +476,34 @@ class DedupSpec extends SparkSpecBase {
     assert(d05.isEmpty)
   }
 
+  test("m06 blob entropy: planted extremes pin the verdicts") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("m06").toString
+    // doc 1: one byte class only (H = 0, compressible); doc 2: 32 chars
+    // spread evenly over 4 classes (H = ln 4 ≈ 1.3863, compressible);
+    // doc 3: empty (H = 0 by convention)
+    val single = "aaaaaaaaaaaaaaaa" // class 3 ('a' = 97 >> 5)
+    val spread = ("\u0001 @a" * 8) // classes 0,1,2,3 evenly
+    Seq((1L, single, "en", "a", single.length.toLong),
+        (2L, spread, "en", "b", spread.length.toLong),
+        (3L, "", "en", "c", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("m06_blob_entropy", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bytes"), r.getAs[Double]("entropy"),
+          r.getAs[Boolean]("compressible")))).toMap
+    assert(got(1L) == ((16L, 0.0, true)))
+    val h4 = BigDecimal(java.math.BigDecimal.valueOf(
+      math.log(32.0) - 4 * BigDecimal(java.math.BigDecimal.valueOf(
+        8 * math.log(8.0))).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble / 32.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(2L)._1 == 32L && got(2L)._2 == h4 && got(2L)._3,
+      s"${got(2L)} vs H=$h4")
+    assert(got(3L) == ((0L, 0.0, true)))
+  }
+
   test("d17 bloom-prefiltered incremental dedup = d10's exact verdicts") {
     // the bloom is an optimization, never a semantic: after the exact
     // verify join, every verdict must equal the broadcast-digest path's

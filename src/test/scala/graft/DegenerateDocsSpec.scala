@@ -53,7 +53,10 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "x07_shard_balance", "t09_lexical_diversity", "t10_readability",
     "d14_prefix_dedup", "p14_snapshot_diff", "x08_shard_manifest",
     "p13_curriculum", "m05_chunk_dedup", "t11_keyword_extract",
-    "p15_oversample", "x09_data_profile", "p16_length_histogram")
+    "p15_oversample", "x09_data_profile", "p16_length_histogram",
+    "t12_zipf_audit", "d15_soft_dedup_weights", "d16_containment_join",
+    "d17_bloom_incremental", "p17_datasheet", "p18_kfold_split",
+    "x10_compaction_plan", "m06_blob_entropy")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>
