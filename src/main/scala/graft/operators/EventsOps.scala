@@ -653,6 +653,47 @@ object EventsOps {
         SELECT r.day, rk, event_type, n,
                round(CAST(n AS DOUBLE) / n_day, 4) AS share
         FROM rk r JOIN tot t ON r.day = t.day
-        WHERE rk <= 3 ORDER BY r.day, rk"""))
+        WHERE rk <= 3 ORDER BY r.day, rk""")),
+
+    // ---------------------------------------------------------------- e17
+    // Trailing moving aggregate (the time-series smoothing family):
+    // per-type hourly counts with a 3-hour RANGE-frame trailing sum and
+    // moving average — RANGE on the integer hour number, so a missing
+    // hour genuinely shrinks the frame (ROWS would wrongly reach back
+    // past gaps). The window partitions by event_type over the
+    // PRE-AGGREGATED ≤ |types|×|hours| counts table — hourly rollup
+    // first, window second, so the sort never touches event volume.
+    // Counts and trailing sums are exact integers; ma3 divides by the
+    // constant 3 (fixed-denominator convention, documented), one
+    // rounded IEEE division.
+    "e17_moving_avg" -> QueryDef(
+      build = (s, d) => {
+        val cnt = t(s, d, "events")
+          .select(date_trunc("hour", col("ts").cast("timestamp")).as("hr"),
+            col("event_type"))
+          .groupBy("hr", "event_type").agg(count(lit(1)).as("n"))
+          .withColumn("hrn",
+            (unix_micros(col("hr")) / 3600000000L).cast("long"))
+        val w = Window.partitionBy("event_type").orderBy("hrn")
+          .rangeBetween(-2, 0)
+        cnt.withColumn("trailing3", sum("n").over(w))
+          .select(col("event_type"), col("hr"), col("n"), col("trailing3"),
+            round(col("trailing3").cast("double") / 3.0, 4).as("ma3"))
+          .orderBy("event_type", "hr")
+      },
+      oracle = Some("""
+        WITH cnt AS (
+          SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+                 event_type, count(*) AS n
+          FROM events GROUP BY 1, 2),
+        h AS (SELECT *, epoch_us(hr) // 3600000000 AS hrn FROM cnt)
+        SELECT event_type, hr, n,
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hrn
+                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS trailing3,
+               round(CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hrn
+                 RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / 3.0, 4) AS ma3
+        FROM h ORDER BY event_type, hr"""))
   )
 }

@@ -899,6 +899,47 @@ object TrainingPipeline {
         SELECT doc_id,
                ('0x' || substr(md5(md5(coalesce(text, ''))), 1, 8))::BIGINT
                  % 5 AS fold
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- p19
+    // Tokenizer-fertility audit: chars-per-token and bytes-per-token by
+    // language — the health metric that catches a tokenizer exploding on
+    // a script (fertility spikes → context windows silently shrink for
+    // that language; the p02/p07 token budgets mis-price it). One
+    // map-side projection, one |langs|-row aggregation with exact
+    // integer masses; the ratios are single rounded IEEE divisions.
+    "p19_tokenizer_fertility" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "documents")
+          .select(col("lang"),
+            size(TextFns.tokens(col("text"))).cast("long").as("ntok"),
+            length(col("text")).cast("long").as("nchr"),
+            octet_length(col("text").cast("binary")).cast("long").as("nbyt"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("ntok").as("n_tokens"), sum("nchr").as("n_chars"),
+            sum("nbyt").as("n_bytes"))
+          .withColumn("chars_per_tok",
+            round(col("n_chars").cast("double") / col("n_tokens"), 4))
+          .withColumn("bytes_per_tok",
+            round(col("n_bytes").cast("double") / col("n_tokens"), 4))
+          .orderBy("lang"),
+      oracle = Some("""
+        WITH d AS (
+          SELECT lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok,
+                 CAST(length(text) AS BIGINT) AS nchr,
+                 CAST(strlen(text) AS BIGINT) AS nbyt
+          FROM documents)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               CAST(sum(nchr) AS BIGINT) AS n_chars,
+               CAST(sum(nbyt) AS BIGINT) AS n_bytes,
+               round(CAST(sum(nchr) AS DOUBLE) / sum(ntok), 4)
+                 AS chars_per_tok,
+               round(CAST(sum(nbyt) AS DOUBLE) / sum(ntok), 4)
+                 AS bytes_per_tok
+        FROM d GROUP BY lang ORDER BY lang"""))
   )
 }

@@ -504,6 +504,63 @@ class TextAndEventsSpec extends SparkSpecBase {
     }
   }
 
+  test("e17 moving avg: RANGE frame does not reach across hour gaps") {
+    // sf replay: trailing3 = sum of counts in hour-window [h-2, h]
+    val rows = run("e17_moving_avg").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.get(r.fieldIndex("hr")), r.getAs[Long]("n"),
+        r.getAs[Long]("trailing3")))
+    assert(rows.nonEmpty)
+    def hrn(x: Any): Long = (x match {
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC)
+      case t: java.sql.Timestamp => t.getTime / 1000L
+    }) / 3600L
+    rows.groupBy(_._1).values.foreach { part =>
+      val byHr = part.map(r => hrn(r._2) -> r._3).toMap
+      part.foreach { case (typ, hr, _, tr) =>
+        val h = hrn(hr)
+        val want = (h - 2 to h).flatMap(byHr.get).sum
+        assert(tr == want, s"$typ @ $h")
+      }
+    }
+    // planted gap: hours 0,1 then 5 — the trailing sum at hour 5 must
+    // NOT include hours 0/1 (a ROWS frame would wrongly reach back)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e17").toString
+    def ev(id: Long, hour: Int, mins: Int) = (id,
+      java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:$mins%02d:00"),
+      1L, "click", 1.0, """{"k": 1}""")
+    Seq(ev(1, 0, 0), ev(2, 0, 30), ev(3, 1, 0), ev(4, 5, 0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val planted = run("e17_moving_avg", dir).collect()
+      .map(r => hrn(r.get(r.fieldIndex("hr"))) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("trailing3")))).toMap
+    val base = planted.keys.min
+    assert(planted(base) == ((2L, 2L)))
+    assert(planted(base + 1) == ((1L, 3L)))      // hours 0+1 in frame
+    assert(planted(base + 5) == ((1L, 1L)), planted.toString) // gap: alone
+  }
+
+  test("p19 fertility reconciles with t01's token counts per lang") {
+    val rows = run("p19_tokenizer_fertility").collect()
+    val docs = Tables(spark, sf, "documents").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("text")))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    val byLang = docs.groupBy(_._1)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val toks = byLang(lang).map(_._2.trim.toLowerCase.split("\\s+").length.toLong).sum
+      val chars = byLang(lang).map(_._2.length.toLong).sum
+      assert(r.getAs[Long]("n_tokens") == toks, lang)
+      assert(r.getAs[Long]("n_chars") == chars, lang)
+      assert(r.getAs[Double]("chars_per_tok") > 0)
+      assert(r.getAs[Double]("bytes_per_tok") >=
+        r.getAs[Double]("chars_per_tok") - 1e-9, "bytes >= chars (UTF-8)")
+    }
+  }
+
   test("t12 zipf audit: ranks dense, counts nonincreasing, share exact") {
     val rows = run("t12_zipf_audit").collect()
     assert(rows.length <= 50 && rows.nonEmpty)
