@@ -16,7 +16,8 @@ object SparkEntry {
     operators.TextAnalysis.defs ++
     operators.PipelineOps.defs ++
     operators.Multimodal.defs ++
-    operators.TrainingPipeline.defs
+    operators.TrainingPipeline.defs ++
+    operators.GraphOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * p06 exercises the engine end-to-end: text analysis, shingle joins,

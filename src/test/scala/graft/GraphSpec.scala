@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpecBase {
+
+  /** Planted purchase graph: customer 1 buys from suppliers 10, 11, 12
+    * (a hub), customers 2 and 3 buy only from supplier 10, customer 4
+    * buys only from supplier 12. Supplier 10 (degree 3) and customer 1
+    * (degree 3) are the two structural hubs; supplier 11 is a leaf seen
+    * by the hub customer only.
+    */
+  lazy val plantedDir: String = {
+    val dir = Files.createTempDirectory("graft-graph").toString
+    import spark.implicits._
+    // orders: (o_orderkey, o_custkey); lineitem: (l_orderkey, l_suppkey)
+    val pairs = Seq( // (custkey, suppkey) purchase pairs
+      (1L, 10L), (1L, 11L), (1L, 12L),
+      (2L, 10L), (3L, 10L), (4L, 12L))
+    val orders = pairs.zipWithIndex
+      .map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = pairs.zipWithIndex
+      .map { case ((_, su), i) => (i.toLong, su) }
+      .toDF("l_orderkey", "l_suppkey")
+    orders.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    lineitem.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    dir
+  }
+
+  test("g01 ranks the structural hubs first on the planted graph") {
+    val rows = run("g01_pagerank", plantedDir).collect()
+    assert(rows.length == 7) // 4 customers + 3 suppliers
+    val top2 = rows.take(2)
+      .map(r => (r.getAs[String]("node_type"), r.getAs[Long]("node_key")))
+      .toSet
+    // degree-3 hubs on both sides outrank every leaf
+    assert(top2 == Set(("customer", 1L), ("supplier", 10L)))
+    // leaf supplier 11 (only neighbor: the hub customer) ranks below
+    // supplier 12 (neighbors: hub + leaf customer 4)
+    val rank = rows.map(r => (r.getAs[String]("node_type"),
+      r.getAs[Long]("node_key")) -> r.getAs[Long]("rank")).toMap
+    assert(rank(("supplier", 12L)) > rank(("supplier", 11L)))
+  }
+
+  test("g01 rank mass stays within the damped-loss envelope") {
+    val rows = run("g01_pagerank", plantedDir).collect()
+    // integer floors only ever LOSE sub-unit mass; with d=0.85 and all
+    // nodes present in the top-20 here, total mass stays within
+    // [0.85 * N * R0, N * R0]
+    val total = rows.map(_.getAs[Long]("rank")).sum
+    val n = rows.length
+    assert(total <= n * 1000000000000L)
+    assert(total >= (n * 1000000000000L * 85L) / 100L)
+  }
+
+  test("g01 is deterministic across partition counts") {
+    val a = run("g01_pagerank", plantedDir).collect().map(_.toSeq)
+    val b = run("g01_pagerank", plantedDir)
+      .repartition(7).sortWithinPartitions("rank").collect().map(_.toSeq)
+    assert(a.toSet == b.toSet)
+  }
+
+  test("g02 degree histogram matches the planted structure") {
+    val rows = run("g02_degree_histogram", plantedDir).collect()
+    val hist = rows.map(r => (r.getAs[String]("node_type"),
+      r.getAs[Long]("deg")) -> r.getAs[Long]("n_nodes")).toMap
+    // customers: one degree-3 hub, three degree-1 leaves
+    assert(hist(("customer", 3L)) == 1L)
+    assert(hist(("customer", 1L)) == 3L)
+    // suppliers: 10 has 3 customers, 12 has 2, 11 has 1
+    assert(hist(("supplier", 3L)) == 1L)
+    assert(hist(("supplier", 2L)) == 1L)
+    assert(hist(("supplier", 1L)) == 1L)
+  }
+
+  test("g01 runs non-empty on sf0.001 with bounded output") {
+    val rows = run("g01_pagerank").collect()
+    assert(rows.length == 20) // top-20 cap binds on the real tables
+    // suppliers are ~10× scarcer than customers in TPC-H, so the same
+    // total edge mass concentrates on them: the top of the ranking
+    // should be supplier-dominated
+    assert(rows.take(5).count(_.getAs[String]("node_type") == "supplier") >= 3)
+  }
+}
