@@ -694,6 +694,55 @@ object EventsOps {
                round(CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hrn
                  RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
                  / 3.0, 4) AS ma3
-        FROM h ORDER BY event_type, hr"""))
+        FROM h ORDER BY event_type, hr""")),
+
+    // ---------------------------------------------------------------- e18
+    // COHORT LTV: users grouped by first-seen day ("cohort"), purchase
+    // revenue accumulated per cohort per day — the standard lifetime-value
+    // matrix behind retention economics (e06 counts users; this follows
+    // the money). Shapes: first-seen day is one user-keyed aggregation;
+    // revenue is one (cohort, day)-keyed aggregation after a user-key
+    // equi-join; the cumulative sum windows over the (cohort, day) table,
+    // whose size is |days|² at worst — bounded regardless of event count.
+    // The running sum accumulates in DECIMAL(30,2) over 2-dp-rounded
+    // daily revenue, so the cumulative value is partition-order-exact on
+    // both engines.
+    "e18_cohort_ltv" -> QueryDef(
+      build = (s, d) => {
+        val ev = t(s, d, "events")
+          .withColumn("day", date_trunc("day", col("ts").cast("timestamp")))
+        val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+        val daily = ev.filter(col("event_type") === "purchase")
+          .join(cohort, "user_id")
+          .groupBy("cohort_day", "day")
+          .agg(countDistinct(col("user_id")).as("n_buyers"),
+            graft.functions.AggFns.dsum(col("value")).as("revenue"))
+        val w = Window.partitionBy("cohort_day").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("cum_revenue",
+            sum(col("revenue").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .over(w).cast("double"))
+          .orderBy("cohort_day", "day")
+      },
+      oracle = Some(s"""
+        WITH ev AS (
+          SELECT user_id, event_type, value,
+                 date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+          FROM events),
+        cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+        daily AS (
+          SELECT c.cohort_day, e.day,
+                 count(DISTINCT e.user_id) AS n_buyers,
+                 ${graft.functions.AggFns.sqlDsum("e.value")} AS revenue
+          FROM ev e JOIN cohort c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase'
+          GROUP BY 1, 2)
+        SELECT cohort_day, day, n_buyers, revenue,
+               CAST(sum(CAST(revenue AS DECIMAL(30,2))) OVER (
+                 PARTITION BY cohort_day ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS cum_revenue
+        FROM daily ORDER BY cohort_day, day"""))
   )
 }

@@ -19,7 +19,9 @@ object PipelineOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
-  val defs: Seq[(String, QueryDef)] = Seq(
+  def defs: Seq[(String, QueryDef)] = coreDefs ++ dpDefs
+
+  private val coreDefs: Seq[(String, QueryDef)] = Seq(
 
     // ---------------------------------------------------------------- x01
     // Reproducible corpus sampling: hash-mod on a stable key, the
@@ -393,5 +395,55 @@ object PipelineOps {
         SELECT shard, n_docs, n_tokens, cum_before,
                CAST(cum_before // 4096 AS BIGINT) AS file_group
         FROM c ORDER BY shard"""))
+  )
+
+  /** x11's Laplace scale b = 1/ε with ε = 0.02 (count sensitivity 1). */
+  val DpB = 50.0
+
+  /** Deterministic Laplace draw for x11: the uniform comes from the md5
+    * of the released KEY itself ((k + 0.5)/2^32 with k the first 8 hex
+    * digits — never exactly 0 or 1, so ln stays finite), and the noise
+    * is the inverse CDF −b·sgn(u−½)·ln(1−2|u−½|). Same-key noise is
+    * identical across reruns/engines — a *seeded* DP release (the only
+    * kind an exact cross-engine oracle can pin; a production release
+    * would draw from entropy instead, one line away).
+    */
+  private def lapNoise(key: org.apache.spark.sql.Column) = {
+    val k = conv(substring(md5(key.cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val u = (k.cast("double") + lit(0.5)) / lit(4294967296.0)
+    -lit(DpB) * signum(u - 0.5) * log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+  }
+
+  private val dpDefs: Seq[(String, QueryDef)] = Seq(
+    // ---------------------------------------------------------------- x11
+    // DIFFERENTIALLY-PRIVATE count release (ε = 0.02, Laplace): per-type
+    // event counts + deterministic seeded Laplace noise, 4-dp rounded on
+    // both engines (the ln() sits ≥ 4 decimal orders above the 1-ulp
+    // libm disagreement surface — t08's scheme). One map-side-partial
+    // count keyed by event_type, noise applied on the |types|-row
+    // result: the aggregation dominates, the mechanism is free at any
+    // scale.
+    "x11_dp_count" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "events")
+          .groupBy("event_type").agg(count(lit(1)).as("n_true"))
+          .select(col("event_type"),
+            round(col("n_true").cast("double") +
+              lapNoise(col("event_type")), 4).as("n_noisy"))
+          .orderBy("event_type"),
+      oracle = Some(s"""
+        WITH c AS (
+          SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),
+        h AS (
+          SELECT event_type, n_true,
+                 (CAST(('0x' || substr(md5(event_type), 1, 8)) AS BIGINT)
+                   + 0.5) / 4294967296.0 AS u
+          FROM c)
+        SELECT event_type,
+               round(CAST(n_true AS DOUBLE)
+                 - $DpB * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)),
+                 4) AS n_noisy
+        FROM h ORDER BY event_type"""))
   )
 }

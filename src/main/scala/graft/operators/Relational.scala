@@ -1163,7 +1163,33 @@ object Relational {
                round(cume_dist() OVER w, 6) AS cdist
         FROM cnt
         WINDOW w AS (PARTITION BY l_returnflag ORDER BY n DESC)
-        ORDER BY l_returnflag, l_quantity"""))
+        ORDER BY l_returnflag, l_quantity""")),
+
+    // ---------------------------------------------------------------- q44
+    // LEFT SEMI join (EXISTS): brands with at least one near-max-quantity
+    // shipment, counted per brand. The semi join completes the join-type
+    // family (inner/left/full q37/anti q22/semi here): the probe side
+    // streams, each row emits at most once regardless of how many
+    // lineitems match — no fan-out, no dedup. At 100 TB the filtered
+    // build side (l_quantity >= 49 ≈ 4% of lineitem, projected to one
+    // column) hashes small, and runtime bloom pruning cuts the part scan.
+    "q44_semi_join" -> QueryDef(
+      build = (s, d) => {
+        val heavy = t(s, d, "lineitem")
+          .filter(col("l_quantity") >= 49)
+          .select(col("l_partkey"))
+        t(s, d, "part")
+          .join(heavy, col("p_partkey") === col("l_partkey"), "left_semi")
+          .groupBy("p_brand").agg(count(lit(1)).as("n_parts"))
+          .orderBy("p_brand")
+      },
+      oracle = Some("""
+        SELECT p_brand, count(*) AS n_parts
+        FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey
+                        AND l.l_quantity >= 49)
+        GROUP BY p_brand ORDER BY p_brand"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

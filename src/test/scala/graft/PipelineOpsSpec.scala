@@ -177,4 +177,28 @@ class PipelineOpsSpec extends SparkSpecBase {
       .map(r => r.getAs[Long]("shard") -> r.getAs[Long]("n_tokens")).toMap
     rows.foreach { case (sh, n, _, _) => assert(x07(sh) == n, s"shard $sh") }
   }
+
+  test("x11 DP counts: seeded Laplace noise replays exactly per key") {
+    val rows = run("x11_dp_count").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Double]("n_noisy"))
+      .toMap
+    assert(rows.nonEmpty)
+    val truth = Tables(spark, sf, "events")
+      .groupBy("event_type").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("n")).toMap
+    assert(rows.keySet == truth.keySet)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    truth.foreach { case (typ, n) =>
+      val hex = md.digest(typ.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 4294967296.0
+      val noise = -operators.PipelineOps.DpB * math.signum(u - 0.5) *
+        math.log(1.0 - 2.0 * math.abs(u - 0.5))
+      val want = BigDecimal(java.math.BigDecimal.valueOf(n.toDouble + noise))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows(typ) == want, s"$typ: ${rows(typ)} vs $want")
+      // the release is actually noisy (no key draws exactly-zero noise)
+      assert(rows(typ) != n.toDouble, typ)
+    }
+  }
 }

@@ -152,4 +152,25 @@ class RelationalExtSpec extends SparkSpecBase {
       assert(counts.distinct.length < counts.length || np < 3)
     }
   }
+
+  test("q44 semi join: per-brand counts = distinct qualifying parts, no fan-out") {
+    val rows = run("q44_semi_join").collect()
+      .map(r => r.getAs[String]("p_brand") -> r.getAs[Long]("n_parts")).toMap
+    assert(rows.nonEmpty)
+    // replay: distinct partkeys with a >=49-quantity lineitem, per brand
+    val heavy = Tables(spark, sf, "lineitem")
+      .filter(col("l_quantity") >= 49)
+      .select(col("l_partkey")).distinct().collect()
+      .map(_.getLong(0)).toSet
+    val want = Tables(spark, sf, "part")
+      .select("p_partkey", "p_brand").collect()
+      .filter(r => heavy(r.getLong(0)))
+      .groupBy(_.getString(1)).map { case (b, g) => b -> g.length.toLong }
+    assert(rows == want)
+    // the semi join must emit each part at most once even though parts
+    // average multiple qualifying lineitems at this SF (fan-out tripwire)
+    val partKeys = Tables(spark, sf, "part")
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    assert(rows.values.sum == heavy.count(partKeys))
+  }
 }

@@ -590,4 +590,37 @@ class TextAndEventsSpec extends SparkSpecBase {
       assert(math.abs(r.getAs[Double]("cum_share") - want) < 1e-9)
     }
   }
+
+  test("e18 cohort LTV: cumulative replays exactly; cohorts precede activity") {
+    val rows = run("e18_cohort_ltv").collect()
+      .map(r => (r.get(r.fieldIndex("cohort_day")), r.get(r.fieldIndex("day")),
+        r.getAs[Long]("n_buyers"), r.getAs[Double]("revenue"),
+        r.getAs[Double]("cum_revenue")))
+    assert(rows.nonEmpty)
+    def us(x: Any): Long = x match {
+      case t: java.time.LocalDateTime =>
+        t.toEpochSecond(java.time.ZoneOffset.UTC)
+      case t: java.sql.Timestamp => t.getTime / 1000L
+    }
+    // a cohort can only buy on or after its first-seen day
+    rows.foreach { case (c, d, nb, rev, _) =>
+      assert(us(d) >= us(c)); assert(nb >= 1L); assert(rev >= 0.0)
+    }
+    // cum_revenue = exact DECIMAL(30,2) running sum of the daily column
+    rows.groupBy(_._1).values.foreach { part =>
+      var cum = BigDecimal(0).setScale(2)
+      part.sortBy(r => us(r._2)).foreach { case (_, d, _, rev, cr) =>
+        cum += BigDecimal(java.math.BigDecimal.valueOf(rev)).setScale(2)
+        assert(cr == cum.toDouble, s"cum at $d")
+      }
+    }
+    // reconciliation: total last-day cum mass = all purchase revenue
+    val lastCums = rows.groupBy(_._1).values
+      .map(p => BigDecimal(java.math.BigDecimal.valueOf(
+        p.maxBy(r => us(r._2))._5)))
+      .sum
+    val allRev = rows.map(r =>
+      BigDecimal(java.math.BigDecimal.valueOf(r._4))).sum
+    assert(lastCums == allRev)
+  }
 }
