@@ -444,6 +444,60 @@ object PipelineOps {
                round(CAST(n_true AS DOUBLE)
                  - $DpB * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5)),
                  4) AS n_noisy
-        FROM h ORDER BY event_type"""))
+        FROM h ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- x12
+    // DELETION PROPAGATION audit (GDPR/right-to-be-forgotten): a
+    // deletion-request list (here the x01 draw: md5 first hex = '0',
+    // ~1/16 of docs) must disappear from EVERY derived table. The list
+    // propagates to `documents` as a map-side predicate and to
+    // `embeddings` (doc_id ≡ vec_id) as a LEFT join against the id
+    // list — the join is the honest shape: a real deletion list is an
+    // opaque id set, not a recomputable predicate. Output: per-segment
+    // deleted/retained counts for both tables, |sources|+1 rows. At
+    // 100 TB the id list side is ~corpus/16 — runtime bloom pruning (on
+    // in clusterBuilder) turns the probe-side scan into a semi-join
+    // reduction before the shuffle.
+    "x12_delete_propagation" -> QueryDef(
+      build = (s, d) => {
+        val deathrow = t(s, d, "documents")
+          .filter(substring(md5(col("doc_id").cast("string")
+            .cast("binary")), 1, 1) === "0")
+          .select(col("doc_id").as("del_id"))
+        val docs = t(s, d, "documents")
+          .withColumn("del",
+            when(substring(md5(col("doc_id").cast("string")
+              .cast("binary")), 1, 1) === "0", 1L).otherwise(0L))
+          .groupBy(col("source").as("segment"))
+          .agg(sum("del").as("n_deleted"),
+            sum(lit(1L) - col("del")).as("n_retained"))
+          .select(lit("documents").as("table_name"), col("segment"),
+            col("n_deleted"), col("n_retained"))
+        val emb = t(s, d, "embeddings")
+          .join(deathrow, col("vec_id") === col("del_id"), "left")
+          .agg(count(col("del_id")).as("n_deleted"),
+            (count(lit(1)) - count(col("del_id"))).as("n_retained"))
+          .select(lit("embeddings").as("table_name"),
+            lit("all").as("segment"), col("n_deleted"), col("n_retained"))
+        docs.unionByName(emb).orderBy("table_name", "segment")
+      },
+      oracle = Some("""
+        WITH del AS (
+          SELECT doc_id AS del_id FROM documents
+          WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'),
+        d AS (
+          SELECT 'documents' AS table_name, source AS segment,
+                 CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+                 CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   = '0' THEN 0 ELSE 1 END) AS BIGINT) AS n_retained
+          FROM documents GROUP BY 2),
+        e AS (
+          SELECT 'embeddings' AS table_name, 'all' AS segment,
+                 CAST(count(del.del_id) AS BIGINT) AS n_deleted,
+                 CAST(count(*) - count(del.del_id) AS BIGINT) AS n_retained
+          FROM embeddings emb LEFT JOIN del ON del.del_id = emb.vec_id)
+        SELECT * FROM d UNION ALL SELECT * FROM e
+        ORDER BY table_name, segment"""))
   )
 }

@@ -1152,6 +1152,78 @@ object Similarity {
                CAST(n_hits AS BIGINT) AS n_hits,
                round(CAST(n_hits AS DOUBLE) / (n * k), 4) AS recall
         FROM h CROSS JOIN nq ORDER BY k"""
-      })
+      }),
+
+    // ---------------------------------------------------------------- a16
+    // HYBRID SEARCH with reciprocal-rank fusion (the modern RAG/retrieval
+    // shape): a lexical candidate list (query-term frequency over the
+    // document text) and a vector candidate list (cosine vs the doc-0
+    // embedding, doc_id ≡ vec_id) each ranked to depth 50, fused by
+    // RRF(60): score = Σ 1/(60+rank), missing list contributes 0 (full
+    // outer join). The fused score is arithmetic on small integers —
+    // one IEEE division + addition per side, bit-identical on any
+    // engine, no rounding needed. Scale: each list is its own pruned
+    // retrieval (term match / ANN bucket), the fusion joins two
+    // depth-bounded lists — constant work after retrieval.
+    "a16_hybrid_search" -> QueryDef(
+      build = (s, d) => {
+        val qterms = Seq("join", "filter", "scan")
+        val lexW = Window.orderBy(desc("tf"), asc("doc_id"))
+        val lex = t(s, d, "documents")
+          .select(col("doc_id"),
+            size(filter(graft.functions.TextFns.tokens(col("text")),
+              x => x.isin(qterms: _*))).cast("long").as("tf"))
+          .filter(col("tf") > 0)
+          .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+          .filter(col("lex_rank") <= 50)
+          .select("doc_id", "lex_rank")
+        val qv = t(s, d, "embeddings").filter(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+        val vecW = Window.orderBy(desc("cs"), asc("doc_id"))
+        val vec = t(s, d, "embeddings")
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id").as("doc_id"),
+            VectorFns.cosine(col("embedding"), col("qv")).as("cs"))
+          .withColumn("vec_rank", row_number().over(vecW).cast("long"))
+          .filter(col("vec_rank") <= 50)
+          .select("doc_id", "vec_rank")
+        lex.join(vec, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+            (coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+             coalesce(lit(1.0) / (lit(60) + col("vec_rank")), lit(0.0)))
+              .as("rrf"))
+          .orderBy(desc("rrf"), asc("doc_id"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH lex AS (
+          SELECT doc_id, lex_rank FROM (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY tf DESC, doc_id)
+                     AS BIGINT) AS lex_rank
+            FROM (
+              SELECT doc_id,
+                     CAST(len(list_filter(
+                       string_split_regex(lower(trim(text)), '\s+'),
+                       x -> x IN ('join', 'filter', 'scan'))) AS BIGINT) AS tf
+              FROM documents) z
+            WHERE tf > 0) r
+          WHERE lex_rank <= 50),
+        qv AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+               WHERE vec_id = 0),
+        vec AS (
+          SELECT doc_id, vec_rank FROM (
+            SELECT vec_id AS doc_id,
+                   CAST(row_number() OVER (ORDER BY
+                     list_cosine_similarity(embedding::DOUBLE[], qv) DESC,
+                     vec_id) AS BIGINT) AS vec_rank
+            FROM embeddings CROSS JOIN qv) r
+          WHERE vec_rank <= 50)
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.lex_rank, v.vec_rank,
+               COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0) AS rrf
+        FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
+        ORDER BY rrf DESC, doc_id LIMIT 20"""))
   )
 }

@@ -201,4 +201,24 @@ class PipelineOpsSpec extends SparkSpecBase {
       assert(rows(typ) != n.toDouble, typ)
     }
   }
+
+  test("x12 deletion propagates consistently across tables") {
+    val rows = run("x12_delete_propagation").collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("segment"),
+        r.getAs[Long]("n_deleted"), r.getAs[Long]("n_retained")))
+    val docRows = rows.filter(_._1 == "documents")
+    val Seq(embRow) = rows.filter(_._1 == "embeddings").toSeq
+    // partition: deleted + retained = table size, per segment
+    val nDocs = Tables(spark, sf, "documents").count()
+    assert(docRows.map(r => r._3 + r._4).sum == nDocs)
+    assert(embRow._3 + embRow._4 ==
+      Tables(spark, sf, "embeddings").count())
+    // doc_id ≡ vec_id and both tables cover the same ids → the SAME
+    // number of rows disappears from both (the propagation invariant)
+    assert(docRows.map(_._3).sum == embRow._3)
+    // the deletion list is exactly x01's draw (same md5 predicate)
+    assert(docRows.map(_._3).sum == run("x01_hash_sample").count())
+    // something was actually deleted and something retained
+    assert(docRows.map(_._3).sum > 0 && docRows.map(_._4).sum > 0)
+  }
 }

@@ -443,4 +443,25 @@ class SimilaritySpec extends SparkSpecBase {
       .map(r => r.getAs[Long]("k") -> r.getAs[Double]("recall")).toMap
     (1L to 8L).foreach(k => assert(planted(k) == 1.0, s"k=$k"))
   }
+
+  test("a16 hybrid search: RRF fusion replays from the rank columns") {
+    val rows = run("a16_hybrid_search").collect()
+    assert(rows.length == 20)
+    def rk(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+    rows.foreach { r =>
+      val want = rk(r, "lex_rank").map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rk(r, "vec_rank").map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == want, r.toString) // bit-exact
+    }
+    // the query vector is doc 0's own embedding → vec_rank 1 IS doc 0
+    val doc0 = rows.find(_.getAs[Long]("doc_id") == 0L)
+    assert(doc0.exists(r => rk(r, "vec_rank").contains(1L)))
+    // output is sorted by fused score
+    val scores = rows.map(_.getAs[Double]("rrf"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // fusion actually fuses: some returned doc carries BOTH ranks
+    assert(rows.exists(r => rk(r, "lex_rank").isDefined &&
+      rk(r, "vec_rank").isDefined))
+  }
 }
