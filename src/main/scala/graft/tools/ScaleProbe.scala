@@ -316,6 +316,62 @@ object ScaleProbe {
       row(n, "e16")(qe("e16_trending").count())
       graft.operators.HotCache.releaseAll()
     }
+    // r9d leg: the fifth-sitting operators. g01 is 6 edge-list shuffles
+    // (one per iteration) — cpu and shuffle must grow ~linearly in
+    // edges, output constant (top-20); g02 is two hash aggregations.
+    // a16's two rank lists ride WindowGroupLimit (depth-50 per
+    // partition before the single 50-row reduce), so cpu ~ n with
+    // near-flat shuffle; x12 is a scan + one id-list join; e18's window
+    // sees only the (cohort, day) table — days are CONSTANT here (the
+    // generated stream spans n seconds), so cpu tracks the scan and
+    // shuffle the daily rollup. x11 is one map-side-partial count.
+    println(f"${"rows"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("r9d")) {
+      val gdir = s"/tmp/graft-probe-graph-$n"
+      // purchase graph: n lineitems over n/4 orders, n/400 customers,
+      // max(n/2000, 10) suppliers — edge count grows ~linearly in n
+      spark.range(n / 4).select(
+        col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id")), lit(math.max(n / 400, 4)))
+          .as("o_custkey"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$gdir/orders.parquet")
+      spark.range(n).select(
+        pmod(col("id"), lit(n / 4)).as("l_orderkey"),
+        pmod(xxhash64(col("id"), lit(2)), lit(math.max(n / 2000, 10)))
+          .as("l_suppkey"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$gdir/lineitem.parquet")
+      def qg(name: String) = graft.SparkEntry.queries(name)(spark, gdir)
+      row(n, "g01")(qg("g01_pagerank").count())
+      row(n, "g02")(qg("g02_degree_histogram").count())
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      genEmb(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "a16")(q("a16_hybrid_search").count())
+      row(n, "x12")(q("x12_delete_propagation").count())
+      val edir = s"/tmp/graft-probe-ev-$n"
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        pmod(col("id"), lit(math.max(n / 100, 1))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("scroll")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$edir/events.parquet")
+      def qe(name: String) = graft.SparkEntry.queries(name)(spark, edir)
+      row(n, "e18")(qe("e18_cohort_ltv").count())
+      row(n, "x11")(qe("x11_dp_count").count())
+      graft.operators.HotCache.releaseAll()
+    }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the

@@ -318,4 +318,35 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = plan("s07_skew_audit")
     assert(!p.toLowerCase.contains("join"), p)
   }
+
+  test("q44 executes as a real semi join (one probe emit per part)") {
+    val p = plan("q44_semi_join")
+    assert(p.contains("LeftSemi"), p)
+    // the build side is the filtered projection, never the whole table
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)"), p)
+  }
+
+  test("a16 rank lists are limit-pushed, not a full corpus sort") {
+    val p = plan("a16_hybrid_search")
+    // empty-partition rank windows rewrite to TakeOrderedAndProject
+    // (per-partition bounded heaps + one 50-row merge); the row_number
+    // window then runs over <= 50 rows. A regression to a global Sort
+    // under the Window drops these nodes.
+    assert(countOf(p, "TakeOrderedAndProject(limit=50") >= 2, p)
+    // and the single-vector query side broadcasts
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("x12 propagates the id list by join for embeddings only") {
+    val p = plan("x12_delete_propagation")
+    // documents side: map-side predicate, no join in its branch — so
+    // exactly ONE join in the whole plan (the embeddings propagation)
+    assert(countOf(p, "Join") == 1, p)
+  }
+
+  test("x11 DP release is one partial-agg chain, noise applied post-agg") {
+    val p = plan("x11_dp_count")
+    assert(!p.contains("Join"), p)
+    assert(countOf(p, "HashAggregate") == 2, p) // partial + final
+  }
 }
