@@ -268,6 +268,48 @@ object Multimodal {
           FROM t)
         SELECT doc_id, n_bytes, entropy, entropy < 1.5 AS compressible
         FROM h ORDER BY doc_id"""
-      })
+      }),
+
+    // ---------------------------------------------------------------- m07
+    // MAGIC-BYTE format sniffing — the ingest-time router for an opaque
+    // binary column: classify each payload by its leading magic bytes
+    // (PDF/ZIP/GIF/RIFF/ID3/JSON/markup, else raw text) and report
+    // per-format doc count + byte mass. First-match-wins CASE over
+    // constant prefixes: pure map-side scan, |formats|-row output at any
+    // scale; the sf corpus is word-salad (lands in 'text'), the planted
+    // spec exercises every branch incl. the priority order.
+    "m07_magic_sniff" -> QueryDef(
+      build = (s, d) => {
+        val p = coalesce(col("text"), lit(""))
+        val fmt = when(p.startsWith("%PDF"), "pdf")
+          .when(p.startsWith("PK"), "zip")
+          .when(p.startsWith("GIF8"), "gif")
+          .when(p.startsWith("RIFF"), "riff")
+          .when(p.startsWith("ID3"), "mp3")
+          .when(p.startsWith("{"), "json")
+          .when(p.startsWith("<"), "markup")
+          .otherwise("text")
+        t(s, d, "documents")
+          .select(fmt.as("format"),
+            octet_length(p.cast("binary")).cast("long").as("nb"))
+          .groupBy("format")
+          .agg(count(lit(1)).as("n_docs"), sum("nb").as("n_bytes"))
+          .orderBy("format")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CASE
+                   WHEN starts_with(p, '%PDF') THEN 'pdf'
+                   WHEN starts_with(p, 'PK')   THEN 'zip'
+                   WHEN starts_with(p, 'GIF8') THEN 'gif'
+                   WHEN starts_with(p, 'RIFF') THEN 'riff'
+                   WHEN starts_with(p, 'ID3')  THEN 'mp3'
+                   WHEN starts_with(p, '{')    THEN 'json'
+                   WHEN starts_with(p, '<')    THEN 'markup'
+                   ELSE 'text' END AS format,
+                 CAST(strlen(p) AS BIGINT) AS nb
+          FROM (SELECT coalesce(text, '') AS p FROM documents) z)
+        SELECT format, count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bytes
+        FROM f GROUP BY format ORDER BY format"""))
   )
 }

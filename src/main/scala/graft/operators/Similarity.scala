@@ -1224,6 +1224,63 @@ object Similarity {
                COALESCE(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
                  + COALESCE(CAST(1 AS DOUBLE) / (60 + v.vec_rank), 0) AS rrf
         FROM lex l FULL OUTER JOIN vec v ON v.doc_id = l.doc_id
-        ORDER BY rrf DESC, doc_id LIMIT 20"""))
+        ORDER BY rrf DESC, doc_id LIMIT 20""")),
+
+    // ---------------------------------------------------------------- a17
+    // K-MEANS CONVERGENCE STEP: run one MORE Lloyd iteration on a03's
+    // trained quantizer and report, per cell, the membership count and
+    // the squared centroid movement — the monitoring loop of distributed
+    // clustering ("train until movement < ε"). Movement is computed in
+    // integer 1e-6 units (both 6-dp-quantized centroid grids snapped to
+    // micro-units by the a05 floor-rounding scheme, differenced and
+    // squared as BIGINT) so the convergence number is engine/partition-
+    // exact. Shapes: one more n×8 broadcast-assign pass + a (cell, dim)-
+    // keyed mean — identical cost class to the training iteration
+    // itself; output is |cells| rows.
+    "a17_kmeans_step" -> QueryDef(
+      build = (s, d) => {
+        val (trained, asg2) = ivfTrainedAssigned(t(s, d, "embeddings"))
+        val cents2 = asg2
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cell", "pos")
+          .agg(round(avg(col("v").cast("double")), 6).as("v2"))
+        val c1 = trained.select(col("cent_id").as("cell"),
+          posexplode(col("cv")).as(Seq("pos", "v1")))
+        val mv = c1.join(cents2, Seq("cell", "pos"))
+          .select(col("cell"),
+            (floor(col("v1") * 1e6 + 0.5).cast("long") -
+              floor(col("v2") * 1e6 + 0.5).cast("long")).as("dd"))
+          .groupBy("cell")
+          .agg(sum(col("dd") * col("dd")).as("move_e12"))
+        val n = asg2.groupBy("cell").agg(count(lit(1)).as("n_assigned"))
+        mv.join(n, Seq("cell"), "left")
+          .select(col("cell"),
+            coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+            col("move_e12"))
+          .orderBy("cell")
+      },
+      oracle = Some(s"""$IVF_ORACLE_CTES,
+        ex2 AS (
+          SELECT cell, unnest(embedding::DOUBLE[]) AS v,
+                 unnest(range(64)) AS pos
+          FROM asg2),
+        c2 AS (SELECT cell, pos, round(avg(v), 6) AS v2
+               FROM ex2 GROUP BY 1, 2),
+        c1 AS (SELECT cent_id AS cell, unnest(cv) AS v1,
+                      unnest(range(64)) AS pos
+               FROM cents),
+        dd AS (
+          SELECT c1.cell,
+                 CAST(floor(c1.v1 * 1e6 + 0.5) AS BIGINT)
+                   - CAST(floor(c2.v2 * 1e6 + 0.5) AS BIGINT) AS d
+          FROM c1 JOIN c2 ON c2.cell = c1.cell AND c2.pos = c1.pos),
+        mv AS (SELECT cell, CAST(sum(d * d) AS BIGINT) AS move_e12
+               FROM dd GROUP BY 1),
+        n AS (SELECT cell, count(*) AS n_assigned FROM asg2 GROUP BY 1)
+        SELECT mv.cell,
+               CAST(coalesce(n.n_assigned, 0) AS BIGINT) AS n_assigned,
+               mv.move_e12
+        FROM mv LEFT JOIN n ON n.cell = mv.cell
+        ORDER BY mv.cell"""))
   )
 }

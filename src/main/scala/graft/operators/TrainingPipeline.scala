@@ -940,6 +940,84 @@ object TrainingPipeline {
                  AS chars_per_tok,
                round(CAST(sum(nbyt) AS DOUBLE) / sum(ntok), 4)
                  AS bytes_per_tok
-        FROM d GROUP BY lang ORDER BY lang"""))
+        FROM d GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- p20
+    // FILTER ABLATION report: every quality gate (length / stopword /
+    // repetition), every combination, doc + token mass — the table that
+    // decides which filters to KEEP before a 100 TB run (a filter that
+    // only kills what another filter already kills is a free removal;
+    // one that kills 40% of tokens needs a second look). CUBE over the
+    // three verdicts = marginals + pairwise + full cross in ONE Expand +
+    // hash aggregate (q31's shape — constant 27-row output). Verdicts
+    // are integer cross-multiplications (no float decides a gate); the
+    // per-doc top-token count is one (doc, token)-keyed aggregation —
+    // the only non-map-side input.
+    "p20_filter_ablation" -> QueryDef(
+      build = (s, d) => {
+        // ALL THREE counters from ONE (doc, token) aggregation — no
+        // base⋈topc rejoin: ntok = Σc, nstop = Σc over stopwords,
+        // top-token concentration = max c. (tokens('') = [''], so every
+        // doc has >= 1 token and maxc is never NULL.)
+        val base = t(s, d, "documents")
+          .select(col("doc_id"),
+            explode(TextFns.tokens(coalesce(col("text"), lit(""))))
+              .as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum("c").as("ntok"),
+            sum(when(col("tok").isin(TextFns.stopwords: _*), col("c"))
+              .otherwise(0L)).as("nstop"),
+            max("c").as("maxc"))
+        def verdict(pass: org.apache.spark.sql.Column) =
+          when(pass, "pass").otherwise("fail")
+        base
+          .select(col("ntok"),
+            verdict(col("ntok") >= 20).as("f_len"),
+            verdict(col("nstop") * 8L >= col("ntok")).as("f_stop"),
+            verdict(col("maxc") * 5L <= col("ntok")).as("f_rep"))
+          .cube("f_len", "f_stop", "f_rep")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("n_tokens"),
+            (grouping("f_len") * 4 + grouping("f_stop") * 2 +
+              grouping("f_rep")).cast("long").as("gid"))
+          .select(coalesce(col("f_len"), lit("ALL")).as("f_len"),
+            coalesce(col("f_stop"), lit("ALL")).as("f_stop"),
+            coalesce(col("f_rep"), lit("ALL")).as("f_rep"),
+            col("gid"), col("n_docs"), col("n_tokens"))
+          .orderBy("gid", "f_len", "f_stop", "f_rep")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 string_split_regex(lower(trim(coalesce(text, ''))), '\s+')
+                   AS toks
+          FROM documents),
+        g AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(toks) AS tok FROM tk) u
+          GROUP BY 1, 2),
+        base AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS ntok,
+                 CAST(sum(CASE WHEN tok IN
+                   ('the', 'a', 'of', 'and', 'to', 'in') THEN c ELSE 0 END)
+                   AS BIGINT) AS nstop,
+                 CAST(max(c) AS BIGINT) AS maxc
+          FROM g GROUP BY 1),
+        f AS (
+          SELECT ntok,
+                 CASE WHEN ntok >= 20 THEN 'pass' ELSE 'fail' END AS f_len,
+                 CASE WHEN nstop * 8 >= ntok THEN 'pass' ELSE 'fail' END
+                   AS f_stop,
+                 CASE WHEN maxc * 5 <= ntok THEN 'pass' ELSE 'fail' END
+                   AS f_rep
+          FROM base)
+        SELECT coalesce(f_len, 'ALL') AS f_len,
+               coalesce(f_stop, 'ALL') AS f_stop,
+               coalesce(f_rep, 'ALL') AS f_rep,
+               CAST(GROUPING(f_len) * 4 + GROUPING(f_stop) * 2
+                 + GROUPING(f_rep) AS BIGINT) AS gid,
+               count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
+        FROM f GROUP BY CUBE(f_len, f_stop, f_rep)
+        ORDER BY gid, f_len, f_stop, f_rep"""))
   )
 }

@@ -517,4 +517,37 @@ class DedupSpec extends SparkSpecBase {
     val p = d17df.queryExecution.executedPlan.toString
     assert(p.contains("might_contain"), p)
   }
+
+  test("m07 magic sniff: every branch fires; priority order wins") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, coalesce, length}
+    val dir = java.nio.file.Files.createTempDirectory("m07").toString
+    val docs = Seq(
+      (0L, "%PDF-1.7 stream"),      // pdf
+      (1L, "PKzipdir"), // zip
+      (2L, "GIF89a pixels"),        // gif
+      (3L, "RIFF....WAVE"),         // riff
+      (4L, "ID3v2 frames"),         // mp3
+      (5L, """{"k": 1}"""),         // json
+      (6L, "<html><body>"),         // markup
+      (7L, "plain words here"),     // text
+      (8L, null.asInstanceOf[String]), // NULL → '' → text
+      // priority: '%PDF' beats the generic '<'/'{' fallthroughs and a
+      // 'PK' prefix inside the string must NOT match mid-string
+      (9L, "see PK inside"))        // text
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars",
+        length(coalesce(col("text"), lit(""))).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("m07_magic_sniff", dir).collect()
+      .map(r => r.getAs[String]("format") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_bytes")))).toMap
+    Seq("pdf", "zip", "gif", "riff", "mp3", "json", "markup")
+      .foreach(f => assert(got(f)._1 == 1L, f))
+    assert(got("text")._1 == 3L) // docs 7, 8 (NULL), 9
+    // byte mass reconciles with the planted payload lengths (UTF-8)
+    assert(got.values.map(_._2).sum ==
+      docs.map(d => Option(d._2).getOrElse("").getBytes("UTF-8").length).sum)
+  }
 }

@@ -464,4 +464,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(rows.exists(r => rk(r, "lex_rank").isDefined &&
       rk(r, "vec_rank").isDefined))
   }
+
+  test("a17 k-means step: memberships partition; planted clusters don't move") {
+    val rows = run("a17_kmeans_step").collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n_assigned"),
+        r.getAs[Long]("move_e12")))
+    // every trained cell reports; memberships partition the corpus
+    assert(rows.map(_._1).sorted.sameElements(rows.map(_._1).distinct.sorted))
+    assert(rows.map(_._2).sum == Tables(spark, sf, "embeddings").count())
+    assert(rows.forall(_._3 >= 0L))
+    // planted: 8 axis-aligned clusters seeded BY their own members —
+    // iteration 2 reassigns identically and means don't move at all
+    import spark.implicits._
+    val dir = Files.createTempDirectory("a17").toString
+    (0L until 64L).map { i =>
+      val a = new Array[Float](64); a((i % 8L).toInt) = 1f; (i, a, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val planted = run("a17_kmeans_step", dir).collect()
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("n_assigned"),
+        r.getAs[Long]("move_e12")))
+    assert(planted.length == 8)
+    assert(planted.forall(_._2 == 8L)) // 64 vecs / 8 cells
+    assert(planted.forall(_._3 == 0L)) // converged: zero movement
+  }
 }

@@ -441,4 +441,24 @@ class TrainingPipelineSpec extends SparkSpecBase {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("fold")).toMap
     assert(after(1L) == before(1L) && after(2L) == before(2L))
   }
+
+  test("p20 ablation: every CUBE level reconciles to the grand total") {
+    val rows = run("p20_filter_ablation").collect()
+      .map(r => (r.getAs[String]("f_len"), r.getAs[String]("f_stop"),
+        r.getAs[String]("f_rep"), r.getAs[Long]("gid"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens")))
+    val nDocs = Tables(spark, sf, "documents").count()
+    // grand total (gid=7, ALL/ALL/ALL)
+    val Seq(total) = rows.filter(_._4 == 7L).toSeq
+    assert(total._5 == nDocs)
+    // the full cross (gid=0) and every marginal level partition the mass
+    (0 to 7).foreach { gid =>
+      val level = rows.filter(_._4 == gid.toLong)
+      assert(level.map(_._5).sum == total._5, s"docs at gid=$gid")
+      assert(level.map(_._6).sum == total._6, s"tokens at gid=$gid")
+    }
+    // single-filter marginals: pass+fail rows exist for a biting filter
+    val lenMarginal = rows.filter(r => r._4 == 3L)
+    assert(lenMarginal.map(_._1).toSet.subsetOf(Set("pass", "fail")))
+  }
 }
