@@ -1105,7 +1105,101 @@ object Dedup {
         FROM batch b
         LEFT JOIN base ON b.h = base.h
         JOIN fib f ON b.h = f.h
-        ORDER BY b.doc_id"""))
+        ORDER BY b.doc_id""")),
+
+    // ---------------------------------------------------------------- d18
+    // DETECTOR EVALUATION: precision/recall of the SimHash near-dup
+    // detector (d04's hamming ≤ 8 pair set) against exact-Jaccard ≥ 0.5
+    // ground truth (d05's inverted-index join, global shingle space) —
+    // the harness that answers "is the cheap detector good enough to
+    // replace the exact join on this corpus?" before committing a
+    // 100 TB run. Both pair sets are the operators' own shapes (candidate-
+    // bounded, never all-pairs); the join-back and ratio run on pair
+    // COUNTS. Ratios use the exact integer 4-dp scheme (no float
+    // division decides a reported metric); zero denominators (empty
+    // corpus) report 0.
+    "d18_detector_eval" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val detected = simhashPairs(docs, 8).select("a_id", "b_id")
+        val sets = docs.select(col("doc_id"),
+          TextFns.shingleHashes(col("text"), 3).as("sh"))
+          .withColumn("sz", size(col("sh")))
+        val inv = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+          .repartition(col("h"))
+        val sizes = sets.select(col("doc_id"), col("sz"))
+        val truth = inv.alias("x")
+          .join(inv.alias("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("sz", "sza"), Seq("a_id"))
+          .join(sizes.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("sz", "szb"), Seq("b_id"))
+          .withColumn("uni", col("sza") + col("szb") - col("inter"))
+          .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
+          .select("a_id", "b_id")
+        def ratio4(num: org.apache.spark.sql.Column,
+                   den: org.apache.spark.sql.Column) =
+          when(den === 0L, lit(0.0)).otherwise(
+            floor((num * 20000L + den) / (den * 2L))
+              .cast("long").cast("double") / 10000.0)
+        detected.agg(count(lit(1)).as("n_detected"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
+          .crossJoin(detected.join(truth, Seq("a_id", "b_id"))
+            .agg(count(lit(1)).as("n_hit")))
+          .select(col("n_detected"), col("n_true"), col("n_hit"),
+            ratio4(col("n_hit"), col("n_detected")).as("precision"),
+            ratio4(col("n_hit"), col("n_true")).as("recall"))
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          FROM documents),
+        hh AS (
+          SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+          FROM tk),
+        bits AS (
+          SELECT doc_id, u.b,
+                 sum(CASE WHEN (h >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM hh, unnest(generate_series(0, 63)) AS u(b)
+          GROUP BY doc_id, u.b),
+        sig AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN vote > 0 THEN (1::UBIGINT << b)
+                             ELSE 0::UBIGINT END) AS sim
+          FROM bits GROUP BY doc_id),
+        ch AS (
+          SELECT doc_id, sim, u.c AS chunk,
+                 (sim >> (u.c * 16)) & 65535 AS chv
+          FROM sig, unnest([0, 1, 2, 3]) AS u(c)),
+        det AS (
+          SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+          FROM ch x JOIN ch y
+            ON x.chunk = y.chunk AND x.chv = y.chv AND x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.sim, y.sim)) <= 8),""" +
+        sh3Cte() + """,
+        truth AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+            AND len(list_intersect(a.sh, b.sh)) * 2
+                >= len(list_distinct(list_concat(a.sh, b.sh)))),
+        hit AS (SELECT d.a_id FROM det d JOIN truth t
+                ON t.a_id = d.a_id AND t.b_id = d.b_id),
+        c AS (SELECT (SELECT count(*) FROM det) AS n_detected,
+                     (SELECT count(*) FROM truth) AS n_true,
+                     (SELECT count(*) FROM hit) AS n_hit)
+        SELECT n_detected, n_true, n_hit,
+               CASE WHEN n_detected = 0 THEN 0.0 ELSE
+                 CAST((n_hit * 20000 + n_detected) // (n_detected * 2)
+                   AS DOUBLE) / 10000 END AS precision,
+               CASE WHEN n_true = 0 THEN 0.0 ELSE
+                 CAST((n_hit * 20000 + n_true) // (n_true * 2)
+                   AS DOUBLE) / 10000 END AS recall
+        FROM c"""))
   )
 
   /** Name → QueryDef for intra-object composition (d09 reuses d06b). */

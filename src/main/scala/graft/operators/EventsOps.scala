@@ -743,6 +743,53 @@ object EventsOps {
                  PARTITION BY cohort_day ORDER BY day
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS DOUBLE) AS cum_revenue
-        FROM daily ORDER BY cohort_day, day"""))
+        FROM daily ORDER BY cohort_day, day""")),
+
+    // ---------------------------------------------------------------- e19
+    // ACTIVITY STREAKS (gaps-and-islands): per user, consecutive-day
+    // runs of activity found by the classic dayNum − row_number()
+    // constant-within-an-island trick — one user-keyed window over the
+    // DISTINCT (user, day) table (≤ |days| rows per user, never event
+    // volume), then two bounded aggregations. Day numbers are exact
+    // integers (epoch-micros DIV 86400e6), so island identity is
+    // engine/partition-exact. Output: per-user longest streak, streak
+    // count, active days — |users| rows.
+    "e19_streaks" -> QueryDef(
+      build = (s, d) => {
+        val days = t(s, d, "events")
+          .select(col("user_id"),
+            (unix_micros(date_trunc("day", col("ts").cast("timestamp")))
+              .cast("long") / 86400000000L).cast("long").as("dayn"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("dayn")
+        val runs = days
+          .withColumn("island",
+            col("dayn") - row_number().over(w).cast("long"))
+          .groupBy("user_id", "island")
+          .agg(count(lit(1)).as("len"))
+        runs.groupBy("user_id")
+          .agg(max("len").as("longest_streak"),
+            count(lit(1)).as("n_streaks"),
+            sum("len").as("n_active_days"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH days AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                   // 86400000000 AS BIGINT) AS dayn
+          FROM events),
+        runs AS (
+          SELECT user_id, count(*) AS len
+          FROM (
+            SELECT user_id, dayn,
+                   dayn - row_number() OVER (PARTITION BY user_id
+                     ORDER BY dayn) AS island
+            FROM days) i
+          GROUP BY user_id, island)
+        SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+               count(*) AS n_streaks,
+               CAST(sum(len) AS BIGINT) AS n_active_days
+        FROM runs GROUP BY user_id ORDER BY user_id"""))
   )
 }

@@ -550,4 +550,27 @@ class DedupSpec extends SparkSpecBase {
     assert(got.values.map(_._2).sum ==
       docs.map(d => Option(d._2).getOrElse("").getBytes("UTF-8").length).sum)
   }
+
+  test("d18 detector eval: counts cohere; planted dups expose the trade-off") {
+    val Seq(sf0) = run("d18_detector_eval").collect().toSeq
+    val (det, tru, hit) = (sf0.getAs[Long]("n_detected"),
+      sf0.getAs[Long]("n_true"), sf0.getAs[Long]("n_hit"))
+    assert(hit <= det && hit <= tru)
+    // ratios replay via the exact integer 4-dp scheme
+    def r4(num: Long, den: Long): Double =
+      if (den == 0) 0.0 else ((num * 20000L + den) / (den * 2L)).toDouble / 10000.0
+    assert(sf0.getAs[Double]("precision") == r4(hit, det))
+    assert(sf0.getAs[Double]("recall") == r4(hit, tru))
+    // planted: docs 0/1/3 identical (true dups, hamming 0 → detected +
+    // true); doc 5 is doc 0 token-REVERSED — identical token multiset
+    // (simhash 0 → detected) but disjoint trigram shingles (J ≈ 0 → not
+    // true): the classic SimHash false positive the eval must surface
+    val Seq(p) = run("d18_detector_eval", plantedDir).collect().toSeq
+    val (pd, pt, ph) = (p.getAs[Long]("n_detected"),
+      p.getAs[Long]("n_true"), p.getAs[Long]("n_hit"))
+    assert(ph >= 3L)      // the identical trio is caught
+    assert(pd > ph)       // the reversed copy inflates detections only
+    assert(p.getAs[Double]("precision") < 1.0)
+    assert(pt >= 3L)
+  }
 }

@@ -623,4 +623,31 @@ class TextAndEventsSpec extends SparkSpecBase {
       BigDecimal(java.math.BigDecimal.valueOf(r._4))).sum
     assert(lastCums == allRev)
   }
+
+  test("e19 streaks: planted islands resolve exactly; sf invariants hold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e19").toString
+    def ev(id: Long, user: Long, day: Int) = (id,
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+      user, "view", 1.0, """{"k": 1}""")
+    // user 1: days 1,2,3 then 5,6 (two islands); a second event on day 2
+    // must NOT lengthen anything. user 2: day 10 only.
+    Seq(ev(1, 1, 1), ev(2, 1, 2), ev(3, 1, 2), ev(4, 1, 3), ev(5, 1, 5),
+      ev(6, 1, 6), ev(7, 2, 10))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("e19_streaks", dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("longest_streak"), r.getAs[Long]("n_streaks"),
+          r.getAs[Long]("n_active_days")))).toMap
+    assert(got == Map(1L -> ((3L, 2L, 5L)), 2L -> ((1L, 1L, 1L))))
+    // sf: active days = Σ streak lengths ≥ longest; all positive
+    val sfRows = run("e19_streaks").collect()
+    assert(sfRows.nonEmpty)
+    sfRows.foreach { r =>
+      assert(r.getAs[Long]("longest_streak") >= 1L)
+      assert(r.getAs[Long]("n_active_days") >= r.getAs[Long]("longest_streak"))
+      assert(r.getAs[Long]("n_streaks") >= 1L)
+    }
+  }
 }
