@@ -94,10 +94,21 @@ object GraphOps {
         val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
         val ewd = edges.join(deg, "u") // (u, v, deg of u)
         HotCache.withCached(ewd.localCheckpoint()) { e =>
+          // Size-aware rank-state join (the d10 guard pattern): the rank
+          // table is |nodes| rows — broadcasting it keeps the (much
+          // bigger) edge list un-shuffled across all 6 iterations, the
+          // decisive win while nodes fit an executor (~5M rows). Past
+          // the threshold the hint is dropped and every round degrades
+          // loudly to the shuffled join — the only shape possible at
+          // 1e9 nodes.
+          val maxBc = s.conf.getOption("graft.g01.maxBroadcastNodes")
+            .map(_.toLong).getOrElse(5000000L)
+          val bcRanks = deg.limit((maxBc + 1).toInt).count() <= maxBc
+          def hint(df: DataFrame) = if (bcRanks) broadcast(df) else df
           var ranks = deg.select(col("u").as("node"), lit(R0).as("rank"))
             .localCheckpoint()
           for (_ <- 1 to Iters) {
-            val contrib = e.join(ranks, e("u") === ranks("node"))
+            val contrib = e.join(hint(ranks), e("u") === ranks("node"))
               .selectExpr("v AS node", "rank div deg AS c")
               .groupBy("node").agg(sum("c").as("sc"))
             ranks = deg.select(col("u").as("node"))

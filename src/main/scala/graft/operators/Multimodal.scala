@@ -213,12 +213,16 @@ object Multimodal {
         val withCodes = t(s, d, "documents")
           .withColumn("n", length(coalesce(col("text"), lit("")))
             .cast("long"))
-          // slice guard: a zero-length payload yields an empty code list
-          // (sequence(0,-1) would count DOWN, not empty)
+          // ONE split pass builds the per-char array — the earlier
+          // sequence + substring(text, i+1, 1) form rescanned the
+          // string's UTF-8 bytes per position (O(len²) per doc, and a
+          // 100 TB corpus has long docs). split('') emits a [""] for
+          // the empty payload — filtered, preserving the empty-codes
+          // convention (ascii('') = 0 would otherwise plant a class-0
+          // count).
           .withColumn("codes", expr(
-            "slice(transform(sequence(0, greatest(length(coalesce(text, '')) - 1, 0)), " +
-              "i -> ascii(substring(coalesce(text, ''), i + 1, 1)) div 32), " +
-              "1, length(coalesce(text, '')))"))
+            "transform(filter(split(coalesce(text, ''), ''), c -> c != ''), " +
+              "c -> ascii(c) div 32)"))
         val terms = (0 until 8).map { k =>
           val ck = size(filter(col("codes"), c => c === k)).cast("long")
           when(ck > 0, (ck.cast("double") * log(ck.cast("double")))

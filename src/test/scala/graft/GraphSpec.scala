@@ -64,6 +64,18 @@ class GraphSpec extends SparkSpecBase {
     assert(a.toSet == b.toSet)
   }
 
+  test("g01 shuffle fallback (ranks over the broadcast cap) is identical") {
+    // the size-aware hint is an optimization, never a semantic: with the
+    // cap forced below |nodes|, every iteration runs the shuffled join
+    // and the ranks must match the broadcast path bit-for-bit
+    val fast = run("g01_pagerank", plantedDir).collect().map(_.toSeq).toSet
+    spark.conf.set("graft.g01.maxBroadcastNodes", "1")
+    try {
+      val slow = run("g01_pagerank", plantedDir).collect().map(_.toSeq).toSet
+      assert(slow == fast)
+    } finally spark.conf.unset("graft.g01.maxBroadcastNodes")
+  }
+
   test("g02 degree histogram matches the planted structure") {
     val rows = run("g02_degree_histogram", plantedDir).collect()
     val hist = rows.map(r => (r.getAs[String]("node_type"),
