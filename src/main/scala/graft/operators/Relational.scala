@@ -1189,7 +1189,47 @@ object Relational {
         WHERE EXISTS (SELECT 1 FROM lineitem l
                       WHERE l.l_partkey = p.p_partkey
                         AND l.l_quantity >= 49)
-        GROUP BY p_brand ORDER BY p_brand"""))
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---------------------------------------------------------------- q45
+    // UNPIVOT (melt) — q36's inverse: the wide per-year priority counts
+    // fold back to (year, priority, n) rows via Dataset.unpivot. Pivot
+    // leaves NULL where a (year, priority) combo has no orders;
+    // unpivot keeps those rows and the coalesce restores count-0 — the
+    // lossless wide↔long round-trip. Constant-width input, so unpivot
+    // is a map-side Expand (rows × 5, no shuffle added).
+    "q45_unpivot" -> QueryDef(
+      build = (s, d) => {
+        val wide = t(s, d, "orders")
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .pivot("o_orderpriority",
+            Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+          .agg(count(lit(1)))
+          .select(col("o_year"),
+            col("1-URGENT").as("urgent"), col("2-HIGH").as("high"),
+            col("3-MEDIUM").as("medium"),
+            col("4-NOT SPECIFIED").as("not_specified"), col("5-LOW").as("low"))
+        wide.unpivot(Array(col("o_year")),
+            Array(col("urgent"), col("high"), col("medium"),
+              col("not_specified"), col("low")),
+            "priority", "n0")
+          .select(col("o_year"), col("priority"),
+            coalesce(col("n0"), lit(0L)).as("n"))
+          .orderBy("o_year", "priority")
+      },
+      oracle = Some("""
+        WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                          o_orderpriority FROM orders),
+        g AS (SELECT DISTINCT o_year FROM y),
+        l AS (SELECT * FROM (VALUES ('urgent', '1-URGENT'),
+                ('high', '2-HIGH'), ('medium', '3-MEDIUM'),
+                ('not_specified', '4-NOT SPECIFIED'), ('low', '5-LOW'))
+                AS v(priority, raw))
+        SELECT g.o_year, l.priority,
+               (SELECT count(*) FROM y
+                WHERE y.o_year = g.o_year AND y.o_orderpriority = l.raw) AS n
+        FROM g CROSS JOIN l
+        ORDER BY o_year, priority"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

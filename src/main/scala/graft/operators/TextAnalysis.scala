@@ -15,6 +15,31 @@ object TextAnalysis {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** t03's n-gram lang-id pipeline (shared with t13's evaluation):
+    * per-lang top-10 token profiles (broadcast), per-doc profile-hit
+    * argmax → (doc_id, pred_lang, lang).
+    */
+  private def langPredictions(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = t(s, d, "documents")
+    val docToks = docs.select(col("doc_id"), col("lang"),
+      explode(TextFns.tokens(col("text"))).as("tok"))
+    val byLangTok = docToks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val wProfile = Window.partitionBy("lang").orderBy(desc("n"), asc("tok"))
+    val profiles = byLangTok
+      .withColumn("prk", row_number().over(wProfile))
+      .filter(col("prk") <= 10)
+      .select(col("lang").as("p_lang"), col("tok"))
+    val scored = docToks.join(broadcast(profiles), Seq("tok"))
+      .groupBy("doc_id", "p_lang")
+      .agg(count(lit(1)).as("hits"))
+    val wPick = Window.partitionBy("doc_id").orderBy(desc("hits"), asc("p_lang"))
+    scored.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("p_lang").as("pred_lang"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+  }
+
   /** t07's unigram-counts cache slot (bounded; freed by
     * HotCache.releaseAll() in Verify/Bench/spec teardown).
     */
@@ -95,26 +120,7 @@ object TextAnalysis {
     // are deterministic relational algebra over integer counts, so the
     // whole two-phase heuristic carries a DuckDB oracle.
     "t03_lang_id" -> QueryDef(
-      build = (s, d) => {
-        val docs = t(s, d, "documents")
-        val docToks = docs.select(col("doc_id"), col("lang"),
-          explode(TextFns.tokens(col("text"))).as("tok"))
-        val byLangTok = docToks.groupBy("lang", "tok").agg(count(lit(1)).as("n"))
-        val wProfile = Window.partitionBy("lang").orderBy(desc("n"), asc("tok"))
-        val profiles = byLangTok
-          .withColumn("prk", row_number().over(wProfile))
-          .filter(col("prk") <= 10)
-          .select(col("lang").as("p_lang"), col("tok"))
-        val scored = docToks.join(broadcast(profiles), Seq("tok"))
-          .groupBy("doc_id", "p_lang")
-          .agg(count(lit(1)).as("hits"))
-        val wPick = Window.partitionBy("doc_id").orderBy(desc("hits"), asc("p_lang"))
-        scored.withColumn("rk", row_number().over(wPick))
-          .filter(col("rk") === 1)
-          .select(col("doc_id"), col("p_lang").as("pred_lang"))
-          .join(docs.select("doc_id", "lang"), Seq("doc_id"))
-          .orderBy("doc_id")
-      },
+      build = (s, d) => langPredictions(s, d).orderBy("doc_id"),
       oracle = Some("""
         WITH toks AS (
           SELECT doc_id, lang,
@@ -143,6 +149,60 @@ object TextAnalysis {
         SELECT doc_id, pred_lang, lang
         FROM pick JOIN documents USING (doc_id)
         ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t13
+    // LANG-ID EVALUATION: confusion matrix of t03's n-gram classifier
+    // against the labeled `lang` column, with the per-true-lang share in
+    // the exact integer 4-dp scheme — the d18-style harness answering
+    // "is the heuristic good enough to route a 100 TB corpus?". One
+    // (lang, pred_lang)-keyed aggregation over t03's output (|langs|²
+    // rows max), plus a broadcast of the |langs|-row per-lang totals.
+    "t13_langid_eval" -> QueryDef(
+      build = (s, d) => {
+        val cm = langPredictions(s, d)
+          .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+        val tot = cm.groupBy("lang").agg(sum("n").as("tot"))
+        cm.join(broadcast(tot), Seq("lang"))
+          .select(col("lang"), col("pred_lang"), col("n"),
+            (floor((col("n") * 20000L + col("tot")) / (col("tot") * 2L))
+              .cast("long").cast("double") / 10000.0).as("share"))
+          .orderBy("lang", "pred_lang")
+      },
+      oracle = Some("""
+        WITH toks AS (
+          SELECT doc_id, lang,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+          FROM documents),
+        bylang AS (
+          SELECT lang, tok, count(*) AS n FROM toks GROUP BY lang, tok),
+        prof AS (
+          SELECT lang AS p_lang, tok FROM (
+            SELECT lang, tok,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY n DESC, tok) AS prk
+            FROM bylang) z
+          WHERE prk <= 10),
+        scored AS (
+          SELECT doc_id, p_lang, count(*) AS hits
+          FROM toks JOIN prof USING (tok)
+          GROUP BY doc_id, p_lang),
+        pick AS (
+          SELECT doc_id, p_lang AS pred_lang FROM (
+            SELECT doc_id, p_lang,
+                   row_number() OVER (PARTITION BY doc_id
+                     ORDER BY hits DESC, p_lang) AS rk
+            FROM scored) z
+          WHERE rk = 1),
+        cm AS (
+          SELECT d.lang, p.pred_lang, count(*) AS n
+          FROM pick p JOIN documents d USING (doc_id)
+          GROUP BY 1, 2),
+        tot AS (SELECT lang, sum(n) AS tot FROM cm GROUP BY 1)
+        SELECT cm.lang, cm.pred_lang, cm.n,
+               CAST((cm.n * 20000 + t.tot) // (t.tot * 2) AS DOUBLE) / 10000
+                 AS share
+        FROM cm JOIN tot t ON t.lang = cm.lang
+        ORDER BY cm.lang, cm.pred_lang""")),
 
     // ---------------------------------------------------------------- t04
     // Corpus bigram frequency: per-doc shingling (map-side) + one count

@@ -242,6 +242,55 @@ object EventsStream {
       }
   }
 
+  final case class StreakState(days: Seq[Long])
+  final case class Streak(userId: Long, longestStreak: Int, nStreaks: Int,
+                          nActiveDays: Int)
+
+  /** Streaming twin of the batch e19_streaks: per user, the distinct
+    * active-DAY set buffers (one Long per day — day-granular, so state is
+    * bounded by the user's active-day count, never event volume; a
+    * duplicate day is absorbed in place whatever its arrival order), and
+    * on event-time idle timeout the gaps-and-islands fold runs over the
+    * sorted day set and emits the user's streak summary — identical
+    * semantics to the batch dayNum − row_number() trick, computed as a
+    * single sorted pass at finalize time.
+    */
+  def streakTracker(events: Dataset[JourneyEvent],
+                    watermark: String = "48 hours",
+                    idleSec: Long = 7 * 86400): Dataset[Streak] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[StreakState, Streak](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[StreakState]) =>
+          if (state.hasTimedOut) {
+            val days = state.get.days.sorted
+            state.remove()
+            // islands: consecutive day numbers form one streak
+            val streaks = days.foldLeft(List.empty[Int]) {
+              case (run :: rest, d) if days.contains(d - 1) =>
+                (run + 1) :: rest // extends the current island
+              case (acc, _) => 1 :: acc // a gap (or first day) opens one
+            }
+            Iterator.single(Streak(userId,
+              if (streaks.isEmpty) 0 else streaks.max,
+              streaks.size, days.size))
+          } else {
+            val st = state.getOption.getOrElse(StreakState(Nil))
+            val incoming = evs.map(e => e.ts.getTime / 86400000L).toSeq
+            val merged = (st.days ++ incoming).distinct
+            state.update(StreakState(merged))
+            // timeout from the END of the latest active day, so the
+            // timestamp always sits at-or-after every buffered event
+            val lastMs = (merged.max + 1L) * 86400000L
+            state.setTimeoutTimestamp(lastMs + idleSec * 1000L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming twin of the batch e07_spike_detect: watermarked tumbling
     * counts per event type, each CLOSED window (Append semantics under
     * the watermark) flagged against a STATIC baseline of per-type

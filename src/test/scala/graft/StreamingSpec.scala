@@ -385,4 +385,40 @@ class StreamingSpec extends SparkSpecBase {
       assert(got("2024-01-01 11:00:00.0") == ((5L, false)))
     } finally q.stop()
   }
+
+  test("streakTracker folds islands at timeout; out-of-order day absorbed") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import EventsStream.JourneyEvent
+    val input = MemoryStream[JourneyEvent]
+    val q = EventsStream.streakTracker(input.toDS(),
+        watermark = "48 hours", idleSec = 86400)
+      .writeStream.format("memory").queryName("streaks")
+      .outputMode("append").start()
+    try {
+      // user 1: days 1 and 3 arrive first; day 2 arrives LATE (but
+      // inside the 48 h allowance) and must merge the two islands into
+      // one 3-day streak; a second event on day 3 must not double-count
+      input.addData(
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 09:00:00"), 1L, "view"),
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-03 09:00:00"), 2L, "view"),
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-03 10:00:00"), 3L, "view"))
+      q.processAllAvailable()
+      input.addData(
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-02 12:00:00"), 4L, "view"))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's idle horizon
+      // (2024-01-05 + 1 day), then trigger once more to fire the timeout
+      input.addData(
+        JourneyEvent(2L, Timestamp.valueOf("2024-01-10 00:00:00"), 9L, "view"))
+      q.processAllAvailable()
+      input.addData(
+        JourneyEvent(3L, Timestamp.valueOf("2024-01-12 00:00:00"), 10L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("streaks").as[EventsStream.Streak].collect()
+        .filter(_.userId == 1L)
+      assert(got.length == 1)
+      assert(got.head == EventsStream.Streak(1L, 3, 1, 3))
+    } finally q.stop()
+  }
 }
