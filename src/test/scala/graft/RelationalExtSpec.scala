@@ -173,4 +173,24 @@ class RelationalExtSpec extends SparkSpecBase {
       .select("p_partkey").collect().map(_.getLong(0)).toSet
     assert(rows.values.sum == heavy.count(partKeys))
   }
+
+  test("q45 unpivot round-trips the long-form counts exactly") {
+    val got = run("q45_unpivot").collect()
+      .map(r => (r.getAs[Long]("o_year"), r.getAs[String]("priority")) ->
+        r.getAs[Long]("n")).toMap
+    // melt(pivot(x)) == x: the direct long-form aggregation
+    val direct = Tables(spark, sf, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getAs[Long]("y"),
+        r.getAs[String]("o_orderpriority")) -> r.getAs[Long]("n")).toMap
+    val label = Map("1-URGENT" -> "urgent", "2-HIGH" -> "high",
+      "3-MEDIUM" -> "medium", "4-NOT SPECIFIED" -> "not_specified",
+      "5-LOW" -> "low")
+    direct.foreach { case ((y, raw), n) => assert(got((y, label(raw))) == n) }
+    // absent combos surface as 0 rows, and the grid is complete
+    assert(got.size == direct.keys.map(_._1).toSeq.distinct.size * 5)
+    assert(got.values.sum == Tables(spark, sf, "orders").count())
+  }
 }

@@ -650,4 +650,22 @@ class TextAndEventsSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_streaks") >= 1L)
     }
   }
+
+  test("t13 confusion matrix reconciles with t03's predictions") {
+    val preds = run("t03_lang_id").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred_lang")))
+    val want = preds.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val got = run("t13_langid_eval").collect()
+      .map(r => ((r.getAs[String]("lang"), r.getAs[String]("pred_lang")),
+        (r.getAs[Long]("n"), r.getAs[Double]("share"))))
+    assert(got.map { case (k, (n, _)) => k -> n }.toMap == want)
+    // shares replay via the exact integer scheme against per-lang totals
+    val tot = want.groupBy(_._1._1).map { case (l, g) => l -> g.values.sum }
+    got.foreach { case ((l, _), (n, sh)) =>
+      val t = tot(l)
+      assert(sh == ((n * 20000L + t) / (t * 2L)).toDouble / 10000.0)
+    }
+    // each doc counted exactly once
+    assert(want.values.sum == preds.length.toLong)
+  }
 }
