@@ -790,6 +790,72 @@ object EventsOps {
         SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
                count(*) AS n_streaks,
                CAST(sum(len) AS BIGINT) AS n_active_days
-        FROM runs GROUP BY user_id ORDER BY user_id"""))
+        FROM runs GROUP BY user_id ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- e20
+    // BOT DETECTION (traffic hygiene before corpus building): per user,
+    // event volume, time span, and two integer-exact signals — HIGH RATE
+    // (> 100 events/hour over the span) and METRONOME REGULARITY
+    // (inter-arrival variance ≡ 0: n·Σd² = (Σd)², exact in DECIMAL(38,0)
+    // so no float ever decides a ban). Inter-arrival diffs come from one
+    // user-keyed lag window (per-user event counts, never corpus-wide);
+    // everything after is a per-user aggregation. Humans don't click
+    // every 5.000000 seconds; scrapers do.
+    "e20_bot_detect" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val diffs = t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("tsu"))
+          .withColumn("dd",
+            (col("tsu") - lag("tsu", 1).over(w))
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        diffs.groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"),
+            ((max("tsu") - min("tsu")) / lit(1000000L)).cast("long")
+              .as("span_sec"),
+            sum("dd").as("sd"), sum(col("dd") * col("dd")).as("sdd"),
+            count(col("dd")).as("nd"))
+          .withColumn("high_rate",
+            col("n_events") >= 5 &&
+              col("n_events") * 3600000000L >
+                (col("span_sec") * 1000000L) * 100L)
+          .withColumn("regular",
+            col("n_events") >= 5 &&
+              col("nd").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+                * col("sdd") === col("sd") * col("sd"))
+          .select(col("user_id"), col("n_events"), col("span_sec"),
+            col("high_rate"), col("regular"),
+            (col("high_rate") || col("regular")).as("is_bot"))
+          .orderBy("user_id")
+      },
+      oracle = Some("""
+        WITH e AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS tsu
+          FROM events),
+        d AS (
+          SELECT user_id, tsu,
+                 CAST(tsu - lag(tsu) OVER (PARTITION BY user_id
+                   ORDER BY tsu, event_id) AS HUGEINT) AS dd
+          FROM e),
+        g AS (
+          SELECT user_id, count(*) AS n_events,
+                 CAST((max(tsu) - min(tsu)) // 1000000 AS BIGINT)
+                   AS span_sec,
+                 sum(dd) AS sd, sum(dd * dd) AS sdd,
+                 count(dd) AS nd
+          FROM d GROUP BY 1)
+        SELECT user_id, n_events, span_sec,
+               n_events >= 5 AND
+                 n_events * 3600000000 > span_sec * 1000000 * 100
+                 AS high_rate,
+               n_events >= 5 AND CAST(nd AS HUGEINT) * sdd = sd * sd
+                 AS regular,
+               (n_events >= 5 AND
+                 n_events * 3600000000 > span_sec * 1000000 * 100)
+                 OR (n_events >= 5 AND CAST(nd AS HUGEINT) * sdd = sd * sd)
+                 AS is_bot
+        FROM g ORDER BY user_id"""))
   )
 }

@@ -1281,6 +1281,67 @@ object Similarity {
                CAST(coalesce(n.n_assigned, 0) AS BIGINT) AS n_assigned,
                mv.move_e12
         FROM mv LEFT JOIN n ON n.cell = mv.cell
-        ORDER BY mv.cell"""))
+        ORDER BY mv.cell""")),
+
+    // ---------------------------------------------------------------- a18
+    // MATRYOSHKA/TRUNCATION EVAL: recall@k of brute-force search run on
+    // the FIRST 16 of 64 dimensions against the full-dimension truth —
+    // the dimension-truncation trade-off audit (store 4× fewer bytes,
+    // scan 4× faster — at what recall?) that decides whether an MRL-style
+    // prefix index is safe for a corpus. Same cost shape as a01 twice
+    // (broadcast query set, map-side scores, per-query top-k), join on
+    // the two bounded top-k lists.
+    "a18_mrl_eval" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val exact = bruteTopK(e).select(col("q_id"), col("vec_id"))
+        val e16 = e.withColumn("embedding",
+          expr("slice(embedding, 1, 16)"))
+        val approx = bruteTopK(e16)
+          .select(col("q_id").as("aq"), col("vec_id").as("av"))
+        val hits = exact.join(approx,
+            col("q_id") === col("aq") && col("vec_id") === col("av"))
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        queriesDf(e).select(col("q_id"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / TOPK)
+              .as("recall_at_k"))
+          .orderBy("q_id")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < $QUERY_IDS_BELOW),
+        c AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= $QUERY_IDS_BELOW),
+        exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_cosine_similarity(qv::DOUBLE[],
+                                embedding::DOUBLE[]) DESC NULLS LAST,
+                       vec_id) AS rk
+            FROM q CROSS JOIN c) z
+          WHERE rk <= $TOPK),
+        approx AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_cosine_similarity(
+                                (qv::DOUBLE[])[1:16],
+                                (embedding::DOUBLE[])[1:16])
+                       DESC NULLS LAST, vec_id) AS rk
+            FROM q CROSS JOIN c) z
+          WHERE rk <= $TOPK),
+        h AS (
+          SELECT e.q_id, count(*) AS h
+          FROM exact e JOIN approx a
+            ON a.q_id = e.q_id AND a.vec_id = e.vec_id
+          GROUP BY 1)
+        SELECT q.q_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.h, 0) AS DOUBLE) / $TOPK AS recall_at_k
+        FROM q LEFT JOIN h ON h.q_id = q.q_id
+        ORDER BY q.q_id"""))
   )
 }

@@ -489,4 +489,26 @@ class SimilaritySpec extends SparkSpecBase {
     assert(planted.forall(_._2 == 8L)) // 64 vecs / 8 cells
     assert(planted.forall(_._3 == 0L)) // converged: zero movement
   }
+
+  test("a18 truncation eval: bounded recalls; in-prefix clusters lose nothing") {
+    val rows = run("a18_mrl_eval").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("n_hits")
+      assert(h >= 0L && h <= 10L)
+      assert(r.getAs[Double]("recall_at_k") == h.toDouble / 10)
+    }
+    // planted: 5 directions living entirely in dims 0..4 (< the 16-dim
+    // prefix) — truncation is lossless, recall must be exactly 1.0
+    import spark.implicits._
+    val dir = Files.createTempDirectory("a18").toString
+    (0L until 60L).map { i =>
+      val a = new Array[Float](64); a((i % 5L).toInt) = 1f; (i, a, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val planted = run("a18_mrl_eval", dir).collect()
+    assert(planted.length == 5)
+    planted.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
+  }
 }

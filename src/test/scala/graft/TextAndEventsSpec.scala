@@ -668,4 +668,34 @@ class TextAndEventsSpec extends SparkSpecBase {
     // each doc counted exactly once
     assert(want.values.sum == preds.length.toLong)
   }
+
+  test("e20 bot detection: metronome and burst flag, human cadence doesn't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e20").toString
+    var id = 0L
+    def ev(user: Long, sec: Int) = { id += 1
+      (id, java.sql.Timestamp.valueOf(
+        f"2024-01-01 10:${sec / 60}%02d:${sec % 60}%02d"),
+        user, "view", 1.0, """{"k": 1}""") }
+    val rows =
+      // user 1: exactly every 5 s × 6 events → metronome regular
+      (0 until 6).map(i => ev(1L, i * 5)) ++
+      // user 2: human-ish irregular gaps, slow → neither flag
+      Seq(37, 81, 160, 239, 361, 480).map(sec => ev(2L, sec)) ++
+      // user 3: 6 events inside 3 s (irregular) → high rate only
+      Seq(0, 1, 1, 2, 2, 3).map(sec => ev(3L, sec))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("e20_bot_detect", dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Boolean]("high_rate"), r.getAs[Boolean]("regular"),
+          r.getAs[Boolean]("is_bot")))).toMap
+    assert(got(1L)._2 && got(1L)._3, got(1L).toString) // regular → bot
+    assert(got(1L)._1) // 6 events / 25 s is also high-rate
+    assert(got(2L) == ((false, false, false)))
+    assert(got(3L)._1 && !got(3L)._2 && got(3L)._3)
+    // sf sanity: nobody in the random corpus is a metronome
+    assert(run("e20_bot_detect").collect()
+      .forall(!_.getAs[Boolean]("regular")))
+  }
 }
