@@ -372,6 +372,42 @@ object ScaleProbe {
       row(n, "x11")(qe("x11_dp_count").count())
       graft.operators.HotCache.releaseAll()
     }
+    // r9e leg: the remaining fifth-sitting operators. d18 runs the d04
+    // pigeonhole-block + d05 inverted-index shapes back to back (both
+    // individually probed linear; the eval adds one bounded count join);
+    // p20 is t09's (doc, token) aggregation + a constant 27-row cube;
+    // t13 is t03's broadcast-profile join + a |langs|²-row rollup; e19/
+    // e20 are user-keyed windows over distinct-day / per-user-event
+    // tables. Outputs: 1 / 27 / |langs|² / |users| / |users| rows.
+    println(f"${"rows"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("r9e")) {
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "d18")(q("d18_detector_eval").count())
+      row(n, "p20")(q("p20_filter_ablation").count())
+      row(n, "t13")(q("t13_langid_eval").count())
+      val edir = s"/tmp/graft-probe-ev-$n"
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        pmod(col("id"), lit(math.max(n / 100, 1))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("scroll")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$edir/events.parquet")
+      def qe(name: String) = graft.SparkEntry.queries(name)(spark, edir)
+      row(n, "e19")(qe("e19_streaks").count())
+      row(n, "e20")(qe("e20_bot_detect").count())
+      graft.operators.HotCache.releaseAll()
+    }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the
