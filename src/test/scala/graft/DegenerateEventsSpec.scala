@@ -36,7 +36,10 @@ class DegenerateEventsSpec extends SparkSpecBase {
     "e01_windowed_agg", "e02_json_extract", "e03_sessionize",
     "e04_funnel", "e05_gap_fill", "e06_retention", "e07_spike_detect",
     "e08_user_journey", "e09_transition_matrix", "e10_attribution",
-    "e11_rfm_segments", "e12_hourly_profile", "e13_variant_extract")
+    "e11_rfm_segments", "e12_hourly_profile", "e13_variant_extract",
+    "e14_active_users", "e15_session_stats", "e16_trending",
+    "e17_moving_avg", "e18_cohort_ltv", "e19_streaks", "e20_bot_detect",
+    "x11_dp_count")
 
   test("every events operator materializes and reruns identically on degenerate events") {
     val failures = eventOps.flatMap { name =>
