@@ -856,6 +856,53 @@ object EventsOps {
                  n_events * 3600000000 > span_sec * 1000000 * 100)
                  OR (n_events >= 5 AND CAST(nd AS HUGEINT) * sdd = sd * sd)
                  AS is_bot
-        FROM g ORDER BY user_id"""))
+        FROM g ORDER BY user_id""")),
+
+    // ---------------------------------------------------------------- e21
+    // NATIVE SESSION WINDOWS: e03's sessionization via Spark's built-in
+    // session_window aggregation — the engine-native path (one hash
+    // aggregate with session merge, no lag/cumsum window chain), which
+    // is also the only formulation that works identically in Structured
+    // Streaming. Semantics pinned against the oracle: a new session
+    // opens only when the gap EXCEEDS 30 min — an event at exactly
+    // session-end merges (boundary-inclusive, spec-pinned); window end
+    // = last event + gap; revenue in the exact decimal scheme.
+    "e21_native_sessions" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "events")
+          .filter(col("ts").isNotNull)
+          .withColumn("tst", col("ts").cast("timestamp"))
+          .groupBy(col("user_id"),
+            session_window(col("tst"), "30 minutes").as("sw"))
+          .agg(count(lit(1)).as("n_events"),
+            graft.functions.AggFns.dsum(col("value")).as("total"))
+          .select(col("user_id"),
+            col("sw.start").as("session_start"),
+            col("sw.end").as("session_end"),
+            col("n_events"), col("total"))
+          .orderBy("user_id", "session_start"),
+      oracle = Some(s"""
+        WITH e AS (
+          SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t, value
+          FROM events WHERE ts IS NOT NULL),
+        f AS (
+          SELECT user_id, event_id, t, value,
+                 CASE WHEN lag(t) OVER w IS NULL
+                        OR t - lag(t) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS ns
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        s AS (
+          SELECT user_id, t, value,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f),
+        g AS (
+          SELECT user_id, sid, min(t) AS session_start,
+                 max(t) + INTERVAL 30 MINUTE AS session_end,
+                 count(*) AS n_events,
+                 ${graft.functions.AggFns.sqlDsum("value")} AS total
+          FROM s GROUP BY 1, 2)
+        SELECT user_id, session_start, session_end, n_events, total
+        FROM g ORDER BY user_id, session_start"""))
   )
 }

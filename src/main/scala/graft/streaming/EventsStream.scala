@@ -242,6 +242,26 @@ object EventsStream {
       }
   }
 
+  /** Streaming twin of the batch e14 DAU: exact daily active users via
+    * chained stateful operators — dropDuplicatesWithinWatermark on
+    * (user_id, day) bounds the dedup state to the lateness horizon,
+    * then a watermarked tumbling count closes each day under Append
+    * semantics. Exact distinct counting at stream scale without any
+    * per-day user set in one place: the dedup state shards by
+    * (user, day) key, the count is an ordinary windowed aggregation.
+    */
+  def dauTracker(events: DataFrame, watermark: String = "1 day"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col("user_id"),
+        date_trunc("day", col("ts")).as("day"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("window.start").as("day_start"), col("dau"))
+  }
+
   final case class StreakState(days: Seq[Long])
   final case class Streak(userId: Long, longestStreak: Int, nStreaks: Int,
                           nActiveDays: Int)

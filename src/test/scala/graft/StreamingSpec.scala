@@ -421,4 +421,33 @@ class StreamingSpec extends SparkSpecBase {
       assert(got.head == EventsStream.Streak(1L, 3, 1, 3))
     } finally q.stop()
   }
+
+  test("dauTracker counts each user once per closed day") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = EventsStream.dauTracker(
+        input.toDF().toDF("ts", "user_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dau")
+      .outputMode("append").start()
+    try {
+      // day 1: user 1 hits three times, user 2 once → DAU 2, not 4
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 09:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 12:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 18:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 20:00:00"), 2L))
+      q.processAllAvailable()
+      // advance the watermark past day-1's close (00:00 + 1 h lateness)
+      input.addData((Timestamp.valueOf("2024-01-02 02:00:00"), 3L))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-03 02:00:00"), 3L))
+      q.processAllAvailable()
+      val got = spark.table("dau").collect()
+        .map(r => r.getAs[Timestamp]("day_start").toString ->
+          r.getAs[Long]("dau")).toMap
+      assert(got("2024-01-01 00:00:00.0") == 2L)
+      assert(got.get("2024-01-02 00:00:00.0").forall(_ == 1L))
+    } finally q.stop()
+  }
 }

@@ -698,4 +698,31 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(run("e20_bot_detect").collect()
       .forall(!_.getAs[Boolean]("regular")))
   }
+
+  test("e21 native sessions: exact-gap boundary opens a new session") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e21").toString
+    def ev(id: Long, t: String) = (id, java.sql.Timestamp.valueOf(t),
+      1L, "view", 1.0, """{"k": 1}""")
+    // events at 10:00, 10:29 (29-min gap: same session), 10:59
+    // (EXACTLY 30 min later — Spark merges at the boundary, measured and
+    // oracle-pinned: inclusive session end), then 11:29:01 (one second
+    // PAST the merged session's end → a new session opens)
+    Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:29:00"),
+      ev(3, "2024-01-01 10:59:00"), ev(4, "2024-01-01 11:29:01"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("e21_native_sessions", dir).collect()
+    assert(got.length == 2)
+    assert(got.map(_.getAs[Long]("n_events")).toSeq == Seq(3L, 1L))
+    // merged session end = last event (10:59) + gap
+    val endStr = got.head.get(got.head.fieldIndex("session_end")).toString
+    assert(endStr.startsWith("2024-01-01T11:29") ||
+      endStr.startsWith("2024-01-01 11:29"), endStr)
+    // sf reconciliation: event mass is conserved across sessions
+    val sfRows = run("e21_native_sessions").collect()
+    val nEvents = Tables(spark, sf, "events")
+      .filter(col("ts").isNotNull).count()
+    assert(sfRows.map(_.getAs[Long]("n_events")).sum == nEvents)
+  }
 }
