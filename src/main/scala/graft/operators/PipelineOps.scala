@@ -498,6 +498,49 @@ object PipelineOps {
                  CAST(count(*) - count(del.del_id) AS BIGINT) AS n_retained
           FROM embeddings emb LEFT JOIN del ON del.del_id = emb.vec_id)
         SELECT * FROM d UNION ALL SELECT * FROM e
-        ORDER BY table_name, segment"""))
+        ORDER BY table_name, segment""")),
+
+    // ---------------------------------------------------------------- x13
+    // PII PREVALENCE report — x04's upstream decision tool: per source,
+    // how many docs carry email- / phone- / long-number-shaped strings
+    // and the total hit counts — the report that decides WHERE redaction
+    // must run (and proves it ran: re-running on x04's output must show
+    // zeros). Pure map-side regexp counts + one |sources|-row rollup.
+    // Patterns kept to the regex subset Java and RE2 parse identically.
+    "x13_pii_report" -> QueryDef(
+      build = (s, d) => {
+        val p = coalesce(col("text"), lit(""))
+        def hits(pat: String) =
+          size(regexp_extract_all(p, lit(pat), lit(0))).cast("long")
+        t(s, d, "documents")
+          .select(col("source"),
+            hits("[a-z0-9]+@[a-z0-9]+\\.[a-z]+").as("emails"),
+            hits("[0-9]{3}-[0-9]{3,4}-[0-9]{4}").as("phones"),
+            hits("[0-9]{6,}").as("longnums"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("emails") + col("phones") + col("longnums") > 0, 1L)
+              .otherwise(0L)).as("docs_with_pii"),
+            sum("emails").as("n_emails"), sum("phones").as("n_phones"),
+            sum("longnums").as("n_longnums"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT source,
+                 CAST(len(regexp_extract_all(coalesce(text, ''),
+                   '[a-z0-9]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS emails,
+                 CAST(len(regexp_extract_all(coalesce(text, ''),
+                   '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS phones,
+                 CAST(len(regexp_extract_all(coalesce(text, ''),
+                   '[0-9]{6,}')) AS BIGINT) AS longnums
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN emails + phones + longnums > 0
+                 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+               CAST(sum(emails) AS BIGINT) AS n_emails,
+               CAST(sum(phones) AS BIGINT) AS n_phones,
+               CAST(sum(longnums) AS BIGINT) AS n_longnums
+        FROM h GROUP BY source ORDER BY source"""))
   )
 }

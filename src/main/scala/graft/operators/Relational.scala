@@ -1229,7 +1229,41 @@ object Relational {
                (SELECT count(*) FROM y
                 WHERE y.o_year = g.o_year AND y.o_orderpriority = l.raw) AS n
         FROM g CROSS JOIN l
-        ORDER BY o_year, priority"""))
+        ORDER BY o_year, priority""")),
+
+    // ---------------------------------------------------------------- q46
+    // NULL-SAFE equality join (<=>): two yearly aggregations keyed by a
+    // NULLABLE key (priority with '5-LOW' nulled out) joined with
+    // null-safe equality, so the NULL groups MATCH each other instead of
+    // silently dropping — the semantics a plain `=` join gets wrong on
+    // nullable keys. Same hash-join shape as an equi-join (null-safe
+    // equality is still a hashable key: NULL hashes as a value).
+    "q46_null_safe_join" -> QueryDef(
+      build = (s, d) => {
+        def side(yr: Int, out: String) =
+          t(s, d, "orders")
+            .filter(year(col("o_orderdate")) === yr)
+            .groupBy(nullif(col("o_orderpriority"), lit("5-LOW")).as(s"k_$out"))
+            .agg(count(lit(1)).as(out))
+        val a = side(1996, "n96")
+        val b = side(1997, "n97")
+        a.join(b, col("k_n96") <=> col("k_n97"), "full_outer")
+          .select(coalesce(col("k_n96"), col("k_n97")).as("prio_key"),
+            col("n96"), col("n97"),
+            (col("k_n96").isNull && col("n96").isNotNull).as("is_null_key"))
+          .orderBy(col("prio_key").asc_nulls_first)
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT nullif(o_orderpriority, '5-LOW') AS k, count(*) AS n96
+          FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1),
+        b AS (
+          SELECT nullif(o_orderpriority, '5-LOW') AS k, count(*) AS n97
+          FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)
+        SELECT coalesce(a.k, b.k) AS prio_key, a.n96, b.n97,
+               a.k IS NULL AND a.n96 IS NOT NULL AS is_null_key
+        FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        ORDER BY prio_key ASC NULLS FIRST"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

@@ -600,6 +600,36 @@ object TextAnalysis {
         SELECT rk, tok, n,
                round(CAST(sum(n) OVER (ORDER BY rk) AS DOUBLE) / n_total, 4)
                  AS cum_share
-        FROM top CROSS JOIN total ORDER BY rk"""))
+        FROM top CROSS JOIN total ORDER BY rk""")),
+
+    // ---------------------------------------------------------------- t14
+    // CODE-vs-PROSE routing: per-doc structural-symbol density
+    // ({}();=<> characters per char) as an integer cross-multiplication
+    // verdict (code iff 50·n_sym >= n_chars, i.e. >= 2% symbols) — the
+    // corpus-routing stage that decides tokenizer/quality treatment
+    // before a mixed crawl enters a training mix. Pure map-side regexp
+    // count; |docs| rows; the symbol class avoids regex-dialect
+    // divergence (no bracket escapes).
+    "t14_code_detect" -> QueryDef(
+      build = (s, d) => {
+        val p = coalesce(col("text"), lit(""))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            size(regexp_extract_all(p, lit("[{}();=<>]"), lit(0)))
+              .cast("long").as("n_sym"),
+            length(p).cast("long").as("n_chars"))
+          .withColumn("is_code",
+            col("n_chars") > 0 && col("n_sym") * 50L >= col("n_chars"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(coalesce(text, ''), '[{}();=<>]'))
+                 AS BIGINT) AS n_sym,
+               CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_chars,
+               strlen(coalesce(text, '')) > 0 AND
+                 len(regexp_extract_all(coalesce(text, ''), '[{}();=<>]'))
+                   * 50 >= strlen(coalesce(text, '')) AS is_code
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -221,4 +221,24 @@ class PipelineOpsSpec extends SparkSpecBase {
     // something was actually deleted and something retained
     assert(docRows.map(_._3).sum > 0 && docRows.map(_._4).sum > 0)
   }
+
+  test("x13 PII report: planted patterns counted; clean docs stay clean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("x13").toString
+    Seq(
+      (1L, "contact me at bob1@example.com or sue@mail.org today", "s1"),
+      (2L, "call 555-123-4567 and 555-9876-5432 ref 123456789", "s1"),
+      (3L, "perfectly clean prose with the number 42 only", "s2"),
+      (4L, null.asInstanceOf[String], "s2"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(coalesce(col("text"), lit(""))).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("x13_pii_report", dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("docs_with_pii"), r.getAs[Long]("n_emails"),
+          r.getAs[Long]("n_phones"), r.getAs[Long]("n_longnums")))).toMap
+    assert(got("s1") == ((2L, 2L, 2L, 1L)))
+    assert(got("s2") == ((0L, 0L, 0L, 0L)))
+  }
 }

@@ -193,4 +193,22 @@ class RelationalExtSpec extends SparkSpecBase {
     assert(got.size == direct.keys.map(_._1).toSeq.distinct.size * 5)
     assert(got.values.sum == Tables(spark, sf, "orders").count())
   }
+
+  test("q46 null-safe join: NULL keys match each other, mass reconciles") {
+    val rows = run("q46_null_safe_join").collect()
+    val nullRow = rows.filter(_.getAs[Boolean]("is_null_key"))
+    // the '5-LOW'-nulled group exists in both years at sf and must JOIN
+    assert(nullRow.length == 1)
+    assert(!nullRow.head.isNullAt(nullRow.head.fieldIndex("n96")))
+    assert(!nullRow.head.isNullAt(nullRow.head.fieldIndex("n97")))
+    // a plain = join would have dropped it: exactly one NULL output key
+    assert(rows.count(_.isNullAt(0)) == 1)
+    // yearly masses reconcile to the filtered order counts
+    def yr(y: Int) = Tables(spark, sf, "orders")
+      .filter(year(col("o_orderdate")) === y).count()
+    assert(rows.flatMap(r => Option(r.getAs[Any]("n96")))
+      .map(_.asInstanceOf[Long]).sum == yr(1996))
+    assert(rows.flatMap(r => Option(r.getAs[Any]("n97")))
+      .map(_.asInstanceOf[Long]).sum == yr(1997))
+  }
 }

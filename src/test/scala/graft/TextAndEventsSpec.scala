@@ -725,4 +725,25 @@ class TextAndEventsSpec extends SparkSpecBase {
       .filter(col("ts").isNotNull).count()
     assert(sfRows.map(_.getAs[Long]("n_events")).sum == nEvents)
   }
+
+  test("t14 code detection: symbol-dense doc flags, prose doesn't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t14").toString
+    val code = "def f(x) { return (x + 1) * g(x); } // if (x > 0) { y = 2; }"
+    val prose = "this is a perfectly ordinary sentence about nothing at all"
+    Seq((1L, code), (2L, prose), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(coalesce(col("text"), lit(""))).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("t14_code_detect", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sym"), r.getAs[Boolean]("is_code")))).toMap
+    assert(got(1L)._2, got(1L).toString)
+    assert(!got(2L)._2 && got(2L)._1 == 0L)
+    assert(got(3L) == ((0L, false))) // NULL text: empty, not code
+    // sf corpus is word salad — no doc should route as code
+    assert(run("t14_code_detect").collect()
+      .forall(!_.getAs[Boolean]("is_code")))
+  }
 }
