@@ -131,6 +131,36 @@ object GraphOps {
            |FROM r$Iters
            |ORDER BY rank DESC, node_type, node_key LIMIT 20""".stripMargin)),
 
+    // ---------------------------------------------------------------- g03
+    // CONNECTED COMPONENTS as a first-class graph query: the O(log n)
+    // large-star/small-star engine (shared with d08's dup groups) run on
+    // the purchase graph, rolled up to a component-size histogram —
+    // |distinct sizes| rows at any scale. The oracle computes the same
+    // labels by transitive closure (recursive CTE) + min-reachable-node
+    // — fine at oracle scale, impossible at 100 TB, which is exactly why
+    // the star algorithm exists; the planted GraphSpec corpus pins
+    // multi-component behavior (sf graphs are one giant component).
+    "g03_components" -> QueryDef(
+      build = (s, d) => {
+        val edges = purchaseEdges(s, d)
+          .select(col("u").as("a_id"), col("v").as("b_id"))
+        val (labels, _) = ConnectedComponents.run(edges)
+        labels.groupBy("group_rep").agg(count(lit(1)).as("sz"))
+          .groupBy("sz").agg(count(lit(1)).as("n_components"))
+          .orderBy("sz")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $sqlEdges,
+           |r AS (
+           |  SELECT u AS node, u AS rch FROM e
+           |  UNION
+           |  SELECT e.u AS node, r.rch
+           |  FROM e JOIN r ON r.node = e.v),
+           |lab AS (SELECT node, min(rch) AS rep FROM r GROUP BY node),
+           |cs AS (SELECT rep, count(*) AS sz FROM lab GROUP BY rep)
+           |SELECT sz, count(*) AS n_components
+           |FROM cs GROUP BY sz ORDER BY sz""".stripMargin)),
+
     // ---------------------------------------------------------------- g02
     // Degree distribution of the purchase graph, per side: how many
     // customers touch k suppliers (and vice versa). The pre-flight

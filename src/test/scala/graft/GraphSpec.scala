@@ -89,6 +89,28 @@ class GraphSpec extends SparkSpecBase {
     assert(hist(("supplier", 1L)) == 1L)
   }
 
+  test("g03 components: planted graph splits into the two known islands") {
+    // plantedDir's graph: {1,2,3,10,11,12} all connect through customer
+    // 1 / supplier 10... except customer 4—supplier 12 bridges in too:
+    // one component of 7. Add an isolated pair via a second planted dir.
+    val one = run("g03_components", plantedDir).collect()
+      .map(r => r.getAs[Long]("sz") -> r.getAs[Long]("n_components")).toMap
+    assert(one == Map(7L -> 1L))
+    // two disjoint purchase islands → two components of the right sizes
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("g03").toString
+    val pairs = Seq((1L, 10L), (2L, 10L), (5L, 20L)) // {1,2,10} and {5,20}
+    pairs.zipWithIndex.map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    pairs.zipWithIndex.map { case ((_, su), i) => (i.toLong, su) }
+      .toDF("l_orderkey", "l_suppkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val two = run("g03_components", dir).collect()
+      .map(r => r.getAs[Long]("sz") -> r.getAs[Long]("n_components")).toMap
+    assert(two == Map(2L -> 1L, 3L -> 1L))
+  }
+
   test("g01 runs non-empty on sf0.001 with bounded output") {
     val rows = run("g01_pagerank").collect()
     assert(rows.length == 20) // top-20 cap binds on the real tables
