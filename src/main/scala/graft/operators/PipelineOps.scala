@@ -541,6 +541,28 @@ object PipelineOps {
                CAST(sum(emails) AS BIGINT) AS n_emails,
                CAST(sum(phones) AS BIGINT) AS n_phones,
                CAST(sum(longnums) AS BIGINT) AS n_longnums
-        FROM h GROUP BY source ORDER BY source"""))
+        FROM h GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- x14
+    // DETERMINISTIC PSEUDONYMIZATION: user ids replaced by md5
+    // surrogates — stable across runs/tables (any table keyed by the
+    // same id pseudonymizes consistently, so joins still work), not
+    // reversible without the id list, and analytics-preserving: the
+    // per-surrogate activity histogram below IS the per-user histogram
+    // under new names (top-20 shown; count-distinct preservation is
+    // spec-pinned). Pure map-side rewrite + one aggregation.
+    "x14_pseudonymize" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "events")
+          .select(md5(col("user_id").cast("string").cast("binary"))
+            .as("surrogate"))
+          .groupBy("surrogate").agg(count(lit(1)).as("n_events"))
+          .orderBy(desc("n_events"), asc("surrogate"))
+          .limit(20),
+      oracle = Some("""
+        SELECT md5(CAST(user_id AS VARCHAR)) AS surrogate,
+               count(*) AS n_events
+        FROM events GROUP BY 1
+        ORDER BY n_events DESC, surrogate LIMIT 20"""))
   )
 }

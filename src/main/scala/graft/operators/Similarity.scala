@@ -1342,6 +1342,102 @@ object Similarity {
         SELECT q.q_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
                CAST(coalesce(h.h, 0) AS DOUBLE) / $TOPK AS recall_at_k
         FROM q LEFT JOIN h ON h.q_id = q.q_id
+        ORDER BY q.q_id""")),
+
+    // ---------------------------------------------------------------- a19
+    // FILTERED VECTOR SEARCH: top-k under a metadata predicate
+    // (label = query's label), PRE-FILTER (exact: filter candidates,
+    // then rank — the correct answer) vs POST-FILTER (rank globally to
+    // depth 50, then filter — the cheap shortcut every vector store
+    // tempts you with). Output: per query, the post-filter survivor
+    // count and its recall against the pre-filter truth — quantifying
+    // exactly what the shortcut loses when the predicate is selective.
+    // Both passes are a01's broadcast-scan shape; the predicate reaches
+    // the scan in the pre-filter plan.
+    "a19_filtered_ann" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < QUERY_IDS_BELOW)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+            col("label").as("q_label"))
+        val c = e.filter(col("vec_id") >= QUERY_IDS_BELOW)
+        // pre-filter: restrict candidates to the query's label FIRST
+        val wPre = Window.partitionBy("q_id")
+          .orderBy(desc("cs"), asc("vec_id"))
+        val pre = c.join(broadcast(q), col("label") === col("q_label"))
+          .select(col("q_id"), col("vec_id"),
+            VectorFns.cosine(col("qv"), col("embedding")).as("cs"))
+          .withColumn("rk", row_number().over(wPre))
+          .filter(col("rk") <= TOPK)
+          .select(col("q_id"), col("vec_id"))
+        // post-filter: global depth-50 ranking, THEN the predicate
+        val wPost = Window.partitionBy("q_id")
+          .orderBy(desc("cs"), asc("vec_id"))
+        val post = c.crossJoin(broadcast(q.select(col("q_id"), col("qv"),
+            col("q_label"))))
+          .select(col("q_id"), col("vec_id"), col("label"), col("q_label"),
+            VectorFns.cosine(col("qv"), col("embedding")).as("cs"))
+          .withColumn("rk", row_number().over(wPost))
+          .filter(col("rk") <= 50 && col("label") === col("q_label"))
+          .withColumn("frk", row_number().over(
+            Window.partitionBy("q_id").orderBy("rk")))
+          .filter(col("frk") <= TOPK)
+          .select(col("q_id").as("pq"), col("vec_id").as("pv"))
+        val hits = pre.join(post,
+            col("q_id") === col("pq") && col("vec_id") === col("pv"))
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        val survivors = post.groupBy("pq").agg(count(lit(1)).as("nf"))
+        q.select("q_id")
+          .join(survivors, col("q_id") === col("pq"), "left")
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("nf"), lit(0L)).as("n_postfilter"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / TOPK)
+              .as("recall_vs_prefilter"))
+          .orderBy("q_id")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qv, label AS q_label
+                   FROM embeddings WHERE vec_id < $QUERY_IDS_BELOW),
+        c AS (SELECT vec_id, embedding, label FROM embeddings
+              WHERE vec_id >= $QUERY_IDS_BELOW),
+        pre AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q.q_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY list_cosine_similarity(qv::DOUBLE[],
+                       c.embedding::DOUBLE[]) DESC NULLS LAST, c.vec_id)
+                     AS rk
+            FROM q JOIN c ON c.label = q.q_label) z
+          WHERE rk <= $TOPK),
+        post AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id, lbl_ok,
+                   row_number() OVER (PARTITION BY q_id ORDER BY rk)
+                     AS frk
+            FROM (
+              SELECT q.q_id, c.vec_id,
+                     c.label = q.q_label AS lbl_ok,
+                     row_number() OVER (PARTITION BY q.q_id
+                       ORDER BY list_cosine_similarity(qv::DOUBLE[],
+                         c.embedding::DOUBLE[]) DESC NULLS LAST,
+                         c.vec_id) AS rk
+              FROM q CROSS JOIN c) g
+            WHERE rk <= 50 AND lbl_ok) z
+          WHERE frk <= $TOPK),
+        sv AS (SELECT q_id, count(*) AS nf FROM post GROUP BY 1),
+        h AS (SELECT p.q_id, count(*) AS h
+              FROM pre p JOIN post o
+                ON o.q_id = p.q_id AND o.vec_id = p.vec_id
+              GROUP BY 1)
+        SELECT q.q_id,
+               CAST(coalesce(sv.nf, 0) AS BIGINT) AS n_postfilter,
+               CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.h, 0) AS DOUBLE) / $TOPK
+                 AS recall_vs_prefilter
+        FROM q LEFT JOIN sv ON sv.q_id = q.q_id
+        LEFT JOIN h ON h.q_id = q.q_id
         ORDER BY q.q_id"""))
   )
 }

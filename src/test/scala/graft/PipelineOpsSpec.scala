@@ -241,4 +241,25 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got("s1") == ((2L, 2L, 2L, 1L)))
     assert(got("s2") == ((0L, 0L, 0L, 0L)))
   }
+
+  test("x14 pseudonymization is collision-free and analytics-preserving") {
+    val ev = Tables(spark, sf, "events")
+    // the surrogate space is collision-free on this corpus
+    val users = ev.select("user_id").distinct().count()
+    val surrogates = ev
+      .select(md5(col("user_id").cast("string").cast("binary")).as("s"))
+      .distinct().count()
+    assert(surrogates == users)
+    // the top-20 surrogate histogram IS the top-20 user histogram
+    val top = run("x14_pseudonymize").collect()
+      .map(r => r.getAs[String]("surrogate") -> r.getAs[Long]("n_events"))
+    val byUser = ev.groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n"))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sur(u: Long) = md.digest(u.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expect = byUser.map { case (u, n) => sur(u) -> n }
+      .sortBy { case (s, n) => (-n, s) }.take(20)
+    assert(top.toSeq == expect.toSeq)
+  }
 }

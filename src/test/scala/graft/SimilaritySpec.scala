@@ -511,4 +511,29 @@ class SimilaritySpec extends SparkSpecBase {
     assert(planted.length == 5)
     planted.foreach(r => assert(r.getAs[Double]("recall_at_k") == 1.0))
   }
+
+  test("a19 filtered ANN: post-filter ⊆ depth-50; single-label corpus is lossless") {
+    val rows = run("a19_filtered_ann").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nf = r.getAs[Long]("n_postfilter"); val h = r.getAs[Long]("n_hits")
+      assert(nf <= 10L && h <= nf) // hits only among survivors
+      assert(r.getAs[Double]("recall_vs_prefilter") == h.toDouble / 10)
+    }
+    // post-filtering genuinely loses something on the mixed-label corpus
+    assert(rows.exists(_.getAs[Double]("recall_vs_prefilter") < 1.0))
+    // single-label planted corpus: the predicate filters nothing, so
+    // post-filter ≡ pre-filter and recall is exactly 1.0 everywhere
+    import spark.implicits._
+    val dir = Files.createTempDirectory("a19").toString
+    (0L until 40L).map { i =>
+      val a = new Array[Float](64); a((i % 4L).toInt) = 1f; (i, a, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val planted = run("a19_filtered_ann", dir).collect()
+    assert(planted.nonEmpty)
+    planted.foreach(r =>
+      assert(r.getAs[Double]("recall_vs_prefilter") == 1.0, r.toString))
+  }
 }
