@@ -563,6 +563,62 @@ object PipelineOps {
         SELECT md5(CAST(user_id AS VARCHAR)) AS surrogate,
                count(*) AS n_events
         FROM events GROUP BY 1
-        ORDER BY n_events DESC, surrogate LIMIT 20"""))
+        ORDER BY n_events DESC, surrogate LIMIT 20""")),
+
+    // ---------------------------------------------------------------- x15
+    // DATA-CONTRACT checks (dbt-test style): declarative quality rules —
+    // key uniqueness, NOT NULL, value ranges, referential integrity —
+    // evaluated as aggregations/anti-joins, one violations-count row per
+    // rule. The ingestion gate a 100 TB pipeline runs before promoting a
+    // snapshot: every rule is a single scan or key-partitioned anti-join
+    // (the referential check is the same shape as q22), output is
+    // |rules| rows.
+    "x15_contract_check" -> QueryDef(
+      build = (s, d) => {
+        val orders = t(s, d, "orders")
+        val lineitem = t(s, d, "lineitem")
+        val events = t(s, d, "events")
+        def rule(name: String, viol: org.apache.spark.sql.DataFrame) =
+          viol.agg(count(lit(1)).as("n_violations"))
+            .select(lit(name).as("rule"), col("n_violations"))
+        rule("orders.o_orderkey unique",
+            orders.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+              .filter(col("c") > 1))
+          .unionByName(rule("orders.o_custkey not null",
+            orders.filter(col("o_custkey").isNull)))
+          .unionByName(rule("lineitem.l_quantity in [1,50]",
+            lineitem.filter(col("l_quantity") < 1 || col("l_quantity") > 50)))
+          .unionByName(rule("lineitem.l_discount in [0,0.1]",
+            lineitem.filter(col("l_discount") < 0 || col("l_discount") > 0.1)))
+          .unionByName(rule("lineitem.l_orderkey refs orders",
+            lineitem.select("l_orderkey").distinct()
+              .join(orders.select(col("o_orderkey")),
+                col("l_orderkey") === col("o_orderkey"), "left_anti")))
+          .unionByName(rule("events.ts not null",
+            events.filter(col("ts").isNull)))
+          .orderBy("rule")
+      },
+      oracle = Some("""
+        SELECT rule, n_violations FROM (
+          SELECT 'orders.o_orderkey unique' AS rule,
+                 CAST(count(*) AS BIGINT) AS n_violations
+          FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1) z
+          UNION ALL
+          SELECT 'orders.o_custkey not null', CAST(count(*) AS BIGINT)
+          FROM orders WHERE o_custkey IS NULL
+          UNION ALL
+          SELECT 'lineitem.l_quantity in [1,50]', CAST(count(*) AS BIGINT)
+          FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+          UNION ALL
+          SELECT 'lineitem.l_discount in [0,0.1]', CAST(count(*) AS BIGINT)
+          FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1
+          UNION ALL
+          SELECT 'lineitem.l_orderkey refs orders', CAST(count(*) AS BIGINT)
+          FROM (SELECT DISTINCT l_orderkey FROM lineitem
+                WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) z
+          UNION ALL
+          SELECT 'events.ts not null', CAST(count(*) AS BIGINT)
+          FROM events WHERE ts IS NULL) r
+        ORDER BY rule"""))
   )
 }

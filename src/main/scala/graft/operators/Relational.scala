@@ -1263,7 +1263,33 @@ object Relational {
         SELECT coalesce(a.k, b.k) AS prio_key, a.n96, b.n97,
                a.k IS NULL AND a.n96 IS NOT NULL AS is_null_key
         FROM a FULL OUTER JOIN b ON a.k IS NOT DISTINCT FROM b.k
-        ORDER BY prio_key ASC NULLS FIRST"""))
+        ORDER BY prio_key ASC NULLS FIRST""")),
+
+    // ---------------------------------------------------------------- q47
+    // WIDTH_BUCKET numeric histogram: extended-price distribution over
+    // 20 equal bins on integer-cent edges (the bin function runs on
+    // exact BIGINT cents, so bucket membership can never flip on a
+    // float boundary). One map-side bucket assignment + hash aggregate;
+    // 22 rows max (bins + under/overflow) at any scale.
+    "q47_price_histogram" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .select(floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+            .as("cents"))
+          .select(width_bucket(col("cents"), lit(0L), lit(10000000L),
+            lit(20)).as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      oracle = Some("""
+        WITH c AS (
+          SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+          FROM lineitem)
+        SELECT CAST(CASE WHEN cents < 0 THEN 0
+                         WHEN cents >= 10000000 THEN 21
+                         ELSE cents * 20 // 10000000 + 1 END AS BIGINT)
+                 AS bucket,
+               count(*) AS n
+        FROM c GROUP BY 1 ORDER BY bucket"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

@@ -262,4 +262,40 @@ class PipelineOpsSpec extends SparkSpecBase {
       .sortBy { case (s, n) => (-n, s) }.take(20)
     assert(top.toSeq == expect.toSeq)
   }
+
+  test("x15 contracts: clean corpus passes; planted violations counted") {
+    import spark.implicits._
+    // the shipped testdata satisfies every contract
+    val clean = run("x15_contract_check").collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+    assert(clean.length == 6)
+    assert(clean.forall(_._2 == 0L), clean.mkString(", "))
+    // planted: dup orderkey, NULL custkey, qty 99, dangling lineitem ref
+    val dir = java.nio.file.Files.createTempDirectory("x15").toString
+    Seq((1L, Some(10L)), (1L, Some(11L)), (2L, None))
+      .toDF("o_orderkey", "o_custkey")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_totalprice", lit(1.0))
+      .withColumn("o_orderdate", lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .withColumn("o_orderpriority", lit("2-HIGH"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, 5.0, 0.05), (1L, 99.0, 0.05), (7L, 3.0, 0.5))
+      .toDF("l_orderkey", "l_quantity", "l_discount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, Option(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))),
+        (2L, Option.empty[java.sql.Timestamp]))
+      .toDF("event_id", "ts")
+      .withColumn("user_id", lit(1L)).withColumn("event_type", lit("view"))
+      .withColumn("value", lit(1.0)).withColumn("props", lit("""{"k":1}"""))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("x15_contract_check", dir).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_violations"))
+      .toMap
+    assert(got("orders.o_orderkey unique") == 1L)
+    assert(got("orders.o_custkey not null") == 1L)
+    assert(got("lineitem.l_quantity in [1,50]") == 1L)
+    assert(got("lineitem.l_discount in [0,0.1]") == 1L)
+    assert(got("lineitem.l_orderkey refs orders") == 1L) // key 7 dangles
+    assert(got("events.ts not null") == 1L)
+  }
 }

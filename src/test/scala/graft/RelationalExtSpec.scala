@@ -211,4 +211,19 @@ class RelationalExtSpec extends SparkSpecBase {
     assert(rows.flatMap(r => Option(r.getAs[Any]("n97")))
       .map(_.asInstanceOf[Long]).sum == yr(1997))
   }
+
+  test("q47 histogram: mass conserved, bucket function replays exactly") {
+    val rows = run("q47_price_histogram").collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("n")).toMap
+    assert(rows.values.sum == Tables(spark, sf, "lineitem").count())
+    assert(rows.keys.forall(b => b >= 0L && b <= 21L))
+    // replay: every price lands in width_bucket(cents, 0, 1e7, 20)
+    val expect = Tables(spark, sf, "lineitem")
+      .select("l_extendedprice").collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong)
+      .map(c => if (c < 0) 0L else if (c >= 10000000L) 21L
+                else c * 20 / 10000000L + 1)
+      .groupBy(identity).map { case (b, g) => b -> g.length.toLong }
+    assert(rows == expect)
+  }
 }
