@@ -408,6 +408,53 @@ object ScaleProbe {
       row(n, "e20")(qe("e20_bot_detect").count())
       graft.operators.HotCache.releaseAll()
     }
+    // r9f leg: the sixth-batch operators. e21's native session_window is
+    // a user-keyed hash aggregate with merge — cpu ~linear, shuffle the
+    // per-user event stream; g03's star CC rounds are bytes-bounded (the
+    // cc leg pins the round count separately); t14/x13 are map-side
+    // regexp scans; x15 is five scans + one key-partitioned anti-join.
+    println(f"${"rows"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("r9f")) {
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "t14")(q("t14_code_detect").count())
+      row(n, "x13")(q("x13_pii_report").count())
+      val gdir = s"/tmp/graft-probe-graph-$n"
+      spark.range(n / 4).select(
+        col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id")), lit(math.max(n / 400, 4)))
+          .as("o_custkey"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$gdir/orders.parquet")
+      spark.range(n).select(
+        pmod(col("id"), lit(n / 4)).as("l_orderkey"),
+        pmod(xxhash64(col("id"), lit(2)), lit(math.max(n / 2000, 10)))
+          .as("l_suppkey"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$gdir/lineitem.parquet")
+      row(n, "g03")(
+        graft.SparkEntry.queries("g03_components")(spark, gdir).count())
+      val edir = s"/tmp/graft-probe-ev-$n"
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        pmod(col("id"), lit(math.max(n / 100, 1))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("scroll")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$edir/events.parquet")
+      row(n, "e21")(
+        graft.SparkEntry.queries("e21_native_sessions")(spark, edir).count())
+      graft.operators.HotCache.releaseAll()
+    }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the
