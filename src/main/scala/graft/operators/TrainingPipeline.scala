@@ -1018,6 +1018,73 @@ object TrainingPipeline {
                  + GROUPING(f_rep) AS BIGINT) AS gid,
                count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens
         FROM f GROUP BY CUBE(f_len, f_stop, f_rep)
-        ORDER BY gid, f_len, f_stop, f_rep"""))
+        ORDER BY gid, f_len, f_stop, f_rep""")),
+
+    // ---------------------------------------------------------------- p21
+    // TEMPERATURE (α) SAMPLING — the mBERT/XLM multilingual rebalance:
+    // per-lang keep rate r_l = (T_min / T_l)^(1−α) with α = 0.3, so the
+    // scarcest language keeps 100% and rich languages are damped
+    // sub-linearly (softer than p12's hard water-fill). The only float
+    // is ONE pow per LANGUAGE (not per row), 6-dp-rounded on both
+    // engines before the integer 16-bit threshold — so the per-doc keep
+    // decision is exact integer compare, rerun/shard-stable, and a
+    // 1-ulp libm pow divergence sits 4 orders below the rounding grid.
+    // Map-side draw vs a broadcast |langs|-row threshold table.
+    "p21_alpha_sampling" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+        val totals = docs.groupBy("lang")
+          .agg(sum("ntok").as("t_tok"), count(lit(1)).as("n_docs"))
+        val tmin = totals.agg(min("t_tok").as("t_min"))
+        val thr = totals.crossJoin(broadcast(tmin))
+          .withColumn("r6", round(
+            pow(col("t_min").cast("double") / col("t_tok"), 0.7), 6))
+          .withColumn("keep_thr",
+            floor(col("r6") * 65536.0 + 0.5).cast("long"))
+        val draw = conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 4), 16, 10).cast("long")
+        val kept = docs.withColumn("v", draw)
+          .join(broadcast(thr.select("lang", "keep_thr")), "lang")
+          .filter(col("v") < col("keep_thr"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs_kept"), sum("ntok").as("tokens_kept"))
+        thr.join(kept, Seq("lang"), "left")
+          .select(col("lang"), col("n_docs").as("docs_total"),
+            col("t_tok").as("tokens_total"), col("keep_thr"),
+            coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH docs AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok
+          FROM documents),
+        totals AS (
+          SELECT lang, CAST(sum(ntok) AS BIGINT) AS t_tok,
+                 count(*) AS n_docs
+          FROM docs GROUP BY lang),
+        mn AS (SELECT min(t_tok) AS t_min FROM totals),
+        thr AS (
+          SELECT lang, t_tok, n_docs,
+                 CAST(floor(round(pow(CAST(t_min AS DOUBLE) / t_tok, 0.7), 6)
+                   * 65536.0 + 0.5) AS BIGINT) AS keep_thr
+          FROM totals CROSS JOIN mn),
+        kept AS (
+          SELECT d.lang, count(*) AS docs_kept,
+                 CAST(sum(d.ntok) AS BIGINT) AS tokens_kept
+          FROM docs d JOIN thr t ON t.lang = d.lang
+          WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                  < t.keep_thr
+          GROUP BY d.lang)
+        SELECT t.lang, t.n_docs AS docs_total, t.t_tok AS tokens_total,
+               t.keep_thr,
+               CAST(coalesce(k.docs_kept, 0) AS BIGINT) AS docs_kept,
+               CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
+        FROM thr t LEFT JOIN kept k ON k.lang = t.lang
+        ORDER BY t.lang"""))
   )
 }

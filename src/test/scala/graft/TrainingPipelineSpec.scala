@@ -461,4 +461,29 @@ class TrainingPipelineSpec extends SparkSpecBase {
     val lenMarginal = rows.filter(r => r._4 == 3L)
     assert(lenMarginal.map(_._1).toSet.subsetOf(Set("pass", "fail")))
   }
+
+  test("p21 alpha sampling: scarcest lang keeps all; damping is sub-linear") {
+    val rows = run("p21_alpha_sampling").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("tokens_total"),
+        r.getAs[Long]("keep_thr"), r.getAs[Long]("docs_total"),
+        r.getAs[Long]("docs_kept")))
+    assert(rows.nonEmpty)
+    // the argmin lang's threshold is the full 16-bit range: keeps 100%
+    val scarcest = rows.minBy(_._2)
+    assert(scarcest._3 == 65536L)
+    assert(scarcest._5 == scarcest._4)
+    // thresholds replay: floor(round((Tmin/Tl)^0.7, 6) * 65536 + 0.5)
+    val tmin = rows.map(_._2).min.toDouble
+    rows.foreach { case (lang, t, thr, _, _) =>
+      val r6 = BigDecimal(java.math.BigDecimal.valueOf(
+        math.pow(tmin / t, 0.7)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(thr == math.floor(r6 * 65536.0 + 0.5).toLong, lang)
+    }
+    // alpha damping is SOFTER than proportional: every keep rate
+    // exceeds the proportional rate Tmin/Tl (p12's hard water-fill)
+    rows.foreach { case (lang, t, thr, _, _) =>
+      assert(thr.toDouble / 65536.0 >= tmin / t - 1e-9, lang)
+    }
+  }
 }
