@@ -262,6 +262,24 @@ object EventsStream {
       .select(col("window.start").as("day_start"), col("dau"))
   }
 
+  /** Streaming twin of the batch e21: Spark's NATIVE session_window
+    * aggregation under a watermark — sessions merge as events arrive
+    * (late events inside the allowance extend/merge windows) and emit
+    * once the watermark passes their end (Append). State = open
+    * sessions per user inside the horizon; no custom state code at all,
+    * which is the point of e21's formulation.
+    */
+  def nativeSessions(events: DataFrame, gap: String = "30 minutes",
+                     watermark: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"))
+  }
+
   final case class StreakState(days: Seq[Long])
   final case class Streak(userId: Long, longestStreak: Int, nStreaks: Int,
                           nActiveDays: Int)

@@ -58,7 +58,7 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "d17_bloom_incremental", "p17_datasheet", "p18_kfold_split",
     "x10_compaction_plan", "m06_blob_entropy", "d18_detector_eval",
     "m07_magic_sniff", "p20_filter_ablation", "t14_code_detect",
-    "x13_pii_report")
+    "x13_pii_report", "p21_alpha_sampling")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

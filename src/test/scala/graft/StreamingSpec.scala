@@ -422,6 +422,39 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("nativeSessions merges late in-allowance events and closes on watermark") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = EventsStream.nativeSessions(
+        input.toDF().toDF("ts", "user_id"),
+        gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("nsessions")
+      .outputMode("append").start()
+    try {
+      // two separate bursts arrive FIRST...
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), 1L),
+        (Timestamp.valueOf("2024-01-01 10:50:00"), 1L))
+      q.processAllAvailable()
+      // ...then the bridging event (10:25, inside the 1 h allowance)
+      // MERGES them into one session
+      input.addData((Timestamp.valueOf("2024-01-01 10:25:00"), 1L))
+      q.processAllAvailable()
+      // watermark far past the session end closes and emits it
+      input.addData((Timestamp.valueOf("2024-01-01 14:00:00"), 2L))
+      q.processAllAvailable()
+      input.addData((Timestamp.valueOf("2024-01-01 16:00:00"), 3L))
+      q.processAllAvailable()
+      val got = spark.table("nsessions").collect()
+        .filter(_.getAs[Long]("user_id") == 1L)
+      assert(got.length == 1) // ONE merged session, not two
+      assert(got.head.getAs[Long]("n_events") == 3L)
+      assert(got.head.getAs[Timestamp]("session_end").toString
+        .startsWith("2024-01-01 11:20")) // 10:50 + 30 min
+    } finally q.stop()
+  }
+
   test("dauTracker counts each user once per closed day") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
