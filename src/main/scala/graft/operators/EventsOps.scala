@@ -903,6 +903,111 @@ object EventsOps {
                  ${graft.functions.AggFns.sqlDsum("value")} AS total
           FROM s GROUP BY 1, 2)
         SELECT user_id, session_start, session_end, n_events, total
-        FROM g ORDER BY user_id, session_start"""))
+        FROM g ORDER BY user_id, session_start""")),
+
+    // ---------------------------------------------------------------- e22
+    // Conversion-lag distribution: per user, first view → first purchase
+    // AFTER that view, lag bucketed on FIXED integer-microsecond
+    // boundaries (1m/10m/1h/6h/1d) — no float or log touches a bucket
+    // edge, so the histogram is engine- and partition-order-exact. Two
+    // user-keyed hash aggregates + one join; output ≤ 6 rows at any
+    // scale. The product question behind it: how long a attribution /
+    // retargeting window actually needs to be.
+    "e22_conversion_lag" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "events")
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("tv"))
+        val p = e.filter(col("event_type") === "purchase").alias("pe")
+          .join(v, Seq("user_id"))
+          .filter(col("pe.ts") > col("tv"))
+          .groupBy("user_id", "tv").agg(min("ts").as("tp"))
+        val lagUs = unix_micros(col("tp").cast("timestamp")) -
+          unix_micros(col("tv").cast("timestamp"))
+        val m = 60L * 1000000L
+        p.withColumn("lag_us", lagUs)
+          .withColumn("ord",
+            when(col("lag_us") < m, 1L)
+              .when(col("lag_us") < 10L * m, 2L)
+              .when(col("lag_us") < 60L * m, 3L)
+              .when(col("lag_us") < 360L * m, 4L)
+              .when(col("lag_us") < 1440L * m, 5L)
+              .otherwise(6L))
+          .withColumn("bucket",
+            when(col("ord") === 1L, "lt_1m")
+              .when(col("ord") === 2L, "1m_10m")
+              .when(col("ord") === 3L, "10m_1h")
+              .when(col("ord") === 4L, "1h_6h")
+              .when(col("ord") === 5L, "6h_1d")
+              .otherwise("ge_1d"))
+          .groupBy("ord", "bucket").agg(count(lit(1)).as("n_users"))
+          .orderBy("ord")
+      },
+      oracle = Some("""
+        WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        p AS (SELECT e.user_id, v.tv, min(e.ts) AS tp
+              FROM events e JOIN v ON e.user_id = v.user_id
+               AND e.ts > v.tv
+              WHERE e.event_type = 'purchase'
+              GROUP BY e.user_id, v.tv),
+        l AS (SELECT epoch_us(CAST(tp AS TIMESTAMP))
+                   - epoch_us(CAST(tv AS TIMESTAMP)) AS lag_us FROM p),
+        b AS (SELECT CASE
+                WHEN lag_us < 60000000 THEN 1
+                WHEN lag_us < 600000000 THEN 2
+                WHEN lag_us < 3600000000 THEN 3
+                WHEN lag_us < 21600000000 THEN 4
+                WHEN lag_us < 86400000000 THEN 5
+                ELSE 6 END AS ord FROM l)
+        SELECT CAST(ord AS BIGINT) AS ord,
+               CASE ord WHEN 1 THEN 'lt_1m' WHEN 2 THEN '1m_10m'
+                        WHEN 3 THEN '10m_1h' WHEN 4 THEN '1h_6h'
+                        WHEN 5 THEN '6h_1d' ELSE 'ge_1d' END AS bucket,
+               count(*) AS n_users
+        FROM b GROUP BY ord ORDER BY ord""")),
+
+    // ---------------------------------------------------------------- e23
+    // Robust daily-volume anomaly detection: per event type, flag days
+    // whose count deviates from the type's MEDIAN by more than 3× the
+    // median absolute deviation — the outlier-immune twin of e07's
+    // mean/σ z-score (one broken day can't drag the baseline the way it
+    // drags a mean). Exact cross-engine: counts are integers, medians
+    // interpolate to exact binary fractions (.5/.25 steps — quantile_cont
+    // semantics on both engines), so every comparison is IEEE-exact with
+    // no rounding near a boundary. The percentile aggregates see only the
+    // |days|-per-type table (≤31 rows/group), never event volume.
+    "e23_daily_anomaly" -> QueryDef(
+      build = (s, d) => {
+        val cnt = t(s, d, "events")
+          .select(date_trunc("day", col("ts").cast("timestamp")).as("day"),
+            col("event_type"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        val med = cnt.groupBy("event_type")
+          .agg(expr("percentile(n, 0.5)").as("med"))
+        val dev = cnt.join(med, "event_type")
+          .withColumn("dev", abs(col("n").cast("double") - col("med")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("percentile(dev, 0.5)").as("mad"))
+        dev.join(mad, "event_type")
+          .select(col("event_type"), col("day"), col("n"), col("med"),
+            col("mad"), (col("dev") > col("mad") * 3).as("anomalous"))
+          .orderBy("event_type", "day")
+      },
+      oracle = Some("""
+        WITH cnt AS (
+          SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+                FROM cnt GROUP BY 1),
+        dev AS (SELECT c.*, m.med, abs(CAST(c.n AS DOUBLE) - m.med) AS dev
+                FROM cnt c JOIN med m USING (event_type)),
+        mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+                FROM dev GROUP BY 1)
+        SELECT d.event_type, d.day, d.n, d.med, m.mad,
+               d.dev > m.mad * 3 AS anomalous
+        FROM dev d JOIN mad m USING (event_type)
+        ORDER BY d.event_type, d.day"""))
   )
 }

@@ -161,6 +161,86 @@ object GraphOps {
            |SELECT sz, count(*) AS n_components
            |FROM cs GROUP BY sz ORDER BY sz""".stripMargin)),
 
+    // ---------------------------------------------------------------- g04
+    // Market-basket pair mining: part pairs co-purchased within the same
+    // order, ranked by co-occurrence count (frequent-itemset "lite", the
+    // k=2 slice that drives recommend/affinity features). The self-join
+    // keys on l_orderkey, so after ONE hash shuffle both sides are
+    // co-partitioned and the pair fan-out is bounded per order by the
+    // order's own line count (TPC-H ≤ 7 lines → ≤ 21 pairs) — linear in
+    // lineitem at any corpus size, never quadratic in parts. Top-20 with
+    // full-key tie-break plans as a bounded TakeOrderedAndProject heap.
+    "g04_copurchase" -> QueryDef(
+      build = (s, d) => {
+        val li = t(s, d, "lineitem")
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val a = li.select(col("ok"), col("pk").as("p1"))
+        val b = li.select(col("ok"), col("pk").as("p2"))
+        a.join(b, Seq("ok"))
+          .filter(col("p1") < col("p2"))
+          .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+          .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+                    FROM lineitem)
+        SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_orders
+        FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, p1, p2 LIMIT 20""")),
+
+    // ---------------------------------------------------------------- g05
+    // Bipartite-projection similarity: supplier pairs ranked by shared
+    // customers with exact-integer Jaccard (basis points). The naive
+    // projection is quadratic in a hub customer's supplier list, so the
+    // inverted index applies the standard HUB CAP first: customers whose
+    // supplier degree exceeds 64 are dropped from pair generation (they
+    // connect everyone to everyone and carry no similarity signal —
+    // same reasoning as stop-shingle removal in d05). Per-customer
+    // fan-out is then ≤ C(64,2), linear overall; per-supplier degrees
+    // come from the UNCAPPED table so the Jaccard denominator is honest.
+    "g05_supplier_overlap" -> QueryDef(
+      build = (s, d) => {
+        val cs = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+          .distinct()
+        val deg = cs.groupBy("sk").agg(count(lit(1)).as("deg"))
+        val small = cs.join(
+          cs.groupBy("c").agg(count(lit(1)).as("cd")).filter(col("cd") <= 64),
+          "c")
+        val pairs = small.select(col("c"), col("sk").as("s1"))
+          .join(small.select(col("c"), col("sk").as("s2")), Seq("c"))
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+        pairs
+          .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
+          .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), "s2")
+          .select(col("s1"), col("s2"), col("shared"),
+            expr("shared * 10000 div (d1 + d2 - shared) AS jaccard_bp"))
+          .orderBy(col("shared").desc, col("s1"), col("s2"))
+          .limit(10)
+      },
+      oracle = Some("""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        deg AS (SELECT sk, count(*) AS deg FROM cs GROUP BY sk),
+        small AS (
+          SELECT cs.c, cs.sk FROM cs JOIN (
+            SELECT c FROM cs GROUP BY c HAVING count(*) <= 64) k
+          ON k.c = cs.c),
+        pairs AS (
+          SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared
+          FROM small a JOIN small b ON a.c = b.c AND a.sk < b.sk
+          GROUP BY 1, 2)
+        SELECT p.s1, p.s2, p.shared,
+               p.shared * 10000 // (d1.deg + d2.deg - p.shared) AS jaccard_bp
+        FROM pairs p JOIN deg d1 ON d1.sk = p.s1 JOIN deg d2 ON d2.sk = p.s2
+        ORDER BY p.shared DESC, p.s1, p.s2 LIMIT 10""")),
+
     // ---------------------------------------------------------------- g02
     // Degree distribution of the purchase graph, per side: how many
     // customers touch k suppliers (and vice versa). The pre-flight

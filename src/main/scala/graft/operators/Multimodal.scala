@@ -152,6 +152,62 @@ object Multimodal {
           FROM documents) z
         ORDER BY doc_id""")),
 
+    // ---------------------------------------------------------------- m08
+    "m08_blob_containment" -> QueryDef(
+      build = (s, d) => {
+        // m05's aligned 64-byte block digests, taken to PAIR level: which
+        // payload pairs share enough blocks that one (near-)contains the
+        // other — the dedup JOIN a content-addressed blob store runs,
+        // where m05 only reports per-doc exposure. Pair generation goes
+        // through the inverted block index with the standard stop-block
+        // cap (blocks in > 32 payloads are boilerplate — headers,
+        // padding — and carry no identity signal; same reasoning as
+        // d05's shingle cap), so fan-out is bounded per block and linear
+        // overall, never payload-pairs. Containment is exact integer
+        // basis points against the SMALLER side; pairs below 50% drop.
+        val chunks = t(s, d, "documents")
+          .withColumn("ch", expr(
+            "transform(sequence(0, greatest(cast(floor((length(text)-1)/64) as int), 0))," +
+              " i -> md5(cast(substring(text, i*64+1, 64) AS binary)))"))
+          .select(col("doc_id"), explode(array_distinct(col("ch"))).as("h"))
+        val per = chunks.groupBy("doc_id").agg(count(lit(1)).as("nc"))
+        val rare = chunks.join(
+          chunks.groupBy("h").agg(count(lit(1)).as("nd"))
+            .filter(col("nd").between(2, 32)), "h")
+        val shared = rare.select(col("h"), col("doc_id").as("a"))
+          .join(rare.select(col("h"), col("doc_id").as("b")), Seq("h"))
+          .filter(col("a") < col("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("shared"))
+        shared
+          .join(per.select(col("doc_id").as("a"), col("nc").as("na")), "a")
+          .join(per.select(col("doc_id").as("b"), col("nc").as("nb")), "b")
+          .select(col("a"), col("b"), col("shared"),
+            expr("shared * 10000 div least(na, nb) AS containment_bp"))
+          .filter(col("containment_bp") >= 5000)
+          .orderBy("a", "b")
+      },
+      oracle = Some("""
+        WITH ch AS (
+          SELECT DISTINCT doc_id,
+                 md5(substr(text, CAST(i*64+1 AS INT), 64)) AS h
+          FROM documents,
+               unnest(range(greatest(CAST(floor((length(text)-1)/64) AS INT), 0)
+                 + 1)) AS u(i)),
+        per AS (SELECT doc_id, count(*) AS nc FROM ch GROUP BY doc_id),
+        rare AS (
+          SELECT ch.h, ch.doc_id FROM ch JOIN (
+            SELECT h FROM ch GROUP BY h
+            HAVING count(*) BETWEEN 2 AND 32) k ON k.h = ch.h),
+        sh AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+          FROM rare x JOIN rare y ON x.h = y.h AND x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+        SELECT s.a, s.b, s.shared,
+               s.shared * 10000 // least(pa.nc, pb.nc) AS containment_bp
+        FROM sh s JOIN per pa ON pa.doc_id = s.a JOIN per pb ON pb.doc_id = s.b
+        WHERE s.shared * 10000 // least(pa.nc, pb.nc) >= 5000
+        ORDER BY s.a, s.b""")),
+
     // ---------------------------------------------------------------- m05
     // Chunk-level payload dedup (fixed-block CDC-lite): split each opaque
     // payload into aligned 64-byte blocks, digest each, and count blocks

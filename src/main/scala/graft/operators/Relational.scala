@@ -1289,7 +1289,44 @@ object Relational {
                          ELSE cents * 20 // 10000000 + 1 END AS BIGINT)
                  AS bucket,
                count(*) AS n
-        FROM c GROUP BY 1 ORDER BY bucket"""))
+        FROM c GROUP BY 1 ORDER BY bucket""")),
+
+    // ---------------------------------------------------------------- q48
+    // Relational DIVISION (universal quantification): which suppliers
+    // cover ALL brands present among size-1 parts? The textbook double-
+    // NOT-EXISTS is re-expressed as the scalable count-compare: distinct
+    // (supplier, brand) pairs → per-supplier coverage count vs the
+    // broadcast 1-row universe size. One lineitem⋈part join (planner
+    // picks SMJ once part outgrows the broadcast threshold), two hash
+    // aggregates, no correlated subquery. Emits the full coverage
+    // report (covers_all flag) so the operator is useful — and
+    // non-degenerate — even when nobody covers the whole universe;
+    // the planted spec pins the true case.
+    "q48_division" -> QueryDef(
+      build = (s, d) => {
+        val sz1 = t(s, d, "part").filter(col("p_size") === 1)
+          .select("p_partkey", "p_brand")
+        val universe = sz1.agg(countDistinct("p_brand").as("n_universe"))
+        val cover = t(s, d, "lineitem")
+          .join(sz1, col("l_partkey") === col("p_partkey"))
+          .select("l_suppkey", "p_brand").distinct()
+          .groupBy("l_suppkey").agg(count(lit(1)).as("n_brands"))
+        cover.crossJoin(broadcast(universe))
+          .select(col("l_suppkey").as("suppkey"), col("n_brands"),
+            col("n_universe"),
+            (col("n_brands") === col("n_universe")).as("covers_all"))
+          .orderBy("suppkey")
+      },
+      oracle = Some("""
+        WITH sz1 AS (SELECT p_partkey, p_brand FROM part WHERE p_size = 1),
+        u AS (SELECT count(DISTINCT p_brand) AS n_universe FROM sz1),
+        sb AS (SELECT DISTINCT l_suppkey, p_brand
+               FROM lineitem JOIN sz1 ON p_partkey = l_partkey),
+        cov AS (SELECT l_suppkey AS suppkey, count(*) AS n_brands
+                FROM sb GROUP BY 1)
+        SELECT suppkey, n_brands, n_universe,
+               n_brands = n_universe AS covers_all
+        FROM cov CROSS JOIN u ORDER BY suppkey"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

@@ -1438,6 +1438,59 @@ object Similarity {
                  AS recall_vs_prefilter
         FROM q LEFT JOIN sv ON sv.q_id = q.q_id
         LEFT JOIN h ON h.q_id = q.q_id
-        ORDER BY q.q_id"""))
+        ORDER BY q.q_id""")),
+
+    // ---------------------------------------------------------------- a20
+    // Diversified retrieval: per query, the single best match PER LABEL
+    // facet, then the top-5 facets by that best score — the "don't show
+    // five near-copies from one cluster" re-ranking every retrieval UI
+    // and every diverse-sampling data pipeline needs. Scale shape: the
+    // scored stream collapses FIRST through a (q_id, label) min-struct
+    // hash aggregate (map-side partial — never a corpus-sized window),
+    // and only the |queries|×|labels| facet table is ranked. Tie-break
+    // inside a facet: higher score, then smaller vec_id (min-struct over
+    // (-score, vec_id)); across facets: score desc, vec_id asc.
+    "a20_diverse_topk" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = queriesDf(e)
+        val c = e.filter(col("vec_id") >= QUERY_IDS_BELOW)
+        val best = c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("label"), col("vec_id"),
+            VectorFns.cosine(col("qv"), col("embedding")).as("sc"))
+          .groupBy("q_id", "label")
+          .agg(min(struct((-col("sc")).as("ns"), col("vec_id").as("vec_id")))
+            .as("b"))
+          .select(col("q_id"), col("label"),
+            col("b.vec_id").as("vec_id"), (-col("b.ns")).as("sc"))
+        val w = Window.partitionBy("q_id")
+          .orderBy(desc("sc"), asc("vec_id"))
+        best.withColumn("rk", row_number().over(w).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("q_id"), col("rk"), col("label"), col("vec_id"),
+            round(col("sc"), 4).as("score"))
+          .orderBy("q_id", "rk")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < $QUERY_IDS_BELOW),
+        c AS (SELECT vec_id, label, embedding FROM embeddings
+              WHERE vec_id >= $QUERY_IDS_BELOW),
+        sc AS (SELECT q_id, label, vec_id,
+                      list_cosine_similarity(qv::DOUBLE[],
+                        embedding::DOUBLE[]) AS sc
+               FROM q CROSS JOIN c),
+        best AS (
+          SELECT q_id, label, vec_id, sc FROM (
+            SELECT *, row_number() OVER (PARTITION BY q_id, label
+                ORDER BY sc DESC, vec_id) AS brk FROM sc) z
+          WHERE brk = 1)
+        SELECT q_id,
+               CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY sc DESC, vec_id) AS BIGINT) AS rk,
+               label, vec_id, round(sc, 4) AS score
+        FROM best
+        QUALIFY rk <= 5
+        ORDER BY q_id, rk"""))
   )
 }

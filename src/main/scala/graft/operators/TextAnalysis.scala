@@ -630,6 +630,131 @@ object TextAnalysis {
                strlen(coalesce(text, '')) > 0 AND
                  len(regexp_extract_all(coalesce(text, ''), '[{}();=<>]'))
                    * 50 >= strlen(coalesce(text, '')) AS is_code
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- t15
+    // Vocabulary-growth (Heaps' law) audit: distinct-token count at ten
+    // cumulative doc_id checkpoints — the curve that says whether a crawl
+    // is still contributing new vocabulary or re-crawling the same
+    // material (flattening = diminishing returns for tokenizer training
+    // and dedup both). Scale shape: ONE tokenize pass → per-token
+    // first-occurrence doc (min(doc_id), a hash aggregate over the token
+    // stream), then the |vocab|-row table meets a broadcast 10-row
+    // checkpoint grid map-side and collapses to 10 rows — no window, no
+    // sort, no second corpus scan (doc-level token counts ride the same
+    // grid). Checkpoint k's threshold is ((max_id+1)*k) div 10 in integer
+    // arithmetic, so both engines cut at identical doc ids.
+    "t15_vocab_growth" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(TextFns.tokens(col("text"))).as("w"))
+        val firstDoc = tok.groupBy("w").agg(min("doc_id").as("fd"))
+        val docTok = docs.select(col("doc_id"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+        val grid = docs.agg(max("doc_id").as("mx"))
+          .select(explode(sequence(lit(1L), lit(10L))).as("k"), col("mx"))
+          .selectExpr("k", "((mx + 1) * k) div 10 AS thr")
+        val vocab = firstDoc.crossJoin(broadcast(grid))
+          .groupBy("k", "thr")
+          .agg(sum(when(col("fd") < col("thr"), 1L).otherwise(0L))
+            .as("vocab_size"))
+        val toks = docTok.crossJoin(broadcast(grid))
+          .groupBy("k")
+          .agg(sum(when(col("doc_id") < col("thr"), 1L).otherwise(0L))
+            .as("n_docs"),
+            sum(when(col("doc_id") < col("thr"), col("ntok"))
+              .otherwise(0L)).as("n_tokens"))
+        vocab.join(toks, Seq("k"))
+          .select(col("k"), col("n_docs"), col("n_tokens"),
+            col("vocab_size"))
+          .orderBy("k")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+          FROM documents),
+        fd AS (SELECT w, min(doc_id) AS fd FROM tk GROUP BY w),
+        dt AS (SELECT doc_id,
+                      CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                        AS BIGINT) AS ntok
+               FROM documents),
+        grid AS (SELECT k, ((mx + 1) * k) // 10 AS thr
+                 FROM (SELECT max(doc_id) AS mx FROM documents)
+                 CROSS JOIN (SELECT unnest(range(1, 11)) AS k)),
+        v AS (SELECT k, thr,
+                     CAST(count(*) FILTER (WHERE fd < thr) AS BIGINT)
+                       AS vocab_size
+              FROM grid CROSS JOIN fd GROUP BY k, thr),
+        tt AS (SELECT k,
+                      CAST(count(*) FILTER (WHERE doc_id < thr) AS BIGINT)
+                        AS n_docs,
+                      CAST(coalesce(sum(ntok) FILTER (WHERE doc_id < thr), 0)
+                        AS BIGINT) AS n_tokens
+               FROM grid CROSS JOIN dt GROUP BY k)
+        SELECT v.k, tt.n_docs, tt.n_tokens, v.vocab_size
+        FROM v JOIN tt ON v.k = tt.k ORDER BY v.k""")),
+
+    // ---------------------------------------------------------------- t16
+    // Character-class (charset) audit per language: latin / digit /
+    // whitespace / ASCII-punct / other counts plus the other-share in
+    // exact basis points — the mojibake/encoding-corruption tripwire (a
+    // lang bucket whose "other" share jumps means a decoder broke
+    // upstream, before any tokenizer sees it). Pure map-side regexp
+    // counts per doc (classes written in the Java∩RE2 common subset,
+    // x13's rule: explicit char lists, no \s or \p{...}) collapsing to
+    // |langs| rows; the OTHER count is derived by subtraction so one
+    // scan suffices.
+    "t16_charset_audit" -> QueryDef(
+      build = (s, d) => {
+        val p = coalesce(col("text"), lit(""))
+        def cls(re: String) =
+          size(regexp_extract_all(p, lit(re), lit(0))).cast("long")
+        t(s, d, "documents")
+          .select(col("lang"),
+            length(p).cast("long").as("n_chars"),
+            cls("[a-zA-Z]").as("n_latin"),
+            cls("[0-9]").as("n_digit"),
+            cls("[ \t\n\r]").as("n_space"),
+            cls("[!-/:-@\\[-`{-~]").as("n_punct"))
+          .withColumn("n_other",
+            col("n_chars") - col("n_latin") - col("n_digit") -
+              col("n_space") - col("n_punct"))
+          .groupBy("lang")
+          .agg(sum("n_chars").as("n_chars"), sum("n_latin").as("n_latin"),
+            sum("n_digit").as("n_digit"), sum("n_space").as("n_space"),
+            sum("n_punct").as("n_punct"), sum("n_other").as("n_other"))
+          .withColumn("other_bp",
+            when(col("n_chars") === 0, 0L)
+              .otherwise(expr("n_other * 10000 div n_chars")))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT lang,
+                 CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+                 CAST(len(regexp_extract_all(coalesce(text, ''),
+                   '[a-zA-Z]')) AS BIGINT) AS n_latin,
+                 CAST(len(regexp_extract_all(coalesce(text, ''),
+                   '[0-9]')) AS BIGINT) AS n_digit,
+                 CAST(len(regexp_extract_all(coalesce(text, ''),
+                   '[ \t\n\r]')) AS BIGINT) AS n_space,
+                 CAST(len(regexp_extract_all(coalesce(text, ''),
+                   '[!-/:-@\[-`{-~]')) AS BIGINT) AS n_punct
+          FROM documents),
+        agg AS (
+          SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                 CAST(sum(n_latin) AS BIGINT) AS n_latin,
+                 CAST(sum(n_digit) AS BIGINT) AS n_digit,
+                 CAST(sum(n_space) AS BIGINT) AS n_space,
+                 CAST(sum(n_punct) AS BIGINT) AS n_punct,
+                 CAST(sum(n_chars - n_latin - n_digit - n_space - n_punct)
+                   AS BIGINT) AS n_other
+          FROM per GROUP BY lang)
+        SELECT lang, n_chars, n_latin, n_digit, n_space, n_punct, n_other,
+               CASE WHEN n_chars = 0 THEN 0
+                    ELSE n_other * 10000 // n_chars END AS other_bp
+        FROM agg ORDER BY lang"""))
   )
 }

@@ -1085,6 +1085,57 @@ object TrainingPipeline {
                CAST(coalesce(k.docs_kept, 0) AS BIGINT) AS docs_kept,
                CAST(coalesce(k.tokens_kept, 0) AS BIGINT) AS tokens_kept
         FROM thr t LEFT JOIN kept k ON k.lang = t.lang
-        ORDER BY t.lang"""))
+        ORDER BY t.lang""")),
+
+    // ---------------------------------------------------------------- p22
+    // Epoch allocator under a repetition cap (the data-constrained-
+    // scaling recipe: repeating a source beyond ~4 epochs stops helping):
+    // each source is assigned epochs = clamp(1..4, target div T_s) where
+    // target is an equal share of a 2×-corpus token budget — scarce
+    // sources repeat up to the cap, rich sources run once, and the
+    // report shows exactly where the budget goes unfilled. All integer
+    // arithmetic (BIGINT division/clamp), so the plan is engine- and
+    // partition-order-exact; one corpus tokenize pass → |sources|-row
+    // aggregate → broadcast 1-row totals — map-side from there.
+    "p22_epoch_plan" -> QueryDef(
+      build = (s, d) => {
+        // coalesce(text,'') keeps every doc's ntok >= 1 (whitespace split
+        // of '' is ['']), so t_tokens is never NULL/0 and the integer
+        // divisions below can't diverge on NULL semantics.
+        val per = t(s, d, "documents")
+          .select(col("source"),
+            size(graft.functions.TextFns.tokens(coalesce(col("text"),
+              lit("")))).cast("long").as("ntok"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ntok").as("t_tokens"))
+        val tot = per.agg(sum("t_tokens").as("tot"),
+          count(lit(1)).as("n_src"))
+        per.crossJoin(broadcast(tot))
+          .selectExpr("source", "n_docs", "t_tokens",
+            "(2 * tot) div n_src AS target_tokens")
+          .selectExpr("source", "n_docs", "t_tokens", "target_tokens",
+            "least(4L, greatest(1L, target_tokens div t_tokens)) AS epochs")
+          .selectExpr("source", "n_docs", "t_tokens", "target_tokens",
+            "epochs", "epochs * t_tokens AS planned_tokens",
+            "epochs * t_tokens < target_tokens AS underfilled")
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT source, count(*) AS n_docs,
+                 CAST(sum(len(string_split_regex(
+                   lower(trim(coalesce(text, ''))), '\s+')))
+                   AS BIGINT) AS t_tokens
+          FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(t_tokens) AS BIGINT) AS tot,
+                       count(*) AS n_src FROM per),
+        tgt AS (SELECT p.*, (2 * t.tot) // t.n_src AS target_tokens
+                FROM per p CROSS JOIN tot t),
+        ep AS (SELECT *, least(4, greatest(1, target_tokens // t_tokens))
+                 AS epochs FROM tgt)
+        SELECT source, n_docs, t_tokens, target_tokens, epochs,
+               epochs * t_tokens AS planned_tokens,
+               epochs * t_tokens < target_tokens AS underfilled
+        FROM ep ORDER BY source"""))
   )
 }

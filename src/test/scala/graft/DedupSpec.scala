@@ -404,6 +404,32 @@ class DedupSpec extends SparkSpecBase {
       4L -> ((2L, 2L, true)), 5L -> ((2L, 2L, true))))
   }
 
+  test("m08 blob containment pairs exactly the block-sharing payloads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit, col}
+    def block(c: Char): String = c.toString * 64
+    val dir = java.nio.file.Files.createTempDirectory("m08").toString
+    Seq(
+      (0L, block('a') + block('b')),
+      (1L, block('a') + block('c')),
+      (2L, block('d') + block('d')),  // unique content, no pair
+      (3L, block('e') + "tail bytes"),
+      (4L, block('a') + block('f')),
+      (5L, block('f') + block('a')))  // aligned swap of 4: full containment
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("m08_blob_containment", dir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Long]("containment_bp")).toMap
+    // block 'a' links {0,1,4,5} pairwise at 1/2 of the smaller side;
+    // 4 and 5 share BOTH blocks → 100% containment
+    assert(got == Map(
+      (0L, 1L) -> 5000L, (0L, 4L) -> 5000L, (0L, 5L) -> 5000L,
+      (1L, 4L) -> 5000L, (1L, 5L) -> 5000L, (4L, 5L) -> 10000L), got)
+  }
+
   test("d13 red path: oversized shared sliver drops the broadcast, " +
     "falls back to a shuffle join, same answer") {
     val want = run("d13_span_dedup", plantedDir).collect()

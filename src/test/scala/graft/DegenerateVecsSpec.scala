@@ -41,7 +41,8 @@ class DegenerateVecsSpec extends SparkSpecBase {
     "a06_ann_quantized", "a07_ann_recall", "a08_ann_pq", "a09_ann_ivfpq",
     "d06_dedup_embedding",
     "d06b_dedup_embedding_lsh", "d12_semantic_dedup", "a10_range_search",
-    "a11_nn_join", "a12_knn_classify", "a13_cell_quality")
+    "a11_nn_join", "a12_knn_classify", "a13_cell_quality",
+    "a20_diverse_topk")
 
   test("every embeddings operator materializes and reruns identically on degenerate vectors") {
     val failures = vecOps.flatMap { name =>

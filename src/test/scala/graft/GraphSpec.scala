@@ -111,6 +111,54 @@ class GraphSpec extends SparkSpecBase {
     assert(two == Map(2L -> 1L, 3L -> 1L))
   }
 
+  test("g04 co-purchase counts orders (not lines) and ranks pairs deterministically") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-basket").toString
+    // order 1 holds parts {1,2,3} with part 2 on TWO lines (the dup
+    // line must count once); orders 2 and 3 hold {1,2}; order 4 is a
+    // single-part basket (contributes no pair)
+    Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 2L),
+        (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L), (4L, 5L))
+      .toDF("l_orderkey", "l_partkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = run("g04_copurchase", dir).collect()
+    val m = rows.map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2")) ->
+      r.getAs[Long]("n_orders")).toMap
+    assert(m == Map((1L, 2L) -> 3L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), m)
+    // ordering: count desc, then (p1, p2) asc on the tie
+    assert(rows.map(r => (r.getAs[Long]("p1"), r.getAs[Long]("p2")))
+      .toSeq == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("g05 supplier overlap: exact Jaccard; hub customer is capped out") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-overlap").toString
+    // customers 1,2 each buy from suppliers 10 and 11 (shared=2);
+    // customer 3 buys from 10 only; customer 99 is a HUB buying from
+    // 70 suppliers incl. 10 and 11 — the cap (>64) must exclude it from
+    // pair generation while its edges still count toward degrees
+    val pairs = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 10L)) ++
+      (0L until 70L).map(k => (99L, 100L + k)) ++
+      Seq((99L, 10L), (99L, 11L))
+    val orders = pairs.zipWithIndex
+      .map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = pairs.zipWithIndex
+      .map { case ((_, su), i) => (i.toLong, su) }
+      .toDF("l_orderkey", "l_suppkey")
+    orders.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/orders.parquet")
+    lineitem.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val got = run("g05_supplier_overlap", dir).collect()
+      .map(r => (r.getAs[Long]("s1"), r.getAs[Long]("s2")) ->
+        ((r.getAs[Long]("shared"), r.getAs[Long]("jaccard_bp")))).toMap
+    // only (10,11) pairs via the small customers: shared = {1,2};
+    // degrees INCLUDE the hub: deg(10)=4, deg(11)=3 → J = 2/5
+    assert(got.keySet == Set((10L, 11L)), got)
+    assert(got((10L, 11L)) == ((2L, 4000L)), got)
+  }
+
   test("g01 runs non-empty on sf0.001 with bounded output") {
     val rows = run("g01_pagerank").collect()
     assert(rows.length == 20) // top-20 cap binds on the real tables

@@ -226,4 +226,32 @@ class RelationalExtSpec extends SparkSpecBase {
       .groupBy(identity).map { case (b, g) => b -> g.length.toLong }
     assert(rows == expect)
   }
+
+  test("q48 division: full-coverage supplier flags true, partial doesn't") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val dir = java.nio.file.Files.createTempDirectory("q48").toString
+    // size-1 universe = brands {X, Y}; supplier 1 sells parts of both
+    // (covers_all), supplier 2 only X; part 30 is size 2 — its brand Z
+    // must NOT enter the universe even though supplier 2 sells it
+    Seq((10L, "BrandX", 1L), (20L, "BrandY", 1L), (30L, "BrandZ", 2L))
+      .toDF("p_partkey", "p_brand", "p_size")
+      .withColumn("p_name", lit("p")).withColumn("p_type", lit("t"))
+      .withColumn("p_retailprice", lit(1.0))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/part.parquet")
+    Seq((1L, 10L, 1L), (2L, 20L, 1L), (3L, 10L, 2L), (4L, 30L, 2L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = run("q48_division", dir).collect()
+      .map(r => r.getAs[Long]("suppkey") ->
+        ((r.getAs[Long]("n_brands"), r.getAs[Long]("n_universe"),
+          r.getAs[Boolean]("covers_all")))).toMap
+    assert(got == Map(1L -> ((2L, 2L, true)), 2L -> ((1L, 2L, false))), got)
+    // sf replay: covers_all ⇔ n_brands = n_universe, never exceeding it
+    run("q48_division").collect().foreach { r =>
+      assert(r.getAs[Long]("n_brands") <= r.getAs[Long]("n_universe"))
+      assert(r.getAs[Boolean]("covers_all") ==
+        (r.getAs[Long]("n_brands") == r.getAs[Long]("n_universe")))
+    }
+  }
 }

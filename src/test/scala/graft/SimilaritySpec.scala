@@ -536,4 +536,34 @@ class SimilaritySpec extends SparkSpecBase {
     planted.foreach(r =>
       assert(r.getAs[Double]("recall_vs_prefilter") == 1.0, r.toString))
   }
+
+  test("a20 diversified top-k keeps exactly one candidate per label facet") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("a20").toString
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    // query 0 = e0; label 0 holds the exact match AND a near-copy (only
+    // the best may surface), label 2 a 45° vector, label 1 an orthogonal
+    Seq(
+      (0L, v(1, 0, 0, 0), 0),
+      (5L, v(1, 0, 0, 0), 0),       // cos 1.0   — label 0's best
+      (6L, v(0.9, 0.1, 0, 0), 0),   // shadowed by vec 5
+      (7L, v(0, 1, 0, 0), 1),       // cos 0.0
+      (8L, v(0.5, 0.5, 0, 0), 2))   // cos ~0.7071
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val rows = run("a20_diverse_topk", dir).collect()
+      .map(r => (r.getAs[Long]("rk"), r.getAs[Int]("label"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
+    assert(rows.toSeq == Seq(
+      (1L, 0, 5L, 1.0), (2L, 2, 8L, 0.7071), (3L, 1, 7L, 0.0)), rows.toSeq)
+    // sf data: one row per (query, label) at most, rk dense from 1
+    val sfRows = run("a20_diverse_topk").collect()
+    val perQ = sfRows.groupBy(_.getAs[Long]("q_id")).values.toSeq
+    perQ.foreach { g =>
+      assert(g.map(_.getAs[Int]("label")).distinct.length == g.length)
+      assert(g.map(_.getAs[Long]("rk")).sorted.toSeq ==
+        (1L to g.length.toLong).toSeq)
+    }
+  }
 }

@@ -746,4 +746,108 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(run("t14_code_detect").collect()
       .forall(!_.getAs[Boolean]("is_code")))
   }
+
+  test("t15 vocab growth is monotone and lands exactly on the corpus totals") {
+    val rows = run("t15_vocab_growth").collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.length == 10)
+    val v = rows.map(_.getAs[Long]("vocab_size"))
+    val tk = rows.map(_.getAs[Long]("n_tokens"))
+    val nd = rows.map(_.getAs[Long]("n_docs"))
+    Seq(v, tk, nd).foreach(s =>
+      assert(s.zip(s.tail).forall { case (a, b) => a <= b }, s.toSeq))
+    // checkpoint 10's threshold is max_id+1 — the whole corpus
+    val docs = Tables(spark, sf, "documents")
+    assert(nd.last == docs.count())
+    val totalVocab = docs.select(explode(
+        graft.functions.TextFns.tokens(col("text"))).as("w"))
+      .distinct().count()
+    assert(v.last == totalVocab)
+    // growth must be sublinear in tokens by the last checkpoint (Heaps):
+    // the final decile adds fewer NEW types per token than the first
+    val newTypesFirst = v.head.toDouble / tk.head
+    val newTypesLast = (v.last - v(8)).toDouble / (tk.last - tk(8))
+    assert(newTypesLast <= newTypesFirst, s"$newTypesLast vs $newTypesFirst")
+  }
+
+  test("e22 conversion lags bucket on exact integer boundaries") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e22").toString
+    def ts(min: Long, sec: Long = 0) =
+      java.sql.Timestamp.valueOf(java.time.LocalDateTime
+        .of(2024, 1, 1, 0, 0, 0).plusMinutes(min).plusSeconds(sec))
+    // user 1 converts in 30 s (lt_1m); user 2's pre-view purchase is
+    // ignored and the post-view one lands at exactly 2 h (1h_6h); user 3
+    // purchases with no view and user 4 never purchases — both excluded;
+    // user 5 converts at exactly 60 s (boundary goes UP: 1m_10m)
+    Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(0, 30), 1L, "purchase", 1.0, "{}"),
+      (3L, ts(10), 2L, "purchase", 1.0, "{}"),
+      (4L, ts(20), 2L, "view", 1.0, "{}"),
+      (5L, ts(140), 2L, "purchase", 1.0, "{}"),
+      (6L, ts(5), 3L, "purchase", 1.0, "{}"),
+      (7L, ts(5), 4L, "view", 1.0, "{}"),
+      (8L, ts(0), 5L, "view", 1.0, "{}"),
+      (9L, ts(1), 5L, "purchase", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("e22_conversion_lag", dir).collect()
+      .map(r => r.getAs[String]("bucket") -> r.getAs[Long]("n_users")).toMap
+    assert(got == Map("lt_1m" -> 1L, "1m_10m" -> 1L, "1h_6h" -> 1L), got)
+    // sf invariant: every converting user lands in exactly one bucket
+    val sfTotal = run("e22_conversion_lag").collect()
+      .map(_.getAs[Long]("n_users")).sum
+    assert(sfTotal > 0)
+  }
+
+  test("t16 charset classes partition the text; planted mojibake flags in bp") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t16").toString
+    Seq(
+      (0L, "abc XYZ 123 !?", "en"),     // 6 latin, 3 digit, 3 space, 2 punct
+      (1L, "abéécd", "fr"))   // é twice → 2 "other" of 6 chars
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("t16_charset_audit", dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val en = got("en")
+    assert((en.getAs[Long]("n_latin"), en.getAs[Long]("n_digit"),
+      en.getAs[Long]("n_space"), en.getAs[Long]("n_punct"),
+      en.getAs[Long]("n_other")) == ((6L, 3L, 3L, 2L, 0L)), en.toString)
+    val fr = got("fr")
+    assert(fr.getAs[Long]("n_other") == 2L &&
+      fr.getAs[Long]("other_bp") == 2L * 10000 / 6, fr.toString)
+    // classes partition: counts sum back to n_chars on the sf corpus
+    run("t16_charset_audit").collect().foreach { r =>
+      assert(r.getAs[Long]("n_latin") + r.getAs[Long]("n_digit") +
+        r.getAs[Long]("n_space") + r.getAs[Long]("n_punct") +
+        r.getAs[Long]("n_other") == r.getAs[Long]("n_chars"), r.toString)
+    }
+  }
+
+  test("e23 MAD anomaly: a planted spike flags; metronome days don't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e23").toString
+    def day(d: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, d, 12, 0, 0))
+    // 'click': 10 events/day for 9 days, 100 on day 10 (spike);
+    // 'view': exactly 5/day for 10 days (MAD 0 — only the spike-free
+    // type's days all pass)
+    val rows =
+      (for (d <- 1 to 9; i <- 1 to 10) yield (d * 100L + i, day(d), i.toLong, "click", 1.0, "{}")) ++
+      (for (i <- 1 to 100) yield (1000L + i, day(10), i.toLong, "click", 1.0, "{}")) ++
+      (for (d <- 1 to 10; i <- 1 to 5) yield (2000L + d * 10L + i, day(d), i.toLong, "view", 1.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("e23_daily_anomaly", dir).collect()
+    val clicks = got.filter(_.getAs[String]("event_type") == "click")
+    assert(clicks.count(_.getAs[Boolean]("anomalous")) == 1)
+    assert(clicks.filter(_.getAs[Boolean]("anomalous"))
+      .head.getAs[Long]("n") == 100L)
+    // view is a metronome: med 5, MAD 0, deviation 0 — 0 > 0 is false
+    assert(got.filter(_.getAs[String]("event_type") == "view")
+      .forall(!_.getAs[Boolean]("anomalous")))
+  }
 }

@@ -486,4 +486,35 @@ class TrainingPipelineSpec extends SparkSpecBase {
       assert(thr.toDouble / 65536.0 >= tmin / t - 1e-9, lang)
     }
   }
+
+  test("p22 epoch plan: scarce source hits the 4-epoch cap, rich source runs once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p22").toString
+    // srcA: 4 tokens total; srcB: 40 tokens → budget 2×44 = 88,
+    // per-source target 44; epochs_A = min(4, 44 div 4 = 11) = 4 (cap
+    // binds), epochs_B = 44 div 40 = 1; both underfilled vs 44.
+    (Seq((0L, "a b c d", "srcA")) ++ (1L to 4L).map(i =>
+      (i, (1 to 10).map(j => s"w$i$j").mkString(" "), "srcB")))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = run("p22_epoch_plan", dir).collect().map(r =>
+      r.getAs[String]("source") -> ((r.getAs[Long]("t_tokens"),
+        r.getAs[Long]("target_tokens"), r.getAs[Long]("epochs"),
+        r.getAs[Long]("planned_tokens"),
+        r.getAs[Boolean]("underfilled")))).toMap
+    assert(got("srcA") == ((4L, 44L, 4L, 16L, true)), got("srcA"))
+    assert(got("srcB") == ((40L, 44L, 1L, 40L, true)), got("srcB"))
+    // sf replay: epochs = clamp(1..4, target div tokens), exactly
+    val sfRows = run("p22_epoch_plan").collect()
+    sfRows.foreach { r =>
+      val want = math.min(4L, math.max(1L,
+        r.getAs[Long]("target_tokens") / r.getAs[Long]("t_tokens")))
+      assert(r.getAs[Long]("epochs") == want, r.toString)
+      assert(r.getAs[Long]("planned_tokens") ==
+        want * r.getAs[Long]("t_tokens"))
+    }
+  }
 }
