@@ -1199,7 +1199,121 @@ object Dedup {
                CASE WHEN n_true = 0 THEN 0.0 ELSE
                  CAST((n_hit * 20000 + n_true) // (n_true * 2)
                    AS DOUBLE) / 10000 END AS recall
-        FROM c"""))
+        FROM c""")),
+
+    // ---------------------------------------------------------------- d19
+    // Detector THRESHOLD SWEEP: d18's single-point SimHash evaluation
+    // unrolled over hamming ≤ {3, 8, 16} — the operating-curve a dedup
+    // rollout reads to pick its threshold BEFORE burning a 100 TB pass
+    // (strict = precise but deaf, loose = complete but trigger-happy).
+    // One signature+chunk-block pass at the loosest threshold feeds all
+    // three rows (filter per threshold over the SAME candidate set, so
+    // the sweep costs one d04, not three); truth is the exact-Jaccard
+    // inverted-index join, computed once. Ratios in d18's exact
+    // round-half-up integer form. Constant 3-row output.
+    "d19_threshold_sweep" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val pairs = simhashPairs(docs, 16) // (a_id, b_id, hamming)
+        val sets = docs.select(col("doc_id"),
+          TextFns.shingleHashes(col("text"), 3).as("sh"))
+          .withColumn("sz", size(col("sh")))
+        val inv = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+          .repartition(col("h"))
+        val sizes = sets.select(col("doc_id"), col("sz"))
+        val truth = inv.alias("x")
+          .join(inv.alias("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("sz", "sza"), Seq("a_id"))
+          .join(sizes.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("sz", "szb"), Seq("b_id"))
+          .withColumn("uni", col("sza") + col("szb") - col("inter"))
+          .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
+          .select("a_id", "b_id")
+        val thrs = explode(array(lit(3L), lit(8L), lit(16L))).as("thr")
+        val det = pairs.select(thrs, col("a_id"), col("b_id"),
+            col("hamming"))
+          .filter(col("hamming") <= col("thr"))
+        val nDet = det.groupBy("thr").agg(count(lit(1)).as("n_detected"))
+        val nHit = det.join(truth, Seq("a_id", "b_id"))
+          .groupBy("thr").agg(count(lit(1)).as("n_hit"))
+        def ratio4(num: org.apache.spark.sql.Column,
+                   den: org.apache.spark.sql.Column) =
+          when(den === 0L, lit(0.0)).otherwise(
+            floor((num * 20000L + den) / (den * 2L))
+              .cast("long").cast("double") / 10000.0)
+        // assemble from a constant 3-row threshold frame so a threshold
+        // with zero detections still reports its row
+        val base = s.sql("SELECT * FROM VALUES (3L), (8L), (16L) AS t(thr)")
+        base
+          .join(nDet, Seq("thr"), "left")
+          .join(nHit, Seq("thr"), "left")
+          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
+          .select(col("thr"),
+            coalesce(col("n_detected"), lit(0L)).as("n_detected"),
+            col("n_true"),
+            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+          .withColumn("precision", ratio4(col("n_hit"), col("n_detected")))
+          .withColumn("recall", ratio4(col("n_hit"), col("n_true")))
+          .orderBy("thr")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          FROM documents),
+        hh AS (
+          SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+          FROM tk),
+        bits AS (
+          SELECT doc_id, u.b,
+                 sum(CASE WHEN (h >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM hh, unnest(generate_series(0, 63)) AS u(b)
+          GROUP BY doc_id, u.b),
+        sig AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN vote > 0 THEN (1::UBIGINT << b)
+                             ELSE 0::UBIGINT END) AS sim
+          FROM bits GROUP BY doc_id),
+        ch AS (
+          SELECT doc_id, sim, u.c AS chunk,
+                 (sim >> (u.c * 16)) & 65535 AS chv
+          FROM sig, unnest([0, 1, 2, 3]) AS u(c)),
+        det0 AS (
+          SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+                 CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+          FROM ch x JOIN ch y
+            ON x.chunk = y.chunk AND x.chv = y.chv AND x.doc_id < y.doc_id
+          WHERE bit_count(xor(x.sim, y.sim)) <= 16),""" +
+        sh3Cte() + """,
+        truth AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_distinct(list_concat(a.sh, b.sh))) > 0
+            AND len(list_intersect(a.sh, b.sh)) * 2
+                >= len(list_distinct(list_concat(a.sh, b.sh)))),
+        grid AS (SELECT CAST(unnest([3, 8, 16]) AS BIGINT) AS thr),
+        nd AS (SELECT g.thr, count(*) AS n_detected
+               FROM grid g JOIN det0 d ON d.hamming <= g.thr GROUP BY 1),
+        nh AS (SELECT g.thr, count(*) AS n_hit
+               FROM grid g JOIN det0 d ON d.hamming <= g.thr
+               JOIN truth t ON t.a_id = d.a_id AND t.b_id = d.b_id
+               GROUP BY 1),
+        nt AS (SELECT count(*) AS n_true FROM truth)
+        SELECT g.thr, coalesce(nd.n_detected, 0) AS n_detected,
+               nt.n_true, coalesce(nh.n_hit, 0) AS n_hit,
+               CASE WHEN coalesce(nd.n_detected, 0) = 0 THEN 0.0 ELSE
+                 CAST((coalesce(nh.n_hit, 0) * 20000 + nd.n_detected)
+                   // (nd.n_detected * 2) AS DOUBLE) / 10000 END AS precision,
+               CASE WHEN nt.n_true = 0 THEN 0.0 ELSE
+                 CAST((coalesce(nh.n_hit, 0) * 20000 + nt.n_true)
+                   // (nt.n_true * 2) AS DOUBLE) / 10000 END AS recall
+        FROM grid g LEFT JOIN nd ON nd.thr = g.thr
+        LEFT JOIN nh ON nh.thr = g.thr CROSS JOIN nt
+        ORDER BY g.thr"""))
   )
 
   /** Name → QueryDef for intra-object composition (d09 reuses d06b). */

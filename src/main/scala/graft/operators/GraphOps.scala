@@ -191,6 +191,56 @@ object GraphOps {
         GROUP BY 1, 2
         ORDER BY n_orders DESC, p1, p2 LIMIT 20""")),
 
+    // ---------------------------------------------------------------- g06
+    // k-CORE decomposition (k = 3, 4 peel rounds, round trace): each
+    // round drops nodes of degree < 3 and every edge touching them —
+    // the standard "dense core" extraction that separates structural
+    // hubs from the long tail before sampling or embedding a graph.
+    // The round count is FIXED (like g01's iterations) so the result is
+    // a pure function of the input; the trace row per round shows
+    // convergence (equal consecutive rows = fixed point reached).
+    // Physically each round is one hash aggregate (degrees) + two
+    // semi-joins of the edge list — linear per round, lineage truncated
+    // per round with localCheckpoint. The oracle unrolls the identical
+    // 4 rounds as CTEs. Output: 5 constant rows (round 0 = raw graph).
+    "g06_kcore" -> QueryDef(
+      build = (s, d) => {
+        def trace(e: DataFrame, r: Int): DataFrame =
+          e.agg(lit(r.toLong).as("round"),
+            countDistinct("u").as("n_nodes"),
+            (count(lit(1)) / 2).cast("long").as("n_edges"))
+        var e = purchaseEdges(s, d).localCheckpoint()
+        var out = trace(e, 0)
+        for (r <- 1 to 4) {
+          val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
+            .filter(col("deg") >= 3).select("u")
+          e = e.join(keep, Seq("u"), "left_semi")
+            .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+            .select("u", "v").localCheckpoint()
+          out = out.unionAll(trace(e, r))
+        }
+        out.orderBy("round")
+      },
+      oracle = Some {
+        val rounds = (1 to 4).map { r =>
+          s"""k$r AS (SELECT u FROM g${r - 1} GROUP BY u
+             |        HAVING count(*) >= 3),
+             |g$r AS (SELECT g.u, g.v FROM g${r - 1} g
+             |        JOIN k$r a ON a.u = g.u
+             |        JOIN k$r b ON b.u = g.v)""".stripMargin
+        }.mkString(",\n")
+        val traces = (0 to 4).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS round,
+             |       count(DISTINCT u) AS n_nodes,
+             |       CAST(count(*) // 2 AS BIGINT) AS n_edges FROM g$r"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $sqlEdges, g0 AS (SELECT u, v FROM e),
+           |$rounds
+           |SELECT * FROM (
+           |$traces) z ORDER BY round""".stripMargin
+      }),
+
     // ---------------------------------------------------------------- g05
     // Bipartite-projection similarity: supplier pairs ranked by shared
     // customers with exact-integer Jaccard (basis points). The naive

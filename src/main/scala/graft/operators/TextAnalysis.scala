@@ -755,6 +755,52 @@ object TextAnalysis {
         SELECT lang, n_chars, n_latin, n_digit, n_space, n_punct, n_other,
                CASE WHEN n_chars = 0 THEN 0
                     ELSE n_other * 10000 // n_chars END AS other_bp
-        FROM agg ORDER BY lang"""))
+        FROM agg ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- t17
+    // Cross-source n-gram NOVELTY: per source, the share of its distinct
+    // trigram vocabulary that appears in NO other source — the mix-
+    // curation question "does this source contribute anything the
+    // others don't, or is it a re-crawl?" (complements p05's pairwise
+    // overlap with a corpus-wide uniqueness score). Shape: one shingle
+    // pass → distinct (source, shingle) — the dedup rides the
+    // shingle-keyed count shuffle — → per-shingle source spread →
+    // join-back + |sources|-row rollup. Linear in shingle volume;
+    // novelty in exact integer basis points. Sources whose docs are all
+    // sub-trigram simply don't appear (no vocabulary to judge).
+    "t17_source_novelty" -> QueryDef(
+      build = (s, d) => {
+        val ss = t(s, d, "documents")
+          .select(col("source"),
+            explode(TextFns.shingleHashes(col("text"), 3)).as("h"))
+          .distinct()
+        val spread = ss.groupBy("h").agg(count(lit(1)).as("ns"))
+        ss.join(spread, "h")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty_bp",
+            expr("n_unique * 10000 div n_shingles"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH sh AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   generate_series(1, len(string_split_regex(lower(trim(text)), '\s+')) - 2),
+                   i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+2])) AS sh
+          FROM documents),
+        ss AS (SELECT DISTINCT source, h FROM (
+                 SELECT source, unnest(sh) AS h FROM sh) z),
+        spread AS (SELECT h, count(*) AS ns FROM ss GROUP BY h),
+        per AS (
+          SELECT source, count(*) AS n_shingles,
+                 CAST(count(*) FILTER (WHERE ns = 1) AS BIGINT) AS n_unique
+          FROM ss JOIN spread USING (h) GROUP BY source)
+        SELECT source, n_shingles, n_unique,
+               n_unique * 10000 // n_shingles AS novelty_bp
+        FROM per ORDER BY source"""))
   )
 }

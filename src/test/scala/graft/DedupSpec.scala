@@ -430,6 +430,26 @@ class DedupSpec extends SparkSpecBase {
       (1L, 4L) -> 5000L, (1L, 5L) -> 5000L, (4L, 5L) -> 10000L), got)
   }
 
+  test("d19 threshold sweep: monotone in thr and reconciles with d18 at 8") {
+    val rows = run("d19_threshold_sweep").collect()
+      .sortBy(_.getAs[Long]("thr"))
+    assert(rows.map(_.getAs[Long]("thr")).toSeq == Seq(3L, 8L, 16L))
+    // loosening the threshold can only add detections and hits
+    val det = rows.map(_.getAs[Long]("n_detected"))
+    val hit = rows.map(_.getAs[Long]("n_hit"))
+    assert(det.zip(det.tail).forall { case (a, b) => a <= b }, det.toSeq)
+    assert(hit.zip(hit.tail).forall { case (a, b) => a <= b }, hit.toSeq)
+    // n_true is threshold-independent
+    assert(rows.map(_.getAs[Long]("n_true")).distinct.length == 1)
+    // the thr=8 row IS d18's single-point evaluation
+    val d18 = run("d18_detector_eval").collect().head
+    val at8 = rows(1)
+    assert(at8.getAs[Long]("n_detected") == d18.getAs[Long]("n_detected"))
+    assert(at8.getAs[Long]("n_hit") == d18.getAs[Long]("n_hit"))
+    assert(at8.getAs[Double]("precision") == d18.getAs[Double]("precision"))
+    assert(at8.getAs[Double]("recall") == d18.getAs[Double]("recall"))
+  }
+
   test("d13 red path: oversized shared sliver drops the broadcast, " +
     "falls back to a shuffle join, same answer") {
     val want = run("d13_span_dedup", plantedDir).collect()

@@ -159,6 +159,27 @@ class GraphSpec extends SparkSpecBase {
     assert(got((10L, 11L)) == ((2L, 4000L)), got)
   }
 
+  test("g06 k-core peels the pendant, keeps the K33 core, reaches a fixed point") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-kcore").toString
+    // customers {1,2,3} × suppliers {10,11,12} fully connected (every
+    // node degree 3 — the 3-core) plus pendant customer 4 on supplier
+    // 10: round 1 peels the pendant (degree 1), nothing else ever drops
+    val pairs = (for (c <- 1L to 3L; su <- 10L to 12L) yield (c, su)) :+
+      ((4L, 10L))
+    pairs.zipWithIndex.map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    pairs.zipWithIndex.map { case ((_, su), i) => (i.toLong, su) }
+      .toDF("l_orderkey", "l_suppkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = run("g06_kcore", dir).collect()
+      .map(r => r.getAs[Long]("round") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges")))).toMap
+    assert(got(0L) == ((7L, 10L)), got)
+    (1L to 4L).foreach(r => assert(got(r) == ((6L, 9L)), s"round $r: $got"))
+  }
+
   test("g01 runs non-empty on sf0.001 with bounded output") {
     val rows = run("g01_pagerank").collect()
     assert(rows.length == 20) // top-20 cap binds on the real tables

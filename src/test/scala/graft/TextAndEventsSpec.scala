@@ -827,6 +827,25 @@ class TextAndEventsSpec extends SparkSpecBase {
     }
   }
 
+  test("t17 source novelty: shared trigram counts once, unique source is 100%") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t17").toString
+    // srcA {"a b c","b c d"} and srcB {"a b c","b c x"} share "a b c";
+    // srcC's vocabulary is fully disjoint → novelty 100%
+    Seq((0L, "a b c d", "srcA"), (1L, "a b c x", "srcB"),
+        (2L, "q r s t", "srcC"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("t17_source_novelty", dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_shingles"), r.getAs[Long]("n_unique"),
+          r.getAs[Long]("novelty_bp")))).toMap
+    assert(got == Map("srcA" -> ((2L, 1L, 5000L)),
+      "srcB" -> ((2L, 1L, 5000L)), "srcC" -> ((2L, 2L, 10000L))), got)
+  }
+
   test("e23 MAD anomaly: a planted spike flags; metronome days don't") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("e23").toString
