@@ -37,7 +37,14 @@ object Bench {
       case _: NumberFormatException =>
         sys.error(s"SPARK_GRAFT_CPUS must be an integer core count, got '$cpusRaw'")
     }
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+    // Iteration aid matching Verify's switch: bench a comma-list of keys
+    // in isolation (cold JVM — separates real regressions from same-JVM
+    // heap/JIT pressure late in a 190-query run). Filtered runs never
+    // overwrite the committed bench_full.json; the gate runs unfiltered.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      if (only.isDefined) "/tmp/bench_only.json" else "bench_full.json")
     val spark = SparkSession.builder()
       .withExtensions(new graft.plans.GraftExtensions)
       .master(s"local[$cpus]")
@@ -82,7 +89,9 @@ object Bench {
     final case class R(name: String, sec: Double, rdB: Long, wrB: Long,
                        cpuMs: Long, runMs: Long)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       GraftCoreShim.drainListenerBus(spark.sparkContext)
       val r0 = shufRead.get; val w0 = shufWrite.get
       val c0 = cpuNs.get; val e0 = runMs.get
