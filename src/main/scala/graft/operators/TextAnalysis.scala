@@ -763,22 +763,28 @@ object TextAnalysis {
     // curation question "does this source contribute anything the
     // others don't, or is it a re-crawl?" (complements p05's pairwise
     // overlap with a corpus-wide uniqueness score). Shape: one shingle
-    // pass → distinct (source, shingle) — the dedup rides the
-    // shingle-keyed count shuffle — → per-shingle source spread →
-    // join-back + |sources|-row rollup. Linear in shingle volume;
-    // novelty in exact integer basis points. Sources whose docs are all
-    // sub-trigram simply don't appear (no vocabulary to judge).
+    // pass → distinct (source, shingle) → TWO aggregates off that one
+    // deduped stream: per-shingle spread keeps min(source) so an
+    // ns == 1 shingle already knows its sole owner (no join-back of the
+    // full shingle stream — measured 3x the shuffle of this shape), and
+    // the per-source totals aggregate map-side to |sources| rows.
+    // Linear in shingle volume; novelty in exact integer basis points.
+    // Sources whose docs are all sub-trigram simply don't appear (no
+    // vocabulary to judge).
     "t17_source_novelty" -> QueryDef(
       build = (s, d) => {
         val ss = t(s, d, "documents")
           .select(col("source"),
             explode(TextFns.shingleHashes(col("text"), 3)).as("h"))
           .distinct()
-        val spread = ss.groupBy("h").agg(count(lit(1)).as("ns"))
-        ss.join(spread, "h")
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when(col("ns") === 1, 1L).otherwise(0L)).as("n_unique"))
+        val uniq = ss.groupBy("h")
+          .agg(count(lit(1)).as("ns"), min(col("source")).as("source"))
+          .filter(col("ns") === 1)
+          .groupBy("source").agg(count(lit(1)).as("n_unique"))
+        ss.groupBy("source").agg(count(lit(1)).as("n_shingles"))
+          .join(uniq, Seq("source"), "left")
+          .select(col("source"), col("n_shingles"),
+            coalesce(col("n_unique"), lit(0L)).as("n_unique"))
           .withColumn("novelty_bp",
             expr("n_unique * 10000 div n_shingles"))
           .orderBy("source")

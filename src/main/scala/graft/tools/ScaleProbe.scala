@@ -455,6 +455,71 @@ object ScaleProbe {
         graft.SparkEntry.queries("e21_native_sessions")(spark, edir).count())
       graft.operators.HotCache.releaseAll()
     }
+    // r9g leg: the seventh-sitting operators. g04 is one order-keyed
+    // self-join with per-order-bounded fan-out; g05's pair generation is
+    // hub-capped (≤C(64,2) per customer); g06 is 4 peel rounds, each a
+    // degree agg + two semi-joins of the edge list; d19 runs ONE d04
+    // signature pass + the exact-Jaccard truth join (same work as d18 —
+    // the sweep itself is a constant 3-row filter fan-out); t17/t15 are
+    // one shingle/tokenize pass plus |vocab|-bounded aggregates; e22/e23
+    // aggregate to ≤6 / |types|·|days| rows before anything expensive.
+    println(f"${"rows"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("r9g")) {
+      // force via collect() (every output here is ≤20 rows): a bare
+      // count() lets Catalyst PRUNE — t17's count plan collapses to a
+      // distinct-source count, eliminating the join and both heavy
+      // aggregates, and the leg under-measures a degenerate plan.
+      // collect needs every column, so nothing prunes.
+      def force(df: org.apache.spark.sql.DataFrame): Long =
+        df.collect().length.toLong
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "d19")(force(q("d19_threshold_sweep")))
+      row(n, "t17")(force(q("t17_source_novelty")))
+      row(n, "t15")(force(q("t15_vocab_growth")))
+      // one graph dir serves all three: purchase edges need o_custkey/
+      // l_suppkey, g04's basket pairs additionally need l_partkey
+      val gdir = s"/tmp/graft-probe-graph3-$n"
+      spark.range(n / 4).select(
+        col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id")), lit(math.max(n / 400, 4)))
+          .as("o_custkey"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$gdir/orders.parquet")
+      spark.range(n).select(
+        pmod(col("id"), lit(n / 4)).as("l_orderkey"),
+        pmod(xxhash64(col("id"), lit(2)), lit(math.max(n / 2000, 10)))
+          .as("l_suppkey"),
+        pmod(xxhash64(col("id"), lit(3)), lit(math.max(n / 100, 10)))
+          .as("l_partkey"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$gdir/lineitem.parquet")
+      def qg(name: String) = graft.SparkEntry.queries(name)(spark, gdir)
+      row(n, "g04")(force(qg("g04_copurchase")))
+      row(n, "g05")(force(qg("g05_supplier_overlap")))
+      row(n, "g06")(force(qg("g06_kcore")))
+      val edir = s"/tmp/graft-probe-ev-$n"
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        pmod(col("id"), lit(math.max(n / 100, 1))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("scroll")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$edir/events.parquet")
+      def qe(name: String) = graft.SparkEntry.queries(name)(spark, edir)
+      row(n, "e22")(force(qe("e22_conversion_lag")))
+      row(n, "e23")(force(qe("e23_daily_anomaly")))
+      graft.operators.HotCache.releaseAll()
+    }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the
