@@ -1313,7 +1313,95 @@ object Dedup {
                    // (nt.n_true * 2) AS DOUBLE) / 10000 END AS recall
         FROM grid g LEFT JOIN nd ON nd.thr = g.thr
         LEFT JOIN nh ON nh.thr = g.thr CROSS JOIN nt
-        ORDER BY g.thr"""))
+        ORDER BY g.thr""")),
+
+    // ---------------------------------------------------------------- d20
+    // MinHash CALIBRATION curve: signature-agreement estimate vs exact
+    // Jaccard, bucketed by match count — "how tight is the estimator I'm
+    // about to trust on 100 TB?" (d18/d19 evaluate a DETECTOR's
+    // precision/recall; this evaluates the ESTIMATOR's error). Uses a
+    // 16-hash md5-prefix MinHash (min over fixed-length hex strings —
+    // bit-identical on both engines; the production d03 signature uses
+    // the faster native splitmix64 expression, which DuckDB cannot
+    // replay, so the calibration harness gets its own portable family).
+    // Pair domain = trigram-sharing pairs via the d05 inverted-index
+    // shape; signatures are ONE explode + 16 min-aggregates (map-side
+    // partial — the exchange carries |docs|x16 hex prefixes, not
+    // shingle volume). Output ≤17 rows (match count 0..16). At 100 TB
+    // this runs on a corpus sample — it is an eval harness, and its
+    // verdict (est error per bucket) is scale-free.
+    "d20_minhash_calibration" -> QueryDef(
+      build = (s, d) => {
+        val toks = TextFns.tokens(col("text"))
+        val sets = t(s, d, "documents").select(col("doc_id"),
+            when(size(toks) >= 3, array_distinct(TextFns.shingles(toks, 3)))
+              .otherwise(array().cast("array<string>")).as("sh"))
+          .withColumn("sz", size(col("sh")))
+        val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+          .select(col("doc_id"), xxhash64(col("g")).as("h"))
+          .repartition(col("h"))
+        val sizes = sets.select(col("doc_id"), col("sz"))
+        val pairs = inv.alias("x")
+          .join(inv.alias("y"),
+            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("sz", "sza"), Seq("a_id"))
+          .join(sizes.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("sz", "szb"), Seq("b_id"))
+          .withColumn("uni", col("sza") + col("szb") - col("inter"))
+        val sigCols = (0 until 16).map(i =>
+          min(substring(md5(concat_ws("|", lit(i.toString), col("g"))),
+            1, 16)).as(s"m$i"))
+        val sigs = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+          .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+        def renamed(p: String) = sigs.select(
+          col("doc_id").as(s"${p}id") +:
+            (0 until 16).map(i => col(s"m$i").as(s"$p$i")): _*)
+        val matches = (0 until 16)
+          .map(i => when(col(s"a$i") === col(s"b$i"), 1L).otherwise(0L))
+          .reduce(_ + _)
+        pairs
+          .join(renamed("a"), col("a_id") === col("aid"))
+          .join(renamed("b"), col("b_id") === col("bid"))
+          .select(matches.as("matches"),
+            expr("inter * 10000 div uni").as("tbp"))
+          .groupBy("matches")
+          .agg(count(lit(1)).as("n_pairs"), sum(col("tbp")).as("sbp"))
+          .select(col("matches"),
+            expr("matches * 10000 div 16").as("est_bp"),
+            col("n_pairs"),
+            expr("sbp div n_pairs").as("avg_true_bp"))
+          .orderBy("matches")
+      },
+      oracle = Some("\n        WITH" + sh3Cte() + """,
+        pairs AS (
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 len(list_intersect(a.sh, b.sh)) AS inter,
+                 len(list_distinct(list_concat(a.sh, b.sh))) AS uni
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh)) >= 1),
+        sig AS (
+          SELECT z.doc_id, u.i,
+                 min(substr(md5(CAST(u.i AS VARCHAR) || '|' || z.g), 1, 16))
+                   AS m
+          FROM (SELECT doc_id, unnest(sh) AS g FROM sh) z,
+               unnest(generate_series(0, 15)) AS u(i)
+          GROUP BY z.doc_id, u.i),
+        mt AS (
+          SELECT p.a_id, p.b_id, p.inter, p.uni,
+                 CAST(count(*) FILTER (WHERE sa.m = sb.m) AS BIGINT)
+                   AS matches
+          FROM pairs p
+          JOIN sig sa ON sa.doc_id = p.a_id
+          JOIN sig sb ON sb.doc_id = p.b_id AND sb.i = sa.i
+          GROUP BY 1, 2, 3, 4)
+        SELECT matches, matches * 10000 // 16 AS est_bp,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(inter * 10000 // uni) AS BIGINT)
+                 // CAST(count(*) AS BIGINT) AS avg_true_bp
+        FROM mt GROUP BY matches ORDER BY matches"""))
   )
 
   /** Name → QueryDef for intra-object composition (d09 reuses d06b). */

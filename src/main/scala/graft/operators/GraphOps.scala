@@ -241,6 +241,56 @@ object GraphOps {
            |$traces) z ORDER BY round""".stripMargin
       }),
 
+    // ---------------------------------------------------------------- g07
+    // BUTTERFLY count (2x2 bicliques) — the bipartite analogue of the
+    // triangle count (the customer—supplier graph is bipartite, so
+    // triangles are structurally impossible): butterflies measure
+    // co-purchase cohesion and calibrate sampling of bipartite graphs.
+    // Computed as Σ C(shared, 2) over supplier pairs, pair generation
+    // hub-capped exactly like g05 (customers with > 64 suppliers are
+    // excluded from pair generation, so fan-out is ≤ C(64,2)/customer —
+    // linear, never quadratic; the cap is part of the declared
+    // semantics and the excluded-hub count is reported in the output).
+    // One-row output; all counters exact BIGINTs.
+    "g07_butterflies" -> QueryDef(
+      build = (s, d) => {
+        val cs = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+          .distinct()
+        val cd = cs.groupBy("c").agg(count(lit(1)).as("cd"))
+        val small = cs.join(cd.filter(col("cd") <= 64).select("c"), "c")
+        val shared = small.select(col("c"), col("sk").as("s1"))
+          .join(small.select(col("c"), col("sk").as("s2")), Seq("c"))
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+        val agg = shared.agg(
+          coalesce(sum(expr("shared * (shared - 1) div 2")), lit(0L))
+            .as("butterflies"),
+          count(lit(1)).as("n_supplier_pairs"))
+        val excl = cd.filter(col("cd") > 64)
+          .agg(count(lit(1)).as("n_hub_customers_excluded"))
+        agg.crossJoin(excl) // 1x1 scalar join
+      },
+      oracle = Some("""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        cd AS (SELECT c, count(*) AS cd FROM cs GROUP BY c),
+        small AS (
+          SELECT cs.c, cs.sk FROM cs JOIN cd ON cd.c = cs.c AND cd.cd <= 64),
+        pr AS (
+          SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared
+          FROM small a JOIN small b ON a.c = b.c AND a.sk < b.sk
+          GROUP BY 1, 2)
+        SELECT CAST(coalesce(
+                 (SELECT sum(shared * (shared - 1) // 2) FROM pr), 0)
+               AS BIGINT) AS butterflies,
+               CAST((SELECT count(*) FROM pr) AS BIGINT)
+                 AS n_supplier_pairs,
+               CAST((SELECT count(*) FROM cd WHERE cd > 64) AS BIGINT)
+                 AS n_hub_customers_excluded""")),
+
     // ---------------------------------------------------------------- g05
     // Bipartite-projection similarity: supplier pairs ranked by shared
     // customers with exact-integer Jaccard (basis points). The naive

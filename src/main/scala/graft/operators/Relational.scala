@@ -1326,7 +1326,50 @@ object Relational {
                 FROM sb GROUP BY 1)
         SELECT suppkey, n_brands, n_universe,
                n_brands = n_universe AS covers_all
-        FROM cov CROSS JOIN u ORDER BY suppkey"""))
+        FROM cov CROSS JOIN u ORDER BY suppkey""")),
+
+    // ---------------------------------------------------------------- q49
+    // Correlated scalar subquery ("orders above their customer's
+    // average") in the scalable DECORRELATED form: one pre-aggregation
+    // per customer + an equi-join — never a per-row subquery execution.
+    // The comparison and the reported excess are DIVISION-FREE exact
+    // decimal arithmetic (price·n > total instead of price > total/n —
+    // no engine-specific decimal-division rounding can flip a row near
+    // the boundary); the output value is the excess × n, rounded to
+    // cents for display. Top-20 with o_orderkey tie-break.
+    "q49_above_avg" -> QueryDef(
+      build = (s, d) => {
+        val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("p"))
+        val ca = o.groupBy("o_custkey")
+          .agg(sum(col("p")).as("tot"),
+            count(lit(1)).cast(org.apache.spark.sql.types.DecimalType(8, 0))
+              .as("n"))
+        o.join(ca, "o_custkey")
+          .withColumn("pn", col("p") * col("n"))
+          .filter(col("pn") > col("tot"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("pn") - col("tot"), 2).cast("double").as("excess_x_n"),
+            col("n").cast("long").as("n_orders"))
+          .orderBy(col("excess_x_n").desc, col("o_orderkey"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(round(o_totalprice, 6) AS DECIMAL(18,6)) AS p
+          FROM orders),
+        ca AS (
+          SELECT o_custkey, sum(p) AS tot,
+                 CAST(count(*) AS DECIMAL(8,0)) AS n
+          FROM o GROUP BY o_custkey)
+        SELECT o.o_orderkey, o.o_custkey,
+               CAST(round(o.p * ca.n - ca.tot, 2) AS DOUBLE) AS excess_x_n,
+               CAST(ca.n AS BIGINT) AS n_orders
+        FROM o JOIN ca USING (o_custkey)
+        WHERE o.p * ca.n > ca.tot
+        ORDER BY excess_x_n DESC, o_orderkey LIMIT 20"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

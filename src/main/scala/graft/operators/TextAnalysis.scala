@@ -807,6 +807,44 @@ object TextAnalysis {
           FROM ss JOIN spread USING (h) GROUP BY source)
         SELECT source, n_shingles, n_unique,
                n_unique * 10000 // n_shingles AS novelty_bp
-        FROM per ORDER BY source"""))
+        FROM per ORDER BY source""")),
+
+    // ---------------------------------------------------------------- t18
+    // CORPUS-LEARNED stopword list: tokens whose document frequency
+    // exceeds 50% of tokenizable docs — the corpus-adaptive complement
+    // of t02's fixed stopword list (a crawl in another language or a
+    // code corpus has a different function-word head, and a fixed
+    // English list silently misjudges it). One tokenize pass → distinct
+    // (doc, token) riding the token-keyed count shuffle → |vocab| rows
+    // meet the broadcast scalar doc count. Output is the learned list
+    // with df and exact-integer df basis points, |head vocab| rows.
+    "t18_learned_stopwords" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val tk = docs.select(col("doc_id"), explode(array_distinct(
+          filter(TextFns.tokens(col("text")), x => x =!= lit(""))))
+          .as("tok"))
+        val nd = docs
+          .filter(col("text").isNotNull && trim(col("text")) =!= "")
+          .agg(count(lit(1)).as("n_docs"))
+        tk.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nd))
+          .filter(col("df") * 2 > col("n_docs"))
+          .select(col("tok"), col("df"), col("n_docs"),
+            expr("df * 10000 div n_docs").as("df_bp"))
+          .orderBy(col("df").desc, col("tok"))
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x <> ''))) AS tok
+          FROM documents),
+        nd AS (SELECT count(*) AS n_docs FROM documents
+               WHERE text IS NOT NULL AND trim(text) <> ''),
+        df AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok)
+        SELECT tok, df, n_docs, df * 10000 // n_docs AS df_bp
+        FROM df, nd WHERE df * 2 > n_docs
+        ORDER BY df DESC, tok"""))
   )
 }

@@ -450,6 +450,31 @@ class DedupSpec extends SparkSpecBase {
     assert(at8.getAs[Double]("recall") == d18.getAs[Double]("recall"))
   }
 
+  test("d20 calibration: exact copies saturate at 16/16, buckets reconcile " +
+    "with the planted pair structure") {
+    val rows = run("d20_minhash_calibration", plantedDir).collect()
+      .sortBy(_.getAs[Long]("matches"))
+    // est law holds on every row
+    rows.foreach(r => assert(r.getAs[Long]("est_bp") ==
+      r.getAs[Long]("matches") * 10000 / 16, r))
+    // planted trigram-sharing pairs: (0,1),(0,3),(1,3) exact (J=1) and
+    // (0,2),(1,2),(2,3) near (inter 15, union 21 → 7142 bp); doc 4 is
+    // disjoint, doc 5's reversed order shares no trigram with the base
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum == 6L, rows.toSeq)
+    // identical docs have identical signatures: the 16-match bucket MUST
+    // hold at least the three exact pairs...
+    val b16 = rows.find(_.getAs[Long]("matches") == 16L).get
+    val np16 = b16.getAs[Long]("n_pairs")
+    assert(np16 >= 3L, b16)
+    // ...and its average true Jaccard is exactly determined by how many
+    // of the three 7142-bp near pairs (identical sigs among themselves)
+    // happened to also fully agree
+    assert(b16.getAs[Long]("avg_true_bp") ==
+      (3L * 10000L + (np16 - 3L) * 7142L) / np16, b16)
+    // the near pairs all land in ONE bucket (docs 0/1/3 share one sig)
+    assert(rows.length <= 2, rows.toSeq)
+  }
+
   test("d13 red path: oversized shared sliver drops the broadcast, " +
     "falls back to a shuffle join, same answer") {
     val want = run("d13_span_dedup", plantedDir).collect()

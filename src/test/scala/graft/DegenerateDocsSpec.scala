@@ -60,7 +60,8 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "m07_magic_sniff", "p20_filter_ablation", "t14_code_detect",
     "x13_pii_report", "p21_alpha_sampling", "t15_vocab_growth",
     "p22_epoch_plan", "t16_charset_audit", "m08_blob_containment",
-    "d19_threshold_sweep", "t17_source_novelty")
+    "d19_threshold_sweep", "t17_source_novelty",
+    "d20_minhash_calibration", "t18_learned_stopwords")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

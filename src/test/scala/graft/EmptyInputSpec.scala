@@ -43,7 +43,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "p16_length_histogram", "m07_magic_sniff", "t14_code_detect",
     "x13_pii_report", "p21_alpha_sampling", "t15_vocab_growth",
     "p22_epoch_plan", "t16_charset_audit", "m08_blob_containment",
-    "t17_source_novelty")
+    "t17_source_novelty",
+    "d20_minhash_calibration", "t18_learned_stopwords")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

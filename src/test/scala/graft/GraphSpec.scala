@@ -180,6 +180,42 @@ class GraphSpec extends SparkSpecBase {
     (1L to 4L).foreach(r => assert(got(r) == ((6L, 9L)), s"round $r: $got"))
   }
 
+  test("g07 butterflies: biclique counts, C(shared,2) law, hub cap excludes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bfly").toString
+    // customers {5,6} × suppliers {20,21} is a full 2x2 biclique → ONE
+    // butterfly; customer 7 on supplier 20 only adds no butterfly but
+    // one more supplier-pair observation is NOT created (7 touches one
+    // supplier). Supplier pair (20,21) shares {5,6} → C(2,2)=1.
+    val pairs = Seq((5L, 20L), (5L, 21L), (6L, 20L), (6L, 21L), (7L, 20L))
+    pairs.zipWithIndex.map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    pairs.zipWithIndex.map { case ((_, su), i) => (i.toLong, su) }
+      .toDF("l_orderkey", "l_suppkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r = run("g07_butterflies", dir).collect().head
+    assert(r.getAs[Long]("butterflies") == 1L, r)
+    assert(r.getAs[Long]("n_supplier_pairs") == 1L, r)
+    assert(r.getAs[Long]("n_hub_customers_excluded") == 0L, r)
+
+    // hub red path: one customer touching 65 suppliers is excluded from
+    // pair generation entirely — zero pairs survive, the exclusion is
+    // reported, and the count cannot silently go quadratic in the hub
+    val dir2 = Files.createTempDirectory("graft-bfly-hub").toString
+    val hub = (0L until 65L).map(su => (9L, 100L + su))
+    hub.zipWithIndex.map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir2/orders.parquet")
+    hub.zipWithIndex.map { case ((_, su), i) => (i.toLong, su) }
+      .toDF("l_orderkey", "l_suppkey").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir2/lineitem.parquet")
+    val h = run("g07_butterflies", dir2).collect().head
+    assert(h.getAs[Long]("butterflies") == 0L, h)
+    assert(h.getAs[Long]("n_supplier_pairs") == 0L, h)
+    assert(h.getAs[Long]("n_hub_customers_excluded") == 1L, h)
+  }
+
   test("g01 runs non-empty on sf0.001 with bounded output") {
     val rows = run("g01_pagerank").collect()
     assert(rows.length == 20) // top-20 cap binds on the real tables

@@ -254,4 +254,34 @@ class RelationalExtSpec extends SparkSpecBase {
         (r.getAs[Long]("n_brands") == r.getAs[Long]("n_universe")))
     }
   }
+
+  test("q49 above-average orders: positive excess, never a 1-order customer, " +
+    "top row replays exactly") {
+    val rows = run("q49_above_avg").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("excess_x_n") > 0)
+      // p·1 > p is impossible: a single-order customer can't beat its
+      // own average — the decorrelation must preserve that
+      assert(r.getAs[Long]("n_orders") >= 2, r)
+    }
+    val ex = rows.map(_.getAs[Double]("excess_x_n"))
+    assert(ex.zip(ex.tail).forall { case (a, b) => a >= b }, ex.toSeq)
+    // replay the top row against a direct scan of its customer's orders
+    val top = rows.head
+    val cust = top.getAs[Long]("o_custkey")
+    val mine = Tables(spark, sf, "orders")
+      .filter(col("o_custkey") === cust)
+      .select(col("o_orderkey"), col("o_totalprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("p"))
+      .collect()
+    assert(mine.length == top.getAs[Long]("n_orders"))
+    val tot = mine.map(r => BigDecimal(r.getAs[java.math.BigDecimal]("p")))
+      .sum
+    val price = BigDecimal(mine.find(_.getAs[Long]("o_orderkey") ==
+      top.getAs[Long]("o_orderkey")).get.getAs[java.math.BigDecimal]("p"))
+    val want = (price * mine.length - tot)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(want == top.getAs[Double]("excess_x_n"), (want, top))
+  }
 }

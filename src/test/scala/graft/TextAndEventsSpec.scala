@@ -846,6 +846,26 @@ class TextAndEventsSpec extends SparkSpecBase {
       "srcB" -> ((2L, 1L, 5000L)), "srcC" -> ((2L, 2L, 10000L))), got)
   }
 
+  test("t18 learned stopwords: head token in, tail out, blank/NULL docs " +
+    "don't count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t18").toString
+    // "the" appears in all 3 tokenizable docs (df 3/3 > 50%); every
+    // other token has df 1/3; the NULL and whitespace-only docs must
+    // count toward NEITHER df nor the doc denominator
+    Seq((0L, "the quick fox"), (1L, "the lazy dog"), (2L, "the rare token"),
+        (3L, null.asInstanceOf[String]), (4L, "   "))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", coalesce(length(col("text")), lit(0)).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("t18_learned_stopwords", dir).collect()
+      .map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Long]("df"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("df_bp")))).toMap
+    assert(got == Map("the" -> ((3L, 3L, 10000L))), got)
+  }
+
   test("e23 MAD anomaly: a planted spike flags; metronome days don't") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("e23").toString
