@@ -619,6 +619,70 @@ object PipelineOps {
           UNION ALL
           SELECT 'events.ts not null', CAST(count(*) AS BIGINT)
           FROM events WHERE ts IS NULL) r
-        ORDER BY rule"""))
+        ORDER BY rule""")),
+
+    // ---------------------------------------------------------------- x16
+    // Per-column PROFILE DRIFT between snapshot halves (p14's even/odd
+    // doc_id convention): null rate and distinct cardinality per column
+    // on each side, with drift verdicts in exact integer arithmetic —
+    // null drift = |Δ null bp| > 100, distinct drift = ±20% by
+    // cross-multiplication (no division decides a verdict). This is the
+    // schema-stability tripwire between crawls: a column whose null
+    // rate jumps or whose cardinality collapses signals an upstream
+    // extractor break BEFORE content-level checks (p14/x15) fire.
+    // One stacked scan per side (x09's shape), 3-row output.
+    "x16_profile_drift" -> QueryDef(
+      build = (s, d) => {
+        def prof(side: org.apache.spark.sql.DataFrame) = side
+          .select(expr(
+            "stack(3, 'lang', lang, 'source', source, 'text', text) " +
+              "AS (col_name, v)"))
+          .groupBy("col_name")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_null"),
+            countDistinct(col("v")).as("n_distinct"))
+        val docs = t(s, d, "documents")
+        val b = prof(docs.filter(col("doc_id") % 2 === 0))
+          .select(col("col_name"), col("n_rows").as("base_rows"),
+            expr("n_null * 10000 div n_rows").as("base_null_bp"),
+            col("n_distinct").as("base_distinct"))
+        val n = prof(docs.filter(col("doc_id") % 2 === 1))
+          .select(col("col_name"), col("n_rows").as("next_rows"),
+            expr("n_null * 10000 div n_rows").as("next_null_bp"),
+            col("n_distinct").as("next_distinct"))
+        b.join(n, Seq("col_name"))
+          .select(col("col_name"), col("base_rows"), col("next_rows"),
+            col("base_null_bp"), col("next_null_bp"),
+            col("base_distinct"), col("next_distinct"),
+            (abs(col("base_null_bp") - col("next_null_bp")) > 100)
+              .as("null_drift"),
+            (col("next_distinct") * 10 > col("base_distinct") * 12 ||
+             col("next_distinct") * 10 < col("base_distinct") * 8)
+              .as("distinct_drift"))
+          .orderBy("col_name")
+      },
+      oracle = Some("""
+        WITH st AS (
+          SELECT doc_id % 2 AS side, 'lang' AS col_name, lang AS v
+          FROM documents
+          UNION ALL SELECT doc_id % 2, 'source', source FROM documents
+          UNION ALL SELECT doc_id % 2, 'text', text FROM documents),
+        p AS (
+          SELECT side, col_name, count(*) AS n_rows,
+                 CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_null,
+                 CAST(count(DISTINCT v) AS BIGINT) AS n_distinct
+          FROM st GROUP BY side, col_name),
+        b AS (SELECT col_name, n_rows AS base_rows,
+                     n_null * 10000 // n_rows AS base_null_bp,
+                     n_distinct AS base_distinct FROM p WHERE side = 0),
+        n AS (SELECT col_name, n_rows AS next_rows,
+                     n_null * 10000 // n_rows AS next_null_bp,
+                     n_distinct AS next_distinct FROM p WHERE side = 1)
+        SELECT col_name, base_rows, next_rows, base_null_bp, next_null_bp,
+               base_distinct, next_distinct,
+               abs(base_null_bp - next_null_bp) > 100 AS null_drift,
+               (next_distinct * 10 > base_distinct * 12 OR
+                next_distinct * 10 < base_distinct * 8) AS distinct_drift
+        FROM b JOIN n USING (col_name) ORDER BY col_name"""))
   )
 }

@@ -845,6 +845,51 @@ object TextAnalysis {
         df AS (SELECT tok, count(*) AS df FROM tk GROUP BY tok)
         SELECT tok, df, n_docs, df * 10000 // n_docs AS df_bp
         FROM df, nd WHERE df * 2 > n_docs
-        ORDER BY df DESC, tok"""))
+        ORDER BY df DESC, tok""")),
+
+    // ---------------------------------------------------------------- t19
+    // Vocabulary TRUNCATION-LOSS curve: share of total token mass NOT
+    // covered by the top-k tokens, for k ∈ {10, 100, 1000} — the number
+    // that sizes a tokenizer vocab / hot-cold split (t12 profiles the
+    // head; this prices cutting the tail). The global top-k is a
+    // TakeOrderedAndProject bounded heap (never a full sort); the rank
+    // window runs on the ≤1000 retained rows — a constant-size frame at
+    // any corpus scale. OOV share in exact integer basis points.
+    "t19_truncation_loss" -> QueryDef(
+      build = (s, d) => {
+        val tk = t(s, d, "documents").select(explode(
+          filter(TextFns.tokens(col("text")), x => x =!= lit("")))
+          .as("tok"))
+        val counts = tk.groupBy("tok").agg(count(lit(1)).as("c"))
+        val total = counts.agg(sum("c").as("total"))
+        val top = counts.orderBy(col("c").desc, col("tok")).limit(1000)
+        val ranked = top.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("c").desc, col("tok"))))
+        val grid = s.sql(
+          "SELECT * FROM VALUES (10L), (100L), (1000L) AS t(k)")
+        ranked.join(broadcast(grid), col("rk") <= col("k"))
+          .groupBy("k").agg(sum("c").as("covered"))
+          .crossJoin(broadcast(total))
+          .select(col("k"), col("covered"), col("total"),
+            expr("(total - covered) * 10000 div total").as("oov_bp"))
+          .orderBy("k")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT unnest(list_filter(
+                   string_split_regex(lower(trim(text)), '\s+'),
+                   x -> x <> '')) AS tok
+          FROM documents),
+        c AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        tt AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM c),
+        rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+               FROM c ORDER BY c DESC, tok LIMIT 1000),
+        g AS (SELECT CAST(unnest([10, 100, 1000]) AS BIGINT) AS k),
+        cov AS (SELECT g.k, CAST(sum(rk.c) AS BIGINT) AS covered
+                FROM g JOIN rk ON rk.rk <= g.k GROUP BY g.k)
+        SELECT k, covered, total,
+               (total - covered) * 10000 // total AS oov_bp
+        FROM cov CROSS JOIN tt ORDER BY k"""))
   )
 }

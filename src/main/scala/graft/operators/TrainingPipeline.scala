@@ -1136,6 +1136,56 @@ object TrainingPipeline {
         SELECT source, n_docs, t_tokens, target_tokens, epochs,
                epochs * t_tokens AS planned_tokens,
                epochs * t_tokens < target_tokens AS underfilled
-        FROM ep ORDER BY source"""))
+        FROM ep ORDER BY source""")),
+
+    // ---------------------------------------------------------------- p23
+    // BOILERPLATE-STRIP plan: d14 detects templated families (same
+    // first-8-token prefix, ≥2 distinct bodies); this op carries the
+    // finding through to the per-doc transform worklist — which docs
+    // get their prefix stripped and the exact token accounting before/
+    // after (the number a 100 TB pipeline budgets by). Same two-shuffle
+    // digest shape as d14 + one join-back keyed on the prefix digest;
+    // all counters exact integers; docs shorter than the prefix strip
+    // to zero (greatest guard), never negative.
+    "p23_boilerplate_strip" -> QueryDef(
+      build = (s, d) => {
+        val toks = graft.functions.TextFns.tokens(col("text"))
+        val docs = t(s, d, "documents").select(col("doc_id"),
+          md5(concat_ws(" ", slice(toks, 1, 8)).cast("binary")).as("ph"),
+          md5(col("text").cast("binary")).as("fh"),
+          size(toks).cast("long").as("ntok"))
+        val fams = docs.groupBy("ph")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("fh")).as("n_bodies"))
+          .filter(col("n_docs") >= 2 && col("n_bodies") >= 2)
+          .select(col("ph"), lit(true).as("hit"))
+        docs.join(fams, Seq("ph"), "left")
+          .select(col("doc_id"),
+            coalesce(col("hit"), lit(false)).as("stripped"),
+            col("ntok").as("n_tok_before"),
+            when(coalesce(col("hit"), lit(false)),
+              greatest(col("ntok") - 8L, lit(0L)))
+              .otherwise(col("ntok")).as("n_tok_after"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH dd AS (
+          SELECT doc_id,
+                 md5(array_to_string(
+                   string_split_regex(lower(trim(text)), '\s+')[1:8], ' '))
+                   AS ph,
+                 md5(text) AS fh,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok
+          FROM documents),
+        fams AS (
+          SELECT ph FROM dd GROUP BY ph
+          HAVING count(*) >= 2 AND count(DISTINCT fh) >= 2)
+        SELECT d.doc_id, f.ph IS NOT NULL AS stripped,
+               d.ntok AS n_tok_before,
+               CASE WHEN f.ph IS NOT NULL THEN greatest(d.ntok - 8, 0)
+                    ELSE d.ntok END AS n_tok_after
+        FROM dd d LEFT JOIN fams f ON f.ph = d.ph
+        ORDER BY d.doc_id"""))
   )
 }

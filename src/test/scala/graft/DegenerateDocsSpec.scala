@@ -61,7 +61,8 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "x13_pii_report", "p21_alpha_sampling", "t15_vocab_growth",
     "p22_epoch_plan", "t16_charset_audit", "m08_blob_containment",
     "d19_threshold_sweep", "t17_source_novelty",
-    "d20_minhash_calibration", "t18_learned_stopwords")
+    "d20_minhash_calibration", "t18_learned_stopwords",
+    "p23_boilerplate_strip", "t19_truncation_loss", "x16_profile_drift")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

@@ -44,7 +44,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "x13_pii_report", "p21_alpha_sampling", "t15_vocab_growth",
     "p22_epoch_plan", "t16_charset_audit", "m08_blob_containment",
     "t17_source_novelty",
-    "d20_minhash_calibration", "t18_learned_stopwords")
+    "d20_minhash_calibration", "t18_learned_stopwords",
+    "p23_boilerplate_strip", "t19_truncation_loss", "x16_profile_drift")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

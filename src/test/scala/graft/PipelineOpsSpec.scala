@@ -298,4 +298,31 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got("lineitem.l_orderkey refs orders") == 1L) // key 7 dangles
     assert(got("events.ts not null") == 1L)
   }
+
+  test("x16 profile drift: planted null-rate jump and cardinality collapse " +
+    "flag; stable column doesn't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("x16").toString
+    // even (base) docs: lang set, texts all distinct; odd (next) docs:
+    // lang NULL (100% null jump), texts all identical (cardinality
+    // collapse); source identical on both sides (stable)
+    val rows = (0L until 8L).map { i =>
+      val even = i % 2 == 0
+      (i, if (even) s"text number $i" else "same text",
+       if (even) "en" else null, "src0")
+    }
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("x16_profile_drift", dir).collect()
+      .map(r => r.getAs[String]("col_name") ->
+        ((r.getAs[Long]("base_null_bp"), r.getAs[Long]("next_null_bp"),
+          r.getAs[Long]("base_distinct"), r.getAs[Long]("next_distinct"),
+          r.getAs[Boolean]("null_drift"), r.getAs[Boolean]("distinct_drift"))))
+      .toMap
+    assert(got("lang") == ((0L, 10000L, 1L, 0L, true, true)), got)
+    assert(got("text") == ((0L, 0L, 4L, 1L, false, true)), got)
+    assert(got("source") == ((0L, 0L, 1L, 1L, false, false)), got)
+  }
 }

@@ -866,6 +866,26 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(got == Map("the" -> ((3L, 3L, 10000L))), got)
   }
 
+  test("t19 truncation loss: exact mass accounting at each k, 0 once the " +
+    "vocab fits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t19").toString
+    // counts: a=5, b=3, c=2, then 11 singletons → total 21, vocab 14.
+    // top-10 covers 5+3+2+7·1 = 17 → oov (21-17)*10000 div 21 = 1904;
+    // top-100/1000 cover everything
+    val text = "a a a a a b b b c c " + ('d' to 'n').mkString(" ")
+    Seq((0L, text)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("t19_truncation_loss", dir).collect()
+      .map(r => r.getAs[Long]("k") ->
+        ((r.getAs[Long]("covered"), r.getAs[Long]("total"),
+          r.getAs[Long]("oov_bp")))).toMap
+    assert(got == Map(10L -> ((17L, 21L, 1904L)),
+      100L -> ((21L, 21L, 0L)), 1000L -> ((21L, 21L, 0L))), got)
+  }
+
   test("e23 MAD anomaly: a planted spike flags; metronome days don't") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("e23").toString

@@ -517,4 +517,33 @@ class TrainingPipelineSpec extends SparkSpecBase {
         want * r.getAs[Long]("t_tokens"))
     }
   }
+
+  test("p23 boilerplate strip: templated family strips, exact dups and " +
+    "singletons don't, token accounting exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p23").toString
+    val prefix = "w1 w2 w3 w4 w5 w6 w7 w8"
+    Seq(
+      (0L, prefix + " body one here"),   // templated family A
+      (1L, prefix + " another body x"),  // templated family A
+      (2L, "dup dup dup dup dup dup dup dup same tail"), // exact-dup fam B
+      (3L, "dup dup dup dup dup dup dup dup same tail"), // (one body)
+      (4L, "lonely unique document"))    // singleton
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("p23_boilerplate_strip", dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("stripped"), r.getAs[Long]("n_tok_before"),
+          r.getAs[Long]("n_tok_after")))).toMap
+    assert(got(0L) == ((true, 11L, 3L)), got)
+    assert(got(1L) == ((true, 11L, 3L)), got)
+    // same prefix but ONE distinct body: not templated, keep whole
+    assert(got(2L) == ((false, 10L, 10L)), got)
+    assert(got(3L) == ((false, 10L, 10L)), got)
+    assert(got(4L) == ((false, 3L, 3L)), got)
+  }
 }
