@@ -1008,6 +1008,81 @@ object EventsOps {
         SELECT d.event_type, d.day, d.n, d.med, m.mad,
                d.dev > m.mad * 3 AS anomalous
         FROM dev d JOIN mad m USING (event_type)
-        ORDER BY d.event_type, d.day"""))
+        ORDER BY d.event_type, d.day""")),
+
+    // ---------------------------------------------------------------- e24
+    // Activity CONCENTRATION audit: exact Gini coefficient of events-
+    // per-user plus the top-1%-users' share — the "is the corpus a few
+    // power users in a trenchcoat" pre-flight for any user-weighted
+    // sampling or per-user state sizing. The naive rank formula needs a
+    // GLOBAL value-sorted window over |users| rows (single task — the
+    // r2 scale-killer); instead users collapse to the activity HISTOGRAM
+    // (x = events, m = #users with x) and every rank-sum collapses to a
+    // closed form per bucket: users in a bucket share the same x, so
+    // Σ i·x over the bucket's rank run [c+1, c+m] is x·(m·c + m(m+1)/2),
+    // and the top-k cut takes min(m, k - c_desc) users from each bucket.
+    // Windows run over the |distinct activity levels|-bounded histogram
+    // only. All arithmetic exact: rank sums in DECIMAL(38,0) (n·S
+    // exceeds int64 at the 1e9-user regime), Gini in ppm and share in
+    // basis points via integer division — no float ever decides a digit.
+    "e24_activity_gini" -> QueryDef(
+      build = (s, d) => {
+        val h = t(s, d, "events")
+          .groupBy("user_id").agg(count(lit(1)).as("x"))
+          .groupBy("x").agg(count(lit(1)).as("m"))
+        val w = Window.orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wd = Window.orderBy(col("x").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cum = h
+          .withColumn("c_asc", coalesce(sum("m").over(w), lit(0L)))
+          .withColumn("c_desc", coalesce(sum("m").over(wd), lit(0L)))
+        val tot = h.agg(sum("m").as("n_users"),
+          sum(col("x") * col("m")).as("total_events"),
+          expr("CAST((sum(m) + 99) div 100 AS BIGINT)").as("k"))
+        cum.crossJoin(broadcast(tot))
+          .agg(
+            max("n_users").as("n_users"),
+            max("total_events").as("total_events"),
+            sum((col("x") * (col("m") * col("c_asc")
+              + expr("m * (m + 1) div 2"))).cast("decimal(38,0)")).as("a"),
+            sum(col("x") * greatest(lit(0L),
+              least(col("m"), col("k") - col("c_desc")))).as("topk_events"))
+          .select(col("n_users"), col("total_events"),
+            expr("""CAST((2 * a - (CAST(n_users AS DECIMAL(38,0)) + 1)
+                      * total_events) * 1000000
+                    div (CAST(n_users AS DECIMAL(38,0)) * total_events)
+                    AS BIGINT)""").as("gini_ppm"),
+            expr("topk_events * 10000 div total_events")
+              .as("top1pct_share_bp"))
+      },
+      oracle = Some("""
+        WITH ux AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+        h AS (SELECT x, CAST(count(*) AS BIGINT) AS m FROM ux GROUP BY x),
+        cum AS (
+          SELECT x, m,
+            CAST(coalesce(sum(m) OVER (ORDER BY x
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS c_asc,
+            CAST(coalesce(sum(m) OVER (ORDER BY x DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS c_desc
+          FROM h),
+        tot AS (
+          SELECT CAST(sum(m) AS BIGINT) AS n_users,
+                 CAST(sum(x * m) AS BIGINT) AS total_events,
+                 CAST((sum(m) + 99) // 100 AS BIGINT) AS k
+          FROM h)
+        SELECT t.n_users, t.total_events,
+          CAST((2 * sum(CAST(x * (m * c_asc + m * (m + 1) // 2)
+                  AS DECIMAL(38,0)))
+                - (CAST(t.n_users AS DECIMAL(38,0)) + 1) * t.total_events)
+               * 1000000
+               // (CAST(t.n_users AS DECIMAL(38,0)) * t.total_events)
+               AS BIGINT) AS gini_ppm,
+          CAST(sum(x * greatest(0, least(m, t.k - c_desc))) * 10000
+               // t.total_events AS BIGINT) AS top1pct_share_bp
+        FROM cum CROSS JOIN tot t
+        GROUP BY t.n_users, t.total_events, t.k"""))
   )
 }

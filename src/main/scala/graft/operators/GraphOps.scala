@@ -365,6 +365,84 @@ object GraphOps {
            |         u AS node, count(*) AS deg
            |  FROM e GROUP BY 1, 2)
            |SELECT node_type, deg, count(*) AS n_nodes
-           |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+           |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ---------------------------------------------------------------- g08
+    // TRIANGLE census of the supplier co-purchase PROJECTION (suppliers
+    // connected when they share >= 2 customers — g05's capped pair
+    // generation reused verbatim, so projection build is linear). The
+    // triangle count + global clustering coefficient (3T / wedges) is
+    // the standard cohesion audit run before sampling or embedding a
+    // projected graph. Counting is the ordered-wedge join: edges stored
+    // a < b, so e(a,b) ⋈ e(b,c) enumerates each wedge with a < b < c
+    // exactly once and a semi-join against e(a,c) closes it — each
+    // triangle counted exactly once, no orientation bookkeeping. At
+    // 100 TB the same plan holds because wedge fan-out is bounded by the
+    // projection's degeneracy (the shared>=2 threshold plus the hub cap
+    // keep the projection sparse); wedges ride ONE hash shuffle keyed by
+    // the middle node. All counters exact BIGINTs; coefficient in basis
+    // points via integer division — bit-identical on both engines.
+    "g08_triangles" -> QueryDef(
+      build = (s, d) => {
+        val cs = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+          .distinct()
+        val small = cs.join(
+          cs.groupBy("c").agg(count(lit(1)).as("cd")).filter(col("cd") <= 64)
+            .select("c"),
+          "c")
+        val e = small.select(col("c"), col("sk").as("s1"))
+          .join(small.select(col("c"), col("sk").as("s2")), Seq("c"))
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+          .filter(col("shared") >= 2)
+          .select("s1", "s2")
+        val deg = e.select(col("s1").as("node"))
+          .unionAll(e.select(col("s2").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val wedges = deg.agg(
+          coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L)).as("n_wedges"))
+        val tri = e.select(col("s1").as("a"), col("s2").as("b"))
+          .join(e.select(col("s1").as("b"), col("s2").as("c")), Seq("b"))
+          .join(e.select(col("s1").as("a"), col("s2").as("c")),
+            Seq("a", "c"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        val ne = e.agg(count(lit(1)).as("n_proj_edges"))
+        ne.crossJoin(tri).crossJoin(wedges) // 1x1x1 scalar joins
+          .select(col("n_proj_edges"), col("n_triangles"), col("n_wedges"),
+            when(col("n_wedges") === 0, lit(0L))
+              .otherwise(expr("n_triangles * 3 * 10000 div n_wedges"))
+              .as("closure_bp"))
+      },
+      oracle = Some("""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        small AS (
+          SELECT cs.c, cs.sk FROM cs JOIN (
+            SELECT c FROM cs GROUP BY c HAVING count(*) <= 64) k
+          ON k.c = cs.c),
+        e AS (
+          SELECT a.sk AS s1, b.sk AS s2
+          FROM small a JOIN small b ON a.c = b.c AND a.sk < b.sk
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        deg AS (
+          SELECT node, count(*) AS deg FROM (
+            SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) z
+          GROUP BY node),
+        w AS (SELECT CAST(coalesce(sum(deg * (deg - 1) // 2), 0) AS BIGINT)
+                AS n_wedges FROM deg),
+        tr AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_triangles
+          FROM e ab JOIN e bc ON ab.s2 = bc.s1
+          WHERE EXISTS (SELECT 1 FROM e ac
+                        WHERE ac.s1 = ab.s1 AND ac.s2 = bc.s2))
+        SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_proj_edges,
+               tr.n_triangles, w.n_wedges,
+               CASE WHEN w.n_wedges = 0 THEN 0
+                    ELSE n_triangles * 3 * 10000 // n_wedges
+               END AS closure_bp
+        FROM tr CROSS JOIN w"""))
   )
 }

@@ -683,6 +683,50 @@ object PipelineOps {
                abs(base_null_bp - next_null_bp) > 100 AS null_drift,
                (next_distinct * 10 > base_distinct * 12 OR
                 next_distinct * 10 < base_distinct * 8) AS distinct_drift
-        FROM b JOIN n USING (col_name) ORDER BY col_name"""))
+        FROM b JOIN n USING (col_name) ORDER BY col_name""")),
+
+    // ---------------------------------------------------------------- x17
+    // FRESHNESS audit: per event-type ingestion health — last-seen lag
+    // behind the stream's high-water mark, active-day span, and events
+    // per active day. The table-of-contents check a 100 TB ingest runs
+    // before trusting a source: a type whose lag_sec is large or whose
+    // per-day rate collapsed has a stuck upstream. One hash agg to
+    // |event_types| rows + a broadcast scalar for the high-water mark;
+    // all figures integer-exact (micros → whole seconds via div, rate
+    // via integer division) so the report is bit-stable across engines
+    // and partitionings.
+    "x17_freshness_audit" -> QueryDef(
+      build = (s, d) => {
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val per = t(s, d, "events")
+          .select(col("event_type"), us.as("us"),
+            date_trunc("day", col("ts").cast("timestamp")).as("day"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            min("us").as("first_us"), max("us").as("last_us"),
+            countDistinct("day").as("active_days"))
+        val hw = t(s, d, "events").agg(max(us).as("hw_us"))
+        per.crossJoin(broadcast(hw))
+          .select(col("event_type"), col("n_events"), col("active_days"),
+            expr("(hw_us - last_us) div 1000000").as("lag_sec"),
+            expr("(last_us - first_us) div 86400000000").as("span_days"),
+            expr("n_events div active_days").as("events_per_day"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT event_type, count(*) AS n_events,
+                 min(epoch_us(CAST(ts AS TIMESTAMP))) AS first_us,
+                 max(epoch_us(CAST(ts AS TIMESTAMP))) AS last_us,
+                 CAST(count(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)))
+                   AS BIGINT) AS active_days
+          FROM events GROUP BY 1),
+        hw AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS hw_us
+               FROM events)
+        SELECT event_type, n_events, active_days,
+               (hw_us - last_us) // 1000000 AS lag_sec,
+               (last_us - first_us) // 86400000000 AS span_days,
+               n_events // active_days AS events_per_day
+        FROM per CROSS JOIN hw ORDER BY event_type"""))
   )
 }

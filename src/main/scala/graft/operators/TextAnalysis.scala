@@ -890,6 +890,61 @@ object TextAnalysis {
                 FROM g JOIN rk ON rk.rk <= g.k GROUP BY g.k)
         SELECT k, covered, total,
                (total - covered) * 10000 // total AS oov_bp
-        FROM cov CROSS JOIN tt ORDER BY k"""))
+        FROM cov CROSS JOIN tt ORDER BY k""")),
+
+    // ---------------------------------------------------------------- t20
+    // COMPRESSIBILITY proxy: per-doc distinct-4gram / total-4gram ratio,
+    // rolled into a decile histogram. Highly repetitive text (boiler-
+    // plate, keyword stuffing, generation loops) compresses well ⇔ has
+    // few distinct n-grams; corpus-quality filters (Gopher's repetition
+    // rules) gate on exactly this signal without needing a codec. The
+    // ratio is exact-integer (basis points via div); deciles capped at 9
+    // so a fully-novel doc (ratio 1.0) lands in the top bucket. Map-side
+    // per-doc work via the native NGramStringExpr (no per-shingle string
+    // churn in codegen) + array_distinct; ONE histogram-sized hash agg —
+    // output ≤ 10 rows at any corpus size.
+    "t20_compression_ratio" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.GraftShim
+        val toks = TextFns.tokens(col("text"))
+        t(s, d, "documents")
+          .select(col("doc_id"), (size(toks) - 3).as("total"),
+            size(array_distinct(GraftShim.column(graft.plans.NGramStringExpr(
+              GraftShim.expression(toks), 4)))).cast("long").as("dist"))
+          .filter(col("total") >= 1)
+          .select(
+            least(expr("dist * 10 div total"), lit(9L)).as("decile"),
+            col("total"), expr("dist * 10000 div total").as("ratio_bp"))
+          .groupBy("decile")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("total").as("n_ngrams"),
+            min("ratio_bp").as("min_ratio_bp"),
+            max("ratio_bp").as("max_ratio_bp"))
+          .orderBy("decile")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT CAST(len(string_split_regex(lower(trim(text)), '\s+')) - 3
+                   AS BIGINT) AS total,
+                 CAST(len(list_distinct(list_transform(
+                   generate_series(1,
+                     len(string_split_regex(lower(trim(text)), '\s+')) - 3),
+                   i -> string_split_regex(lower(trim(text)), '\s+')[i]
+                        || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+1]
+                        || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+2]
+                        || ' ' ||
+                        string_split_regex(lower(trim(text)), '\s+')[i+3])))
+                   AS BIGINT) AS dist
+          FROM documents),
+        r AS (
+          SELECT least(dist * 10 // total, 9) AS decile, total,
+                 dist * 10000 // total AS ratio_bp
+          FROM d WHERE total >= 1)
+        SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(total) AS BIGINT) AS n_ngrams,
+               min(ratio_bp) AS min_ratio_bp, max(ratio_bp) AS max_ratio_bp
+        FROM r GROUP BY decile ORDER BY decile"""))
   )
 }

@@ -62,7 +62,8 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "p22_epoch_plan", "t16_charset_audit", "m08_blob_containment",
     "d19_threshold_sweep", "t17_source_novelty",
     "d20_minhash_calibration", "t18_learned_stopwords",
-    "p23_boilerplate_strip", "t19_truncation_loss", "x16_profile_drift")
+    "p23_boilerplate_strip", "t19_truncation_loss", "x16_profile_drift",
+    "t20_compression_ratio")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

@@ -45,7 +45,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "p22_epoch_plan", "t16_charset_audit", "m08_blob_containment",
     "t17_source_novelty",
     "d20_minhash_calibration", "t18_learned_stopwords",
-    "p23_boilerplate_strip", "t19_truncation_loss", "x16_profile_drift")
+    "p23_boilerplate_strip", "t19_truncation_loss", "x16_profile_drift",
+    "t20_compression_ratio")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

@@ -224,4 +224,38 @@ class GraphSpec extends SparkSpecBase {
     // should be supplier-dominated
     assert(rows.take(5).count(_.getAs[String]("node_type") == "supplier") >= 3)
   }
+
+  test("g08 triangles: planted 3-clique closes; sub-threshold edges don't") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-g08").toString
+    // customers 1,2 both buy {20,21,22} → all three supplier pairs share
+    // 2 customers → projection triangle; customer 3 adds a third shared
+    // customer to (20,21); customer 4's {20,23} pair shares only 1
+    // customer → below the >=2 threshold, supplier 23 stays isolated
+    val pairs = Seq(
+      (1L, 20L), (1L, 21L), (1L, 22L),
+      (2L, 20L), (2L, 21L), (2L, 22L),
+      (3L, 20L), (3L, 21L),
+      (4L, 20L), (4L, 23L))
+    val orders = pairs.zipWithIndex
+      .map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = pairs.zipWithIndex
+      .map { case ((_, su), i) => (i.toLong, su) }
+      .toDF("l_orderkey", "l_suppkey")
+    orders.coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    lineitem.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val r = run("g08_triangles", dir).collect().head
+    assert(r.getAs[Long]("n_proj_edges") == 3L, r)
+    assert(r.getAs[Long]("n_triangles") == 1L, r)
+    // each of 20,21,22 has projection degree 2 → one wedge each
+    assert(r.getAs[Long]("n_wedges") == 3L, r)
+    assert(r.getAs[Long]("closure_bp") == 10000L, r)
+    // sf run: wedge/triangle consistency (3T ≤ W ⇔ closure ≤ 10000)
+    val s = run("g08_triangles").collect().head
+    assert(s.getAs[Long]("n_triangles") * 3 <= s.getAs[Long]("n_wedges"), s)
+    assert(s.getAs[Long]("closure_bp") >= 0 &&
+      s.getAs[Long]("closure_bp") <= 10000L, s)
+  }
 }

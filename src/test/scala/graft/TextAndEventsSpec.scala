@@ -909,4 +909,95 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(got.filter(_.getAs[String]("event_type") == "view")
       .forall(!_.getAs[Boolean]("anomalous")))
   }
+
+  test("e24 gini: planted concentration replays the closed form exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e24").toString
+    def ts(min: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusMinutes(min))
+    // per-user event counts 1, 1, 2, 4: sorted rank-sum A = 1+2+6+16 =
+    // 25, G = (2·25 − 5·8)/(4·8) = 0.3125; top-1% = ceil(4/100) = 1 user
+    // (the 4-event one) → share 4/8
+    val rows = (Seq((1L, 1), (2L, 1), (3L, 2), (4L, 4)).flatMap {
+      case (u, n) => (1 to n).map(i => (u * 100 + i, ts(u * 10 + i), u,
+        "view", 1.0, "{}"))
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = run("e24_activity_gini", dir).collect().head
+    assert(r.getAs[Long]("n_users") == 4L, r)
+    assert(r.getAs[Long]("total_events") == 8L, r)
+    assert(r.getAs[Long]("gini_ppm") == 312500L, r)
+    assert(r.getAs[Long]("top1pct_share_bp") == 5000L, r)
+    // sf invariants: G ∈ [0, 1), top-1% share ≥ its uniform floor
+    val s = run("e24_activity_gini").collect().head
+    assert(s.getAs[Long]("gini_ppm") >= 0 &&
+      s.getAs[Long]("gini_ppm") < 1000000L, s)
+    assert(s.getAs[Long]("top1pct_share_bp") * s.getAs[Long]("n_users")
+      >= 10000L * ((s.getAs[Long]("n_users") + 99) / 100), s)
+  }
+
+  test("e24 gini is 0 on a perfectly uniform corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e24u").toString
+    def ts(min: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusMinutes(min))
+    (for (u <- 1L to 5L; i <- 1 to 3) yield
+      (u * 10 + i, ts(u + i), u, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = run("e24_activity_gini", dir).collect().head
+    assert(r.getAs[Long]("gini_ppm") == 0L, r)
+    // 1 of 5 equal users holds exactly 1/5 of the mass
+    assert(r.getAs[Long]("top1pct_share_bp") == 2000L, r)
+  }
+
+  test("t20 compressibility: repetitive and novel docs land in their deciles") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t20").toString
+    Seq(
+      (0L, "a a a a a"),     // 2 total 4-grams, 1 distinct → 5000 bp, decile 5
+      (1L, "v w x y z"),     // 2 total, 2 distinct → 10000 bp, capped decile 9
+      (2L, "too short"))     // < 4 tokens → excluded
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("t20_compression_ratio", dir).collect()
+      .map(r => r.getAs[Long]("decile") -> r).toMap
+    assert(got.keySet == Set(5L, 9L), got)
+    assert(got(5L).getAs[Long]("n_docs") == 1L &&
+      got(5L).getAs[Long]("min_ratio_bp") == 5000L, got(5L))
+    assert(got(9L).getAs[Long]("n_docs") == 1L &&
+      got(9L).getAs[Long]("max_ratio_bp") == 10000L, got(9L))
+    // sf invariants: deciles within [0,9], ratios within (0, 10000]
+    run("t20_compression_ratio").collect().foreach { r =>
+      assert(r.getAs[Long]("decile") >= 0 && r.getAs[Long]("decile") <= 9, r)
+      assert(r.getAs[Long]("min_ratio_bp") > 0 &&
+        r.getAs[Long]("max_ratio_bp") <= 10000L, r)
+    }
+  }
+
+  test("x17 freshness: lags measure from the high-water mark exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("x17").toString
+    def ts(sec: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(sec))
+    Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(10), 1L, "view", 1.0, "{}"),
+      (3L, ts(100), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("x17_freshness_audit", dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got("view").getAs[Long]("lag_sec") == 90L, got("view"))
+    assert(got("view").getAs[Long]("n_events") == 2L &&
+      got("view").getAs[Long]("active_days") == 1L &&
+      got("view").getAs[Long]("events_per_day") == 2L, got("view"))
+    assert(got("click").getAs[Long]("lag_sec") == 0L, got("click"))
+    // sf invariant: exactly one type sits AT the high-water mark
+    val sfRows = run("x17_freshness_audit").collect()
+    assert(sfRows.count(_.getAs[Long]("lag_sec") == 0L) >= 1, sfRows.toSeq)
+    assert(sfRows.forall(r => r.getAs[Long]("events_per_day") >= 1L))
+  }
 }
