@@ -1401,7 +1401,40 @@ object Dedup {
                CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(inter * 10000 // uni) AS BIGINT)
                  // CAST(count(*) AS BIGINT) AS avg_true_bp
-        FROM mt GROUP BY matches ORDER BY matches"""))
+        FROM mt GROUP BY matches ORDER BY matches""")),
+
+    // ---------------------------------------------------------------- d21
+    // CROSS-SOURCE duplication audit: exact-dup clusters (d01's content
+    // digest) profiled by how many distinct SOURCES they span. A cluster
+    // confined to one source is a re-crawl artifact; one spanning
+    // several is syndication/mirroring — a different licensing and
+    // provenance posture, and the input to "which source do we keep the
+    // canonical from". Two hash aggregates (digest → cluster profile →
+    // |distinct source-spans| rows); never materializes pairs. Reported
+    // per span: cluster count, docs involved, redundant docs (docs minus
+    // one canonical per cluster).
+    "d21_multisource_dups" -> QueryDef(
+      build = (s, d) => {
+        val cl = t(s, d, "documents")
+          .groupBy(md5(col("text").cast("binary")).as("h"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct("source").as("n_sources"))
+          .filter(col("n") >= 2)
+        cl.groupBy("n_sources")
+          .agg(count(lit(1)).as("n_clusters"),
+            sum("n").as("n_dup_docs"),
+            (sum("n") - count(lit(1))).as("n_redundant"))
+          .orderBy("n_sources")
+      },
+      oracle = Some("""
+        WITH cl AS (
+          SELECT md5(text) AS h, count(*) AS n,
+                 CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+          FROM documents GROUP BY md5(text) HAVING count(*) >= 2)
+        SELECT n_sources, count(*) AS n_clusters,
+               CAST(sum(n) AS BIGINT) AS n_dup_docs,
+               CAST(sum(n) - count(*) AS BIGINT) AS n_redundant
+        FROM cl GROUP BY n_sources ORDER BY n_sources"""))
   )
 
   /** Name → QueryDef for intra-object composition (d09 reuses d06b). */

@@ -1369,7 +1369,37 @@ object Relational {
                CAST(ca.n AS BIGINT) AS n_orders
         FROM o JOIN ca USING (o_custkey)
         WHERE o.p * ca.n > ca.tot
-        ORDER BY excess_x_n DESC, o_orderkey LIMIT 20"""))
+        ORDER BY excess_x_n DESC, o_orderkey LIMIT 20""")),
+
+    // ---------------------------------------------------------------- q50
+    // Conditional-aggregate battery: count_if / bool_or / bool_and — the
+    // FILTER-clause family that replaces "N queries, one per predicate"
+    // with one pass (every branch rides the same hash aggregate with
+    // map-side partials; at 100 TB this is 1 scan instead of 4). Share
+    // in basis points by exact integer division. Closes the §2.A
+    // aggregate-function inventory alongside q42 (mode) / q29 (typed).
+    "q50_agg_filters" -> QueryDef(
+      build = (s, d) =>
+        t(s, d, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n_items"),
+            expr("count_if(l_quantity > 25)").as("n_bulk"),
+            expr("bool_or(l_discount > 0.08)").as("any_deep_discount"),
+            expr("bool_and(l_tax >= 0)").as("taxes_nonneg"))
+          .select(col("l_returnflag"), col("n_items"), col("n_bulk"),
+            expr("n_bulk * 10000 div n_items").as("bulk_bp"),
+            col("any_deep_discount"), col("taxes_nonneg"))
+          .orderBy("l_returnflag"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+                 AS n_bulk,
+               CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT)
+                 * 10000 // count(*) AS bulk_bp,
+               bool_or(l_discount > 0.08) AS any_deep_discount,
+               bool_and(l_tax >= 0) AS taxes_nonneg
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

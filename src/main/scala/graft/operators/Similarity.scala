@@ -1491,6 +1491,64 @@ object Similarity {
                label, vec_id, round(sc, 4) AS score
         FROM best
         QUALIFY rk <= 5
-        ORDER BY q_id, rk"""))
+        ORDER BY q_id, rk""")),
+
+    // ---------------------------------------------------------------- a21
+    // Simplified SILHOUETTE per cell of the shared a03 quantizer: for
+    // each vector, a = cosine distance to its own centroid, b = distance
+    // to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈ [−1,1]. The
+    // per-cell mean separates "tight, well-separated cell" (→1) from
+    // "cell overlapping a neighbor" (→0/negative) — the audit that
+    // decides whether the IVF needs more cells BEFORE recall degrades
+    // (a13 profiles cohesion only; silhouette adds separation). Physical
+    // shape: n×8 candidate rows from a broadcast of the 8-row centroid
+    // table, folded by ONE vec_id-keyed hash agg (map-side partial
+    // max/conditional-max), then a |cells|-row rollup — no window, no
+    // pair materialization. Means via the 6-dp decimal-sum scheme.
+    "a21_silhouette" -> QueryDef(
+      build = (s, d) => {
+        val (trained, assigned) = ivfTrainedAssigned(t(s, d, "embeddings"))
+        val per = assigned.crossJoin(broadcast(trained))
+          .select(col("vec_id"), col("cell"), col("cent_id"),
+            VectorFns.cosine(col("embedding"), col("cv")).as("cos"))
+          .groupBy("vec_id", "cell")
+          .agg(max(when(col("cent_id") === col("cell"), col("cos")))
+            .as("cos_own"),
+            max(when(col("cent_id") =!= col("cell"), col("cos")))
+            .as("cos_other"))
+          .select(col("cell"),
+            (lit(1.0) - col("cos_own")).as("a"),
+            (lit(1.0) - col("cos_other")).as("b"))
+          .select(col("cell"),
+            when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+              .otherwise((col("b") - col("a"))
+                / greatest(col("a"), col("b"))).as("sil"))
+        per.groupBy("cell")
+          .agg(count(lit(1)).as("n_vecs"),
+            round(sum(col("sil").cast("decimal(30,6)")).cast("double") /
+              count(lit(1)), 4).as("avg_sil"),
+            round(min("sil"), 4).as("min_sil"))
+          .orderBy("cell")
+      },
+      oracle = Some(s"""$IVF_ORACLE_CTES,
+        sc AS (
+          SELECT a.vec_id, a.cell, c.cent_id,
+                 list_cosine_similarity(a.embedding::DOUBLE[], c.cv) AS cos
+          FROM asg2 a CROSS JOIN cents c),
+        ab AS (
+          SELECT vec_id, cell,
+                 1.0 - max(CASE WHEN cent_id = cell THEN cos END) AS a,
+                 1.0 - max(CASE WHEN cent_id <> cell THEN cos END) AS b
+          FROM sc GROUP BY vec_id, cell),
+        sil AS (
+          SELECT cell,
+                 CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                      ELSE (b - a) / greatest(a, b) END AS sil
+          FROM ab)
+        SELECT cell, count(*) AS n_vecs,
+               round(CAST(sum(CAST(round(sil, 6) AS DECIMAL(30,6)))
+                 AS DOUBLE) / count(*), 4) AS avg_sil,
+               round(min(sil), 4) AS min_sil
+        FROM sil GROUP BY cell ORDER BY cell"""))
   )
 }

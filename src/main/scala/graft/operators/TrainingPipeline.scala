@@ -1186,6 +1186,65 @@ object TrainingPipeline {
                CASE WHEN f.ph IS NOT NULL THEN greatest(d.ntok - 8, 0)
                     ELSE d.ntok END AS n_tok_after
         FROM dd d LEFT JOIN fams f ON f.ph = d.ph
-        ORDER BY d.doc_id"""))
+        ORDER BY d.doc_id""")),
+
+    // ---------------------------------------------------------------- p24
+    // PACK-EFFICIENCY audit of p02's sequence packing: per language, how
+    // many documents the SEQ_LEN boundaries cut in two (attention-mask
+    // fragmentation — the quality cost of dense packing) and how much
+    // tail capacity the last partial bin wastes (the storage cost).
+    // These two numbers decide SEQ_LEN and whether to pad-or-pack; a
+    // 100 TB run budgets GPU-hours with exactly this report. Reuses the
+    // two-pass prefix scheme (no single-task window); a doc is split iff
+    // its [pfx, pfx+ntok) span crosses a bin edge — exact integer test.
+    // Output |langs| rows; shares in basis points by integer division.
+    "p24_pack_efficiency" -> QueryDef(
+      build = (s, d) => {
+        val base = t(s, d, "documents").select(
+          col("doc_id"), col("lang"),
+          size(TextFns.tokens(col("text"))).cast("long").as("ntok"))
+        TwoPassPrefix.withPrefix(base, "lang", "doc_id", col("ntok"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(expr(s"pfx div $SEQ_LEN") =!=
+                expr(s"(pfx + ntok - 1) div $SEQ_LEN"), 1L)
+              .otherwise(0L)).as("n_split_docs"),
+            max("part_total").as("total_tokens"))
+          .select(col("lang"), col("n_docs"), col("n_split_docs"),
+            expr("n_split_docs * 10000 div n_docs").as("split_bp"),
+            col("total_tokens"),
+            expr(s"(total_tokens + ${SEQ_LEN - 1}) div $SEQ_LEN")
+              .as("n_bins"),
+            expr(s"(total_tokens + ${SEQ_LEN - 1}) div $SEQ_LEN * $SEQ_LEN"
+              + " - total_tokens").as("tail_waste"))
+          .orderBy("lang")
+      },
+      oracle = Some(s"""
+        WITH z AS (
+          SELECT lang, doc_id,
+                 CAST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                   AS BIGINT) AS ntok
+          FROM documents),
+        w AS (
+          SELECT lang, ntok,
+            coalesce(sum(ntok) OVER (PARTITION BY lang
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+            sum(ntok) OVER (PARTITION BY lang) AS total
+          FROM z),
+        g AS (
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN pfx // $SEQ_LEN
+                     <> (pfx + ntok - 1) // $SEQ_LEN THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_split_docs,
+                 CAST(max(total) AS BIGINT) AS total_tokens
+          FROM w GROUP BY lang)
+        SELECT lang, n_docs, n_split_docs,
+               n_split_docs * 10000 // n_docs AS split_bp,
+               total_tokens,
+               (total_tokens + ${SEQ_LEN - 1}) // $SEQ_LEN AS n_bins,
+               (total_tokens + ${SEQ_LEN - 1}) // $SEQ_LEN * $SEQ_LEN
+                 - total_tokens AS tail_waste
+        FROM g ORDER BY lang"""))
   )
 }

@@ -644,4 +644,33 @@ class DedupSpec extends SparkSpecBase {
     assert(p.getAs[Double]("precision") < 1.0)
     assert(pt >= 3L)
   }
+
+  test("d21 multisource dups: intra- vs cross-source clusters profiled exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("d21").toString
+    Seq(
+      (0L, "dup one", "s1"), (1L, "dup one", "s1"),      // 1-source cluster
+      (2L, "mirrored", "s1"), (3L, "mirrored", "s2"),    // 2-source cluster
+      (4L, "unique", "s1"))                              // singleton: excluded
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("d21_multisource_dups", dir).collect()
+      .map(r => r.getAs[Long]("n_sources") -> r).toMap
+    assert(got.keySet == Set(1L, 2L), got)
+    assert(got(1L).getAs[Long]("n_clusters") == 1L &&
+      got(1L).getAs[Long]("n_dup_docs") == 2L &&
+      got(1L).getAs[Long]("n_redundant") == 1L, got(1L))
+    assert(got(2L).getAs[Long]("n_clusters") == 1L &&
+      got(2L).getAs[Long]("n_redundant") == 1L, got(2L))
+    // reconciliation vs d01 on the sf corpus: same clusters, same docs
+    val d01 = run("d01_dedup_exact").collect()
+      .filter(_.getAs[Long]("dup_cnt") >= 2)
+    val mine = run("d21_multisource_dups").collect()
+    assert(mine.map(_.getAs[Long]("n_clusters")).sum == d01.length.toLong)
+    assert(mine.map(_.getAs[Long]("n_dup_docs")).sum ==
+      d01.map(_.getAs[Long]("dup_cnt")).sum)
+  }
 }

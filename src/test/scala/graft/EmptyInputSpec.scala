@@ -46,7 +46,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "t17_source_novelty",
     "d20_minhash_calibration", "t18_learned_stopwords",
     "p23_boilerplate_strip", "t19_truncation_loss", "x16_profile_drift",
-    "t20_compression_ratio")
+    "t20_compression_ratio", "d21_multisource_dups", "p24_pack_efficiency")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

@@ -284,4 +284,31 @@ class RelationalExtSpec extends SparkSpecBase {
       .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(want == top.getAs[Double]("excess_x_n"), (want, top))
   }
+
+  test("q50 conditional aggregates: planted branches count exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q50").toString
+    Seq( // (flag, qty, discount, tax)
+      ("A", 30.0, 0.10, 0.05), // bulk + deep discount
+      ("A", 10.0, 0.00, 0.02),
+      ("N", 5.0, 0.01, -0.01)) // negative tax → bool_and trips
+      .toDF("l_returnflag", "l_quantity", "l_discount", "l_tax")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = run("q50_agg_filters", dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val a = got("A")
+    assert(a.getAs[Long]("n_items") == 2L && a.getAs[Long]("n_bulk") == 1L
+      && a.getAs[Long]("bulk_bp") == 5000L, a)
+    assert(a.getAs[Boolean]("any_deep_discount")
+      && a.getAs[Boolean]("taxes_nonneg"), a)
+    val n = got("N")
+    assert(n.getAs[Long]("n_bulk") == 0L && n.getAs[Long]("bulk_bp") == 0L, n)
+    assert(!n.getAs[Boolean]("any_deep_discount")
+      && !n.getAs[Boolean]("taxes_nonneg"), n)
+    // sf invariant: every branch count bounded by the group size
+    run("q50_agg_filters").collect().foreach { r =>
+      assert(r.getAs[Long]("n_bulk") <= r.getAs[Long]("n_items"), r)
+      assert(r.getAs[Long]("bulk_bp") <= 10000L, r)
+    }
+  }
 }

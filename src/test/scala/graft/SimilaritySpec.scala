@@ -566,4 +566,31 @@ class SimilaritySpec extends SparkSpecBase {
         (1L to g.length.toLong).toSeq)
     }
   }
+
+  test("a21 silhouette: orthogonal tight clusters score exactly 1") {
+    // sf run: silhouettes bounded, cells partition the corpus
+    val rows = run("a21_silhouette").collect()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum ==
+      Tables(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_sil"); val mn = r.getAs[Double]("min_sil")
+      assert(mn <= avg + 1e-9 && avg <= 1.0001 && mn >= -1.0001, r.toString)
+    }
+    // planted: members equal their seed, seeds orthogonal → a = 0,
+    // b = 1 − 0 = 1 ⇒ s = 1 for every vector in every cell
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("a21").toString
+    val base = Array.tabulate(8) { k =>
+      val a = new Array[Float](64); a(k) = 1f; a
+    }
+    (0L until 32L).map(i => (i, base((i % 8).toInt).clone(), (i % 4).toInt))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val planted = run("a21_silhouette", dir).collect()
+    assert(planted.map(_.getAs[Long]("n_vecs")).sum == 32L)
+    planted.foreach { r =>
+      assert(r.getAs[Double]("avg_sil") == 1.0, r.toString)
+      assert(r.getAs[Double]("min_sil") == 1.0, r.toString)
+    }
+  }
 }

@@ -546,4 +546,38 @@ class TrainingPipelineSpec extends SparkSpecBase {
     assert(got(3L) == ((false, 10L, 10L)), got)
     assert(got(4L) == ((false, 3L, 3L)), got)
   }
+
+  test("p24 pack efficiency: boundary-crossing doc splits, tail waste exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("p24").toString
+    // en: one 3000-token doc — alone in its lang, so pfx = 0 and the
+    // span [0, 3000) crosses the 2048 edge → split; 2 bins, waste 1096.
+    // fr: two 10-token docs — 20 tokens, no edge crossed, waste 2028.
+    Seq(
+      (0L, Seq.fill(3000)("w").mkString(" "), "en"),
+      (1L, Seq.fill(10)("x").mkString(" "), "fr"),
+      (2L, Seq.fill(10)("y").mkString(" "), "fr"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("p24_pack_efficiency", dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val en = got("en")
+    assert(en.getAs[Long]("n_split_docs") == 1L &&
+      en.getAs[Long]("split_bp") == 10000L, en)
+    assert(en.getAs[Long]("n_bins") == 2L &&
+      en.getAs[Long]("tail_waste") == 4096L - 3000L, en)
+    val fr = got("fr")
+    assert(fr.getAs[Long]("n_split_docs") == 0L &&
+      fr.getAs[Long]("n_bins") == 1L &&
+      fr.getAs[Long]("tail_waste") == 2048L - 20L, fr)
+    // sf invariants: waste < one bin, splits bounded by docs
+    run("p24_pack_efficiency").collect().foreach { r =>
+      assert(r.getAs[Long]("tail_waste") >= 0 &&
+        r.getAs[Long]("tail_waste") < 2048L, r)
+      assert(r.getAs[Long]("n_split_docs") <= r.getAs[Long]("n_docs"), r)
+    }
+  }
 }
