@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1083,6 +1083,78 @@ object EventsOps {
           CAST(sum(x * greatest(0, least(m, t.k - c_desc))) * 10000
                // t.total_events AS BIGINT) AS top1pct_share_bp
         FROM cum CROSS JOIN tot t
-        GROUP BY t.n_users, t.total_events, t.k"""))
+        GROUP BY t.n_users, t.total_events, t.k""")),
+
+    // ---------------------------------------------------------------- e25
+    // Funnel TIMING: e04 counts who converts; e25 measures how long each
+    // stage transition takes (the number that sizes retargeting windows
+    // and attribution lookbacks). Same staged min-timestamp joins as
+    // e04; per-user lags land as exact integer seconds, then median via
+    // percentile(0.5) — the midpoint interpolation is an exact binary
+    // fraction (e23's argument), and the mean is exact integer
+    // centiseconds (sum·100 div n) so no float decides a digit. The
+    // percentile input is |converting users| rows per stage pair —
+    // bounded by true conversions, and the 2-row output is constant.
+    "e25_funnel_timing" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "events")
+        val us = unix_micros(col("ts").cast("timestamp"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(us).as("tv"))
+        val c = e.filter(col("event_type") === "click").alias("e")
+          .join(v, Seq("user_id"))
+          .filter(unix_micros(col("e.ts").cast("timestamp")) > col("tv"))
+          .groupBy("user_id")
+          .agg(min(unix_micros(col("e.ts").cast("timestamp"))).as("tc"),
+            max("tv").as("tv"))
+        val p = e.filter(col("event_type") === "purchase").alias("e2")
+          .join(c, Seq("user_id"))
+          .filter(unix_micros(col("e2.ts").cast("timestamp")) > col("tc"))
+          .groupBy("user_id")
+          .agg(min(unix_micros(col("e2.ts").cast("timestamp"))).as("tp"),
+            max("tc").as("tc2"))
+        def leg(df: DataFrame, a: String, b: String, name: String,
+            ord: Long): DataFrame =
+          df.select(expr(s"($b - $a) div 1000000").as("lag_sec"))
+            .agg(count(lit(1)).as("n_users"),
+              expr("percentile(lag_sec, 0.5)").as("med_lag_sec"),
+              expr("sum(lag_sec) * 100 div count(1)").as("mean_lag_csec"))
+            .select(lit(name).as("stage_pair"), lit(ord).as("ord"),
+              col("n_users"), col("med_lag_sec"), col("mean_lag_csec"))
+        leg(c, "tv", "tc", "view_to_click", 1L)
+          .unionAll(leg(p, "tc2", "tp", "click_to_purchase", 2L))
+          .orderBy("ord")
+      },
+      oracle = Some("""
+        WITH v AS (SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP)))
+                     AS tv
+                   FROM events WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id,
+                     min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS tc,
+                     max(v.tv) AS tv
+              FROM events e JOIN v ON e.user_id = v.user_id
+                AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.tv
+              WHERE e.event_type = 'click' GROUP BY e.user_id),
+        p AS (SELECT e.user_id,
+                     min(epoch_us(CAST(e.ts AS TIMESTAMP))) AS tp,
+                     max(c.tc) AS tc2
+              FROM events e JOIN c ON e.user_id = c.user_id
+                AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.tc
+              WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        l1 AS (SELECT (tc - tv) // 1000000 AS lag_sec FROM c),
+        l2 AS (SELECT (tp - tc2) // 1000000 AS lag_sec FROM p)
+        SELECT stage_pair, ord, n_users, med_lag_sec, mean_lag_csec FROM (
+          SELECT 'view_to_click' AS stage_pair, CAST(1 AS BIGINT) AS ord,
+                 count(*) AS n_users,
+                 quantile_cont(lag_sec, 0.5) AS med_lag_sec,
+                 CAST(sum(lag_sec) * 100 // count(*) AS BIGINT)
+                   AS mean_lag_csec
+          FROM l1
+          UNION ALL
+          SELECT 'click_to_purchase', CAST(2 AS BIGINT), count(*),
+                 quantile_cont(lag_sec, 0.5),
+                 CAST(sum(lag_sec) * 100 // count(*) AS BIGINT)
+          FROM l2) z
+        ORDER BY ord"""))
   )
 }

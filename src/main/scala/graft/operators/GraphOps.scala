@@ -443,6 +443,51 @@ object GraphOps {
                CASE WHEN w.n_wedges = 0 THEN 0
                     ELSE n_triangles * 3 * 10000 // n_wedges
                END AS closure_bp
-        FROM tr CROSS JOIN w"""))
+        FROM tr CROSS JOIN w""")),
+
+    // ---------------------------------------------------------------- g09
+    // BFS REACH profile: how much of the purchase graph is within k hops
+    // (k ≤ 4) of a fixed seed (supplier 1, encoded node 3) — the
+    // small-world/connectivity probe that sizes neighborhood-sampling
+    // fan-out before any graph-ML featurization. Frontier expansion, the
+    // canonical distributed BFS: each round is ONE hash join of the
+    // |frontier| rows against the node-keyed edge list + an anti-join
+    // against the visited set; lineage truncated per round (g06's
+    // idiom). Rounds are FIXED at 4 so the result is a pure function of
+    // the input. The oracle's recursive CTE uses UNION (distinct), so
+    // its state is bounded by nodes×5 — path enumeration would explode
+    // combinatorially on the dense bipartite sf graphs.
+    "g09_bfs_reach" -> QueryDef(
+      build = (s, d) => {
+        val edges = purchaseEdges(s, d).localCheckpoint()
+        var visited = edges.select(col("u").as("node"))
+          .filter(col("node") === 3L).distinct()
+          .withColumn("dist", lit(0L)).localCheckpoint()
+        var frontier = visited.select("node")
+        for (r <- 1 to 4) {
+          val next = edges
+            .join(frontier.withColumnRenamed("node", "u"), Seq("u"),
+              "left_semi")
+            .select(col("v").as("node")).distinct()
+            .join(visited.select("node"), Seq("node"), "left_anti")
+            .withColumn("dist", lit(r.toLong)).localCheckpoint()
+          visited = visited.unionAll(next).localCheckpoint()
+          frontier = next.select("node")
+        }
+        visited.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+          .orderBy("dist")
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $sqlEdges,
+           |r AS (
+           |  SELECT DISTINCT CAST(3 AS BIGINT) AS node,
+           |                  CAST(0 AS BIGINT) AS dist
+           |  FROM e WHERE u = 3
+           |  UNION
+           |  SELECT e.v AS node, r.dist + 1 AS dist
+           |  FROM r JOIN e ON e.u = r.node WHERE r.dist < 4),
+           |d AS (SELECT node, min(dist) AS dist FROM r GROUP BY node)
+           |SELECT dist, count(*) AS n_nodes
+           |FROM d GROUP BY dist ORDER BY dist""".stripMargin))
   )
 }

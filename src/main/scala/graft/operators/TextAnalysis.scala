@@ -945,6 +945,68 @@ object TextAnalysis {
         SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(total) AS BIGINT) AS n_ngrams,
                min(ratio_bp) AS min_ratio_bp, max(ratio_bp) AS max_ratio_bp
-        FROM r GROUP BY decile ORDER BY decile"""))
+        FROM r GROUP BY decile ORDER BY decile""")),
+
+    // ---------------------------------------------------------------- t21
+    // Length-OUTLIER census: per language, docs whose token count sits
+    // beyond mean ± 3σ — truncation artifacts (short tail) and
+    // concatenation/scrape failures (long tail), the two shapes a
+    // length-trimming pass removes first. The z-test runs in EXACT
+    // integer cross-multiplication — (n·x − S)² > 9·(n·Q − S²) with
+    // S = Σx, Q = Σx² — so no float (or σ rounding) ever decides a
+    // flag; squares ride DECIMAL(38,0) because n·x reaches ~1e13 at the
+    // 1e9-doc regime and its square overflows int64. One tokenize pass,
+    // a |langs|-row stats table broadcast back, map-side flagging, one
+    // |langs|-row rollup.
+    "t21_length_outliers" -> QueryDef(
+      build = (s, d) => {
+        val base = t(s, d, "documents").select(col("lang"),
+          size(TextFns.tokens(col("text"))).cast("long").as("x"))
+        val stats = base.groupBy("lang").agg(
+          count(lit(1)).as("n"), sum("x").as("sv"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("q"))
+        base.join(broadcast(stats), "lang")
+          .withColumn("dev",
+            (col("n") * col("x") - col("sv")).cast("decimal(38,0)"))
+          .withColumn("var9",
+            lit(9) * (col("n") * col("q")
+              - col("sv").cast("decimal(38,0)")
+                * col("sv").cast("decimal(38,0)")))
+          .groupBy("lang")
+          .agg(max("n").as("n_docs"),
+            expr("max(sv) div max(n)").as("mean_tok"),
+            sum(when(col("dev") > 0 && col("dev") * col("dev") > col("var9"),
+              1L).otherwise(0L)).as("n_long_outliers"),
+            sum(when(col("dev") < 0 && col("dev") * col("dev") > col("var9"),
+              1L).otherwise(0L)).as("n_short_outliers"),
+            min("x").as("min_tok"), max("x").as("max_tok"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH b AS (
+          SELECT lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS x
+          FROM documents),
+        st AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sv,
+                 sum(CAST(x * x AS DECIMAL(38,0))) AS q
+          FROM b GROUP BY lang),
+        f AS (
+          SELECT b.lang, b.x, st.n, st.sv,
+                 CAST(st.n * b.x - st.sv AS DECIMAL(38,0)) AS dev,
+                 9 * (st.n * st.q
+                   - CAST(st.sv AS DECIMAL(38,0))
+                     * CAST(st.sv AS DECIMAL(38,0))) AS var9
+          FROM b JOIN st ON st.lang = b.lang)
+        SELECT lang, max(n) AS n_docs,
+               max(sv) // max(n) AS mean_tok,
+               CAST(sum(CASE WHEN dev > 0 AND dev * dev > var9
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_long_outliers,
+               CAST(sum(CASE WHEN dev < 0 AND dev * dev > var9
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_short_outliers,
+               min(x) AS min_tok, max(x) AS max_tok
+        FROM f GROUP BY lang ORDER BY lang"""))
   )
 }

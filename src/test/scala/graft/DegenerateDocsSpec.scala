@@ -63,7 +63,8 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "d19_threshold_sweep", "t17_source_novelty",
     "d20_minhash_calibration", "t18_learned_stopwords",
     "p23_boilerplate_strip", "t19_truncation_loss", "x16_profile_drift",
-    "t20_compression_ratio", "d21_multisource_dups", "p24_pack_efficiency")
+    "t20_compression_ratio", "d21_multisource_dups", "p24_pack_efficiency",
+    "t21_length_outliers")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

@@ -46,7 +46,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "t17_source_novelty",
     "d20_minhash_calibration", "t18_learned_stopwords",
     "p23_boilerplate_strip", "t19_truncation_loss", "x16_profile_drift",
-    "t20_compression_ratio", "d21_multisource_dups", "p24_pack_efficiency")
+    "t20_compression_ratio", "d21_multisource_dups", "p24_pack_efficiency",
+    "t21_length_outliers")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

@@ -258,4 +258,31 @@ class GraphSpec extends SparkSpecBase {
     assert(s.getAs[Long]("closure_bp") >= 0 &&
       s.getAs[Long]("closure_bp") <= 10000L, s)
   }
+
+  test("g09 BFS layers the planted chain; disconnected island unreached") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-g09").toString
+    // chain from seed supplier 1: s1—{c1,c2}, c2—s2, s2—c3;
+    // island (c9, s9) is disconnected and must not appear
+    val pairs = Seq(
+      (1L, 1L), (2L, 1L), (2L, 2L), (3L, 2L), (9L, 9L))
+    val orders = pairs.zipWithIndex
+      .map { case ((c, _), i) => (i.toLong, c) }
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = pairs.zipWithIndex
+      .map { case ((_, su), i) => (i.toLong, su) }
+      .toDF("l_orderkey", "l_suppkey")
+    orders.coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    lineitem.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/lineitem.parquet")
+    val got = run("g09_bfs_reach", dir).collect()
+      .map(r => r.getAs[Long]("dist") -> r.getAs[Long]("n_nodes")).toMap
+    // dist 0: {s1}; 1: {c1, c2}; 2: {s2}; 3: {c3}; island absent
+    assert(got == Map(0L -> 1L, 1L -> 2L, 2L -> 1L, 3L -> 1L), got)
+    // sf run: layer sizes positive, dist 0 is exactly the seed
+    val sfGot = run("g09_bfs_reach").collect()
+      .map(r => r.getAs[Long]("dist") -> r.getAs[Long]("n_nodes")).toMap
+    assert(sfGot.getOrElse(0L, 0L) == 1L, sfGot)
+    assert(sfGot.keySet.subsetOf(Set(0L, 1L, 2L, 3L, 4L)), sfGot)
+  }
 }

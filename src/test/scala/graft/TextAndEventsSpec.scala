@@ -1000,4 +1000,61 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(sfRows.count(_.getAs[Long]("lag_sec") == 0L) >= 1, sfRows.toSeq)
     assert(sfRows.forall(r => r.getAs[Long]("events_per_day") >= 1L))
   }
+
+  test("e25 funnel timing: planted lags give exact median and mean") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e25").toString
+    def ts(sec: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(sec))
+    // u1: view→click 60 s, click→purchase 300 s; u2: view→click 120 s,
+    // never purchases → leg1 lags {60, 120} (median 90), leg2 {300}
+    Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(60), 1L, "click", 1.0, "{}"),
+      (3L, ts(360), 1L, "purchase", 1.0, "{}"),
+      (4L, ts(0), 2L, "view", 1.0, "{}"),
+      (5L, ts(120), 2L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("e25_funnel_timing", dir).collect()
+      .map(r => r.getAs[String]("stage_pair") -> r).toMap
+    val l1 = got("view_to_click")
+    assert(l1.getAs[Long]("n_users") == 2L, l1)
+    assert(l1.getAs[Double]("med_lag_sec") == 90.0, l1)
+    assert(l1.getAs[Long]("mean_lag_csec") == 9000L, l1)
+    val l2 = got("click_to_purchase")
+    assert(l2.getAs[Long]("n_users") == 1L &&
+      l2.getAs[Double]("med_lag_sec") == 300.0 &&
+      l2.getAs[Long]("mean_lag_csec") == 30000L, l2)
+    // sf invariant: funnel narrows, lags are non-negative
+    val sf2 = run("e25_funnel_timing").collect()
+      .map(r => r.getAs[String]("stage_pair") -> r).toMap
+    assert(sf2("view_to_click").getAs[Long]("n_users") >=
+      sf2("click_to_purchase").getAs[Long]("n_users"))
+    sf2.values.foreach(r => assert(r.getAs[Long]("mean_lag_csec") >= 0L, r))
+  }
+
+  test("t21 length outliers: a planted 10x-length doc flags long, not short") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("t21").toString
+    val docs = (0L until 12L).map(i =>
+      (i, Seq.fill(10)("w").mkString(" "), "en")) :+
+      (12L, Seq.fill(100)("w").mkString(" "), "en")
+    docs.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = run("t21_length_outliers", dir).collect().head
+    assert(r.getAs[Long]("n_docs") == 13L, r)
+    assert(r.getAs[Long]("mean_tok") == 220L / 13L, r)
+    assert(r.getAs[Long]("n_long_outliers") == 1L, r)
+    assert(r.getAs[Long]("n_short_outliers") == 0L, r)
+    assert(r.getAs[Long]("min_tok") == 10L && r.getAs[Long]("max_tok") == 100L, r)
+    // sf invariant: outliers are a strict minority of every lang
+    run("t21_length_outliers").collect().foreach { s =>
+      assert((s.getAs[Long]("n_long_outliers")
+        + s.getAs[Long]("n_short_outliers")) * 10
+        < s.getAs[Long]("n_docs"), s)
+    }
+  }
 }
