@@ -370,6 +370,56 @@ object Multimodal {
                  CAST(strlen(p) AS BIGINT) AS nb
           FROM (SELECT coalesce(text, '') AS p FROM documents) z)
         SELECT format, count(*) AS n_docs, CAST(sum(nb) AS BIGINT) AS n_bytes
+        FROM f GROUP BY format ORDER BY format""")),
+
+    // ---------------------------------------------------------------- m09
+    // Per-format payload SIZE profile: the storage-planning sequel to
+    // m07's router — median (exact, binary-fraction midpoint of integer
+    // byte counts), exact integer-centibyte mean, and max per sniffed
+    // format. Decides per-format file sizing / compaction targets before
+    // a 100 TB binary-column write. Percentile input is per-format
+    // payload sizes (grouped by the ≤8 router classes); counts/extrema
+    // ride one hash agg with map-side partials.
+    "m09_payload_profile" -> QueryDef(
+      build = (s, d) => {
+        val p = coalesce(col("text"), lit(""))
+        val fmt = when(p.startsWith("%PDF"), "pdf")
+          .when(p.startsWith("PK"), "zip")
+          .when(p.startsWith("GIF8"), "gif")
+          .when(p.startsWith("RIFF"), "riff")
+          .when(p.startsWith("ID3"), "mp3")
+          .when(p.startsWith("{"), "json")
+          .when(p.startsWith("<"), "markup")
+          .otherwise("text")
+        t(s, d, "documents")
+          .select(fmt.as("format"),
+            octet_length(p.cast("binary")).cast("long").as("nb"))
+          .groupBy("format")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("nb").as("n_bytes"),
+            expr("percentile(nb, 0.5)").as("med_bytes"),
+            expr("sum(nb) * 100 div count(1)").as("mean_cbytes"),
+            max("nb").as("max_bytes"))
+          .orderBy("format")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CASE
+                   WHEN starts_with(p, '%PDF') THEN 'pdf'
+                   WHEN starts_with(p, 'PK')   THEN 'zip'
+                   WHEN starts_with(p, 'GIF8') THEN 'gif'
+                   WHEN starts_with(p, 'RIFF') THEN 'riff'
+                   WHEN starts_with(p, 'ID3')  THEN 'mp3'
+                   WHEN starts_with(p, '{')    THEN 'json'
+                   WHEN starts_with(p, '<')    THEN 'markup'
+                   ELSE 'text' END AS format,
+                 CAST(strlen(p) AS BIGINT) AS nb
+          FROM (SELECT coalesce(text, '') AS p FROM documents) z)
+        SELECT format, count(*) AS n_docs,
+               CAST(sum(nb) AS BIGINT) AS n_bytes,
+               quantile_cont(nb, 0.5) AS med_bytes,
+               CAST(sum(nb) * 100 // count(*) AS BIGINT) AS mean_cbytes,
+               max(nb) AS max_bytes
         FROM f GROUP BY format ORDER BY format"""))
   )
 }

@@ -727,6 +727,52 @@ object PipelineOps {
                (hw_us - last_us) // 1000000 AS lag_sec,
                (last_us - first_us) // 86400000000 AS span_days,
                n_events // active_days AS events_per_day
-        FROM per CROSS JOIN hw ORDER BY event_type"""))
+        FROM per CROSS JOIN hw ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- x19
+    // k-ANONYMITY census over the release quasi-identifiers (lang,
+    // source, n_chars rounded to the hundred): how many docs sit in
+    // equivalence classes smaller than k=5 — i.e. are re-identifiable by
+    // the metadata alone even after x14's pseudonymization (which
+    // protects direct identifiers only). The standard privacy audit
+    // before publishing a corpus slice. Two hash aggregates: docs →
+    // |QI classes|, classes → |langs| report rows; risk share in exact
+    // integer bp. Complements x11 (DP release) / x13 (PII content) /
+    // x14 (surrogate keys) as the fourth privacy primitive.
+    "x19_kanonymity" -> QueryDef(
+      build = (s, d) => {
+        val cls = t(s, d, "documents")
+          .groupBy(col("lang"), col("source"),
+            expr("n_chars div 100").as("len_c"))
+          .agg(count(lit(1)).as("sz"))
+        cls.groupBy("lang")
+          .agg(count(lit(1)).as("n_classes"),
+            sum("sz").as("n_docs"),
+            sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_small_classes"),
+            sum(when(col("sz") < 5, col("sz")).otherwise(0L))
+              .as("docs_at_risk"),
+            min("sz").as("min_class_size"))
+          .select(col("lang"), col("n_classes"), col("n_docs"),
+            col("n_small_classes"), col("docs_at_risk"),
+            expr("docs_at_risk * 10000 div n_docs").as("risk_bp"),
+            col("min_class_size"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH cls AS (
+          SELECT lang, source, n_chars // 100 AS len_c, count(*) AS sz
+          FROM documents GROUP BY 1, 2, 3),
+        g AS (
+          SELECT lang, count(*) AS n_classes,
+                 CAST(sum(sz) AS BIGINT) AS n_docs,
+                 CAST(sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_small_classes,
+                 CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS BIGINT)
+                   AS docs_at_risk,
+                 min(sz) AS min_class_size
+          FROM cls GROUP BY lang)
+        SELECT lang, n_classes, n_docs, n_small_classes, docs_at_risk,
+               docs_at_risk * 10000 // n_docs AS risk_bp, min_class_size
+        FROM g ORDER BY lang"""))
   )
 }

@@ -1399,7 +1399,50 @@ object Relational {
                  * 10000 // count(*) AS bulk_bp,
                bool_or(l_discount > 0.08) AS any_deep_discount,
                bool_and(l_tax >= 0) AS taxes_nonneg
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------------- q51
+    // Running DISTINCT count — "cumulative distinct customers per nation
+    // by month". COUNT(DISTINCT) OVER a running frame is unsupported (or
+    // quadratic) in most engines; the scalable rewrite is first-touch
+    // attribution: a customer contributes distinctness exactly once, at
+    // its MIN month, so per-(nation, month) first-touch counts + a
+    // cumulative sum reproduce the running distinct exactly. Shuffles
+    // are keyed by (nation, customer) then (nation, month); the window
+    // runs over the |nations|×|months|-bounded rollup only — the
+    // pattern that makes "distinct users to date" tractable at 100 TB.
+    "q51_running_distinct" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ym = (year(col("o_orderdate").cast("timestamp")) * 100
+          + month(col("o_orderdate").cast("timestamp"))).cast("long")
+        val firsts = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(col("c_nationkey").cast("long").as("nation"),
+            col("o_custkey"), ym.as("ym"))
+          .groupBy("nation", "o_custkey").agg(min("ym").as("ym"))
+        firsts.groupBy("nation", "ym")
+          .agg(count(lit(1)).as("new_customers"))
+          .withColumn("cum_customers",
+            sum("new_customers").over(
+              Window.partitionBy("nation").orderBy("ym")))
+          .orderBy("nation", "ym")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS nation, o.o_custkey,
+                 min(year(CAST(o.o_orderdate AS TIMESTAMP)) * 100
+                     + month(CAST(o.o_orderdate AS TIMESTAMP))) AS ym
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        n AS (
+          SELECT nation, CAST(ym AS BIGINT) AS ym,
+                 count(*) AS new_customers
+          FROM f GROUP BY 1, 2)
+        SELECT nation, ym, new_customers,
+               CAST(sum(new_customers) OVER (PARTITION BY nation
+                 ORDER BY ym) AS BIGINT) AS cum_customers
+        FROM n ORDER BY nation, ym"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

@@ -22,6 +22,27 @@ object EventsStream {
   /** Tumbling-window counts/sums per event type with a watermark bounding
     * late data (and therefore state size).
     */
+  /** x17's streaming twin — per-type ingestion freshness per closed
+    * window: event count plus the QUIET TAIL (window end minus the last
+    * event's timestamp, whole seconds). A type whose quiet tail
+    * approaches the window length went silent mid-window — the stuck-
+    * upstream alarm raised while the batch x17 report would still be
+    * hours away. Plain watermark + windowed agg (no custom state);
+    * emits on window close in append mode.
+    */
+  def freshnessTracker(events: DataFrame,
+                       windowLen: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("last_us"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"),
+        ((unix_micros(col("window.end").cast("timestamp")) - col("last_us"))
+          / lit(1000000L)).cast("long").as("quiet_tail_sec"))
+
   def windowedCounts(events: DataFrame,
                      windowLen: String = "1 hour",
                      watermark: String = "2 hours"): DataFrame =

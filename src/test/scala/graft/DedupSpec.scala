@@ -622,6 +622,37 @@ class DedupSpec extends SparkSpecBase {
       docs.map(d => Option(d._2).getOrElse("").getBytes("UTF-8").length).sum)
   }
 
+  test("m09 payload profile: per-format median/mean/max are exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, coalesce, length}
+    val dir = java.nio.file.Files.createTempDirectory("m09").toString
+    Seq(
+      (0L, "abcd"),           // text, 4 B
+      (1L, "abcdef"),         // text, 6 B
+      (2L, "0123456789"),     // text, 10 B
+      (3L, """{"a":1}"""))    // json, 7 B
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars",
+        length(coalesce(col("text"), lit(""))).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("m09_payload_profile", dir).collect()
+      .map(r => r.getAs[String]("format") -> r).toMap
+    val t0 = got("text")
+    assert(t0.getAs[Long]("n_docs") == 3L && t0.getAs[Long]("n_bytes") == 20L, t0)
+    assert(t0.getAs[Double]("med_bytes") == 6.0, t0)
+    assert(t0.getAs[Long]("mean_cbytes") == 666L, t0) // 2000 div 3
+    assert(t0.getAs[Long]("max_bytes") == 10L, t0)
+    val j = got("json")
+    assert(j.getAs[Double]("med_bytes") == 7.0 &&
+      j.getAs[Long]("mean_cbytes") == 700L, j)
+    // sf invariant: med <= max, mean within [min observed, max]*100
+    run("m09_payload_profile").collect().foreach { r =>
+      assert(r.getAs[Double]("med_bytes") <= r.getAs[Long]("max_bytes"), r)
+      assert(r.getAs[Long]("mean_cbytes") <= r.getAs[Long]("max_bytes") * 100, r)
+    }
+  }
+
   test("d18 detector eval: counts cohere; planted dups expose the trade-off") {
     val Seq(sf0) = run("d18_detector_eval").collect().toSeq
     val (det, tru, hit) = (sf0.getAs[Long]("n_detected"),

@@ -325,4 +325,26 @@ class PipelineOpsSpec extends SparkSpecBase {
     assert(got("text") == ((0L, 0L, 4L, 1L, false, true)), got)
     assert(got("source") == ((0L, 0L, 1L, 1L, false, false)), got)
   }
+
+  test("x19 k-anonymity: a 2-doc QI class is at risk, a 6-doc class is not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("x19").toString
+    // en/s1/len_c=1: 6 docs (safe); en/s2/len_c=0: 2 docs (< 5, at risk)
+    val docs = (0L until 6L).map(i => (i, "x", "en", "s1", 105L)) ++
+      Seq((6L, "y", "en", "s2", 50L), (7L, "z", "en", "s2", 55L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = run("x19_kanonymity", dir).collect().head
+    assert(r.getAs[Long]("n_classes") == 2L && r.getAs[Long]("n_docs") == 8L, r)
+    assert(r.getAs[Long]("n_small_classes") == 1L &&
+      r.getAs[Long]("docs_at_risk") == 2L, r)
+    assert(r.getAs[Long]("risk_bp") == 2500L &&
+      r.getAs[Long]("min_class_size") == 2L, r)
+    // sf invariants: risk share bounded, docs reconcile with the corpus
+    val sfRows = run("x19_kanonymity").collect()
+    assert(sfRows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf, "documents").count())
+    sfRows.foreach(s => assert(s.getAs[Long]("risk_bp") <= 10000L, s))
+  }
 }

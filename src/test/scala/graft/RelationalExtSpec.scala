@@ -311,4 +311,34 @@ class RelationalExtSpec extends SparkSpecBase {
       assert(r.getAs[Long]("bulk_bp") <= 10000L, r)
     }
   }
+
+  test("q51 running distinct: first-touch rewrite replays the planted truth") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q51").toString
+    def d(m: Int, day: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, m, day, 0, 0, 0))
+    // nation 1: cust 10 first-touches in Jan (Feb repeat must not
+    // recount), cust 11 in Feb; nation 2: cust 20 in Mar
+    Seq((1L, 10L, d(1, 5)), (2L, 10L, d(2, 1)), (3L, 11L, d(2, 20)),
+      (4L, 20L, d(3, 7)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L), (11L, 1L), (20L, 2L))
+      .toDF("c_custkey", "c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = run("q51_running_distinct", dir).collect()
+      .map(r => (r.getAs[Long]("nation"), r.getAs[Long]("ym")) ->
+        ((r.getAs[Long]("new_customers"), r.getAs[Long]("cum_customers"))))
+      .toMap
+    assert(got == Map(
+      (1L, 202401L) -> ((1L, 1L)), (1L, 202402L) -> ((1L, 2L)),
+      (2L, 202403L) -> ((1L, 1L))), got)
+    // sf invariants: cumulative monotone per nation; total = distinct custs
+    val sfRows = run("q51_running_distinct").collect()
+    sfRows.groupBy(_.getAs[Long]("nation")).foreach { case (_, rs) =>
+      val cums = rs.sortBy(_.getAs[Long]("ym")).map(_.getAs[Long]("cum_customers"))
+      assert(cums.sameElements(cums.sorted))
+      assert(cums.last == rs.map(_.getAs[Long]("new_customers")).sum)
+    }
+  }
 }

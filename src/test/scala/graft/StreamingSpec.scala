@@ -483,4 +483,29 @@ class StreamingSpec extends SparkSpecBase {
       assert(got.get("2024-01-02 00:00:00.0").forall(_ == 1L))
     } finally q.stop()
   }
+
+  test("freshnessTracker reports the quiet tail of each closed window") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "event_type")
+    val q = EventsStream.freshnessTracker(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("fresh")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "click"),
+        (Timestamp.valueOf("2024-01-01 10:10:00"), "click"), // tail 50 min
+        (Timestamp.valueOf("2024-01-01 10:59:00"), "view"))  // tail 1 min
+      q.processAllAvailable()
+      assert(spark.table("fresh").isEmpty) // window not closed yet
+      input.addData((Timestamp.valueOf("2024-01-01 14:00:00"), "view"))
+      q.processAllAvailable()
+      val got = spark.table("fresh").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("quiet_tail_sec")))).toMap
+      assert(got("click") == ((2L, 3000L)), got)
+      assert(got("view") == ((1L, 60L)), got)
+    } finally q.stop()
+  }
 }
