@@ -1155,6 +1155,56 @@ object EventsOps {
                  quantile_cont(lag_sec, 0.5),
                  CAST(sum(lag_sec) * 100 // count(*) AS BIGINT)
           FROM l2) z
-        ORDER BY ord"""))
+        ORDER BY ord""")),
+
+    // ---------------------------------------------------------------- e26
+    // Inter-arrival profile: per-user consecutive event gaps, binned on
+    // a power-of-8 seconds scale (sub-second / minute-ish / hour-ish /
+    // day-ish bands) with exact integer extremes and a centi-second
+    // integer mean per bin. The lag window is user-keyed — fan-in
+    // bounded by one user's history, shuffle corpus-linear — and the
+    // rollup is ≤6 rows at any scale. Gap math stays in integer micros
+    // end-to-end (ts is NTZ parquet; unix_micros after the exact
+    // NTZ→TIMESTAMP cast under the pinned UTC session). This is the
+    // arrival-model audit behind choosing e21's session gap and the
+    // streaming watermark horizon.
+    "e26_interarrival" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+          .withColumn("gap_us", col("us") - lag("us", 1).over(w))
+          .withColumn("gap_s", expr("gap_us div 1000000"))
+          .filter(col("gap_s").isNotNull)
+          .select(
+            when(col("gap_s") < 1, 0L).when(col("gap_s") < 8, 1L)
+              .when(col("gap_s") < 64, 2L).when(col("gap_s") < 512, 3L)
+              .when(col("gap_s") < 4096, 4L).otherwise(5L).as("bucket"),
+            col("gap_s"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_gaps"),
+            min("gap_s").as("min_s"), max("gap_s").as("max_s"),
+            expr("sum(gap_s) * 100 div count(1)").as("mean_cs"))
+          .orderBy("bucket")
+      },
+      oracle = Some("""
+        WITH g AS (
+          SELECT (epoch_us(CAST(ts AS TIMESTAMP))
+                  - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                      PARTITION BY user_id
+                      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id))
+                 // 1000000 AS gap_s
+          FROM events),
+        b AS (
+          SELECT CAST(CASE WHEN gap_s < 1 THEN 0 WHEN gap_s < 8 THEN 1
+                           WHEN gap_s < 64 THEN 2 WHEN gap_s < 512 THEN 3
+                           WHEN gap_s < 4096 THEN 4 ELSE 5 END AS BIGINT)
+                   AS bucket, gap_s
+          FROM g WHERE gap_s IS NOT NULL)
+        SELECT bucket, count(*) AS n_gaps,
+               min(gap_s) AS min_s, max(gap_s) AS max_s,
+               CAST(sum(gap_s) * 100 // count(*) AS BIGINT) AS mean_cs
+        FROM b GROUP BY bucket ORDER BY bucket"""))
   )
 }

@@ -41,6 +41,9 @@ object GraphOps {
   private val R0 = 1000000000000L // rank unit: 1.0 == 10^12
   private val Iters = 6
 
+  /** g08's supplier-projection edge list — see the in-operator note. */
+  private val g08ProjCache = HotCache.slot()
+
   /** Undirected customer—supplier purchase edges, both directions, as
     * (u, v): customers encoded as 2k, suppliers as 2k+1 so one BIGINT
     * node id space covers both without collisions.
@@ -368,20 +371,25 @@ object GraphOps {
            |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // ---------------------------------------------------------------- g08
-    // TRIANGLE census of the supplier co-purchase PROJECTION (suppliers
-    // connected when they share >= 2 customers — g05's capped pair
-    // generation reused verbatim, so projection build is linear). The
-    // triangle count + global clustering coefficient (3T / wedges) is
-    // the standard cohesion audit run before sampling or embedding a
-    // projected graph. Counting is the ordered-wedge join: edges stored
-    // a < b, so e(a,b) ⋈ e(b,c) enumerates each wedge with a < b < c
-    // exactly once and a semi-join against e(a,c) closes it — each
-    // triangle counted exactly once, no orientation bookkeeping. At
-    // 100 TB the same plan holds because wedge fan-out is bounded by the
-    // projection's degeneracy (the shared>=2 threshold plus the hub cap
-    // keep the projection sparse); wedges ride ONE hash shuffle keyed by
-    // the middle node. All counters exact BIGINTs; coefficient in basis
-    // points via integer division — bit-identical on both engines.
+    // TRIANGLE census of the supplier co-purchase projection,
+    // sparsified to the MUTUAL top-8 graph: an edge survives only if
+    // EACH endpoint ranks the other among its 8 strongest ties (by
+    // shared-customer count, neighbor id tie-break). Mutual-kNN
+    // sparsification is the standard pre-step before triangle/cluster
+    // analysis of a projected bipartite graph, and it is what makes the
+    // census scale-PROOF rather than scale-lucky: an absolute
+    // shared-count threshold densifies as the corpus grows (at sf0.1
+    // every supplier pair already shares ≥5 customers, making the
+    // thresholded projection the complete graph — ~5·10⁸ wedges from
+    // 1000 nodes, measured 27 s), while mutual-top-8 bounds every
+    // degree at 8, hence wedges ≤ 28·n, at ANY corpus size. The per-
+    // node top-8 ranks via a WindowGroupLimit-pushed row_number over
+    // the capped pair stream (g05's hub-capped generation bounds that
+    // stream); counting is the ordered-wedge join — edges stored a < b,
+    // e(a,b) ⋈ e(b,c) enumerates each wedge once, a semi-join against
+    // e(a,c) closes it. All counters exact BIGINTs; coefficient in
+    // basis points via integer division — bit-identical on both
+    // engines.
     "g08_triangles" -> QueryDef(
       build = (s, d) => {
         val cs = t(s, d, "orders")
@@ -392,12 +400,30 @@ object GraphOps {
           cs.groupBy("c").agg(count(lit(1)).as("cd")).filter(col("cd") <= 64)
             .select("c"),
           "c")
-        val e = small.select(col("c"), col("sk").as("s1"))
+        val p = small.select(col("c"), col("sk").as("s1"))
           .join(small.select(col("c"), col("sk").as("s2")), Seq("c"))
           .filter(col("s1") < col("s2"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
           .filter(col("shared") >= 2)
-          .select("s1", "s2")
+        val sym = p.select(col("s1").as("node"), col("s2").as("nbr"),
+            col("shared"))
+          .unionAll(p.select(col("s2").as("node"), col("s1").as("nbr"),
+            col("shared")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("node").orderBy(desc("shared"), asc("nbr"))
+        // mutual top-8: both directed picks present ⇔ count == 2
+        // (the (node, nbr) stream is duplicate-free by construction).
+        // The sparsified edge list is referenced SIX times downstream
+        // (deg, three wedge-join legs, the edge count) — slot-cached so
+        // the pair generation + window run once, not per reference.
+        val e = g08ProjCache.register(
+          sym.withColumn("rk", row_number().over(w))
+            .filter(col("rk") <= 8)
+            .select(least(col("node"), col("nbr")).as("s1"),
+              greatest(col("node"), col("nbr")).as("s2"))
+            .groupBy("s1", "s2").agg(count(lit(1)).as("cc"))
+            .filter(col("cc") === 2)
+            .select("s1", "s2"))
         val deg = e.select(col("s1").as("node"))
           .unionAll(e.select(col("s2").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -423,10 +449,21 @@ object GraphOps {
           SELECT cs.c, cs.sk FROM cs JOIN (
             SELECT c FROM cs GROUP BY c HAVING count(*) <= 64) k
           ON k.c = cs.c),
-        e AS (
-          SELECT a.sk AS s1, b.sk AS s2
+        p AS (
+          SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared
           FROM small a JOIN small b ON a.c = b.c AND a.sk < b.sk
           GROUP BY 1, 2 HAVING count(*) >= 2),
+        sym AS (
+          SELECT s1 AS node, s2 AS nbr, shared FROM p
+          UNION ALL SELECT s2, s1, shared FROM p),
+        top AS (
+          SELECT node, nbr FROM (
+            SELECT node, nbr, row_number() OVER (PARTITION BY node
+              ORDER BY shared DESC, nbr) AS rk FROM sym) z
+          WHERE rk <= 8),
+        e AS (
+          SELECT least(node, nbr) AS s1, greatest(node, nbr) AS s2
+          FROM top GROUP BY 1, 2 HAVING count(*) = 2),
         deg AS (
           SELECT node, count(*) AS deg FROM (
             SELECT s1 AS node FROM e UNION ALL SELECT s2 FROM e) z
@@ -488,6 +525,67 @@ object GraphOps {
            |  FROM r JOIN e ON e.u = r.node WHERE r.dist < 4),
            |d AS (SELECT node, min(dist) AS dist FROM r GROUP BY node)
            |SELECT dist, count(*) AS n_nodes
-           |FROM d GROUP BY dist ORDER BY dist""".stripMargin))
+           |FROM d GROUP BY dist ORDER BY dist""".stripMargin)),
+
+    // ---------------------------------------------------------------- g10
+    // Degree assortativity profile: bucket nodes by degree (power-of-4
+    // bins) and report each bucket's mean NEIGHBOR degree in exact
+    // integer centi-units — the "do hubs attach to hubs?" audit that
+    // predicts whether g01's rank mass concentrates and whether salting
+    // (s05/s06) will be needed on the join keys. Physically: one
+    // node-keyed degree aggregate (|nodes| rows), the edge list joined
+    // to it twice (u side picks the bucket, v side contributes the
+    // neighbor degree — both broadcastable at |nodes| ≪ |edges|, left
+    // to AQE here), then a ≤5-row rollup. Nothing is ever keyed by an
+    // edge pair, so the shuffle is edge-linear at any scale.
+    "g10_assortativity" -> QueryDef(
+      build = (s, d) => {
+        val edges = purchaseEdges(s, d)
+        val deg = edges.groupBy(col("u").as("node"))
+          .agg(count(lit(1)).as("deg"))
+        val bucketOf = (c: org.apache.spark.sql.Column) =>
+          when(c < 4, 0L).when(c < 16, 1L).when(c < 64, 2L)
+            .when(c < 256, 3L).otherwise(4L)
+        val nodes = deg.groupBy(bucketOf(col("deg")).as("bucket"))
+          .agg(count(lit(1)).as("n_nodes"))
+        val nbr = edges
+          .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+          .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+          .groupBy(bucketOf(col("du")).as("bucket"))
+          .agg(count(lit(1)).as("n_endpoints"),
+            expr("sum(dv) * 100 div count(1)").as("mean_nbr_deg_c"),
+            max("dv").as("max_nbr_deg"))
+        nodes.join(nbr, "bucket")
+          .select(col("bucket"), col("n_nodes"), col("n_endpoints"),
+            col("mean_nbr_deg_c"), col("max_nbr_deg"))
+          .orderBy("bucket")
+      },
+      oracle = Some(
+        s"""WITH $sqlEdges,
+           |deg AS (SELECT u AS node, count(*) AS deg FROM e GROUP BY u),
+           |nodes AS (
+           |  SELECT CAST(CASE WHEN deg < 4 THEN 0 WHEN deg < 16 THEN 1
+           |                   WHEN deg < 64 THEN 2 WHEN deg < 256 THEN 3
+           |                   ELSE 4 END AS BIGINT) AS bucket,
+           |         count(*) AS n_nodes
+           |  FROM deg GROUP BY 1),
+           |nbr AS (
+           |  SELECT CAST(CASE WHEN du.deg < 4 THEN 0
+           |                   WHEN du.deg < 16 THEN 1
+           |                   WHEN du.deg < 64 THEN 2
+           |                   WHEN du.deg < 256 THEN 3
+           |                   ELSE 4 END AS BIGINT) AS bucket,
+           |         count(*) AS n_endpoints,
+           |         CAST(sum(dv.deg) * 100 // count(*) AS BIGINT)
+           |           AS mean_nbr_deg_c,
+           |         max(dv.deg) AS max_nbr_deg
+           |  FROM e
+           |  JOIN deg du ON e.u = du.node
+           |  JOIN deg dv ON e.v = dv.node
+           |  GROUP BY 1)
+           |SELECT n.bucket, n.n_nodes, b.n_endpoints, b.mean_nbr_deg_c,
+           |       b.max_nbr_deg
+           |FROM nodes n JOIN nbr b ON n.bucket = b.bucket
+           |ORDER BY n.bucket""".stripMargin))
   )
 }

@@ -1442,7 +1442,59 @@ object Relational {
         SELECT nation, ym, new_customers,
                CAST(sum(new_customers) OVER (PARTITION BY nation
                  ORDER BY ym) AS BIGINT) AS cum_customers
-        FROM n ORDER BY nation, ym"""))
+        FROM n ORDER BY nation, ym""")),
+
+    // ---------------------------------------------------------------- q52
+    // Year-over-year growth per nation: yearly revenue (order-free
+    // DECIMAL sum), previous year via lag, and the growth rate in basis
+    // points computed ENTIRELY in integer arithmetic on micro-units —
+    // sign split so truncation is toward zero on both engines (Spark
+    // `div` truncates, DuckDB `//` floors; they differ on negatives,
+    // and a down year makes the delta negative). The window runs over
+    // the |nations|×|years| rollup only; the fact scan is one hash
+    // aggregate with map-side partials.
+    "q52_yoy_growth" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy("nation").orderBy("yr")
+        t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"),
+            year(col("o_orderdate").cast("timestamp")).cast("long").as("yr"))
+          .agg((dsumRaw(revenue) * 1000000).cast("long").as("rev_u"))
+          .withColumn("prev_u", lag("rev_u", 1).over(w))
+          .filter(col("prev_u").isNotNull)
+          .select(col("nation"), col("yr"),
+            round(col("rev_u") / 1e6, 2).as("revenue"),
+            round(col("prev_u") / 1e6, 2).as("prev_revenue"),
+            (signum(col("rev_u") - col("prev_u")).cast("long") *
+              expr("abs(rev_u - prev_u) * 10000 div prev_u"))
+              .as("growth_bp"))
+          .orderBy("nation", "yr")
+      },
+      oracle = Some("""
+        WITH y AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+                 CAST(year(CAST(o.o_orderdate AS TIMESTAMP)) AS BIGINT)
+                   AS yr,
+                 CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount),
+                   6) AS DECIMAL(30,6))) * 1000000 AS BIGINT) AS rev_u
+          FROM orders o
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY 1, 2),
+        w AS (
+          SELECT nation, yr, rev_u,
+                 lag(rev_u) OVER (PARTITION BY nation ORDER BY yr)
+                   AS prev_u
+          FROM y)
+        SELECT nation, yr,
+               round(rev_u / 1e6, 2) AS revenue,
+               round(prev_u / 1e6, 2) AS prev_revenue,
+               CAST(sign(rev_u - prev_u) AS BIGINT)
+                 * (abs(rev_u - prev_u) * 10000 // prev_u) AS growth_bp
+        FROM w WHERE prev_u IS NOT NULL
+        ORDER BY nation, yr"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

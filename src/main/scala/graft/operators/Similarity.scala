@@ -1549,6 +1549,71 @@ object Similarity {
                round(CAST(sum(CAST(round(sil, 6) AS DECIMAL(30,6)))
                  AS DOUBLE) / count(*), 4) AS avg_sil,
                round(min(sil), 4) AS min_sil
-        FROM sil GROUP BY cell ORDER BY cell"""))
+        FROM sil GROUP BY cell ORDER BY cell""")),
+
+    // ---------------------------------------------------------------- a22
+    // Hard-negative mining / label-noise audit: for each query vector,
+    // the nearest SAME-label corpus vector (hardest positive boundary)
+    // and the nearest DIFFERENT-label one (hardest negative — the pair
+    // a contrastive trainer most wants), plus the margin between them.
+    // A negative margin (closer cross-label neighbor than any same-label
+    // one) flags the query as a label-noise candidate. Physically: one
+    // corpus scan against the broadcast query set, folded by TWO
+    // conditional min-struct aggregates in a single q_id-keyed hash agg
+    // with map-side partials — never a window over the n×|q| candidate
+    // stream, so at corpus scale this is one pass + a |q|-row result.
+    // Margin/noise are derived from the 4-dp-rounded scores (a
+    // difference of two 4-dp values can never sit on a 5th-decimal
+    // rounding boundary, so the re-round is engine-stable).
+    "a22_hard_negatives" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < QUERY_IDS_BELOW)
+          .select(col("vec_id").as("q_id"),
+            col("label").cast("long").as("q_label"),
+            col("embedding").as("qv"))
+        val c = e.filter(col("vec_id") >= QUERY_IDS_BELOW)
+        c.crossJoin(broadcast(q))
+          .select(col("q_id"), col("q_label"),
+            (col("label").cast("long") === col("q_label")).as("same"),
+            struct(
+              coalesce(-VectorFns.cosine(col("qv"), col("embedding")),
+                lit(Double.PositiveInfinity)).as("ns"),
+              col("vec_id").as("vec_id")).as("cand"))
+          .groupBy("q_id", "q_label")
+          .agg(min(when(col("same"), col("cand"))).as("p"),
+            min(when(!col("same"), col("cand"))).as("n"))
+          .select(col("q_id"), col("q_label"),
+            col("p.vec_id").as("pos_id"), round(-col("p.ns"), 4).as("pos_score"),
+            col("n.vec_id").as("neg_id"), round(-col("n.ns"), 4).as("neg_score"))
+          .withColumn("margin", round(col("pos_score") - col("neg_score"), 4))
+          .withColumn("label_noise", col("neg_score") > col("pos_score"))
+          .orderBy("q_id")
+      },
+      oracle = Some(s"""
+        WITH q AS (SELECT vec_id AS q_id, CAST(label AS BIGINT) AS q_label,
+                          embedding AS qv
+                   FROM embeddings WHERE vec_id < $QUERY_IDS_BELOW),
+        c AS (SELECT vec_id, CAST(label AS BIGINT) AS label, embedding
+              FROM embeddings WHERE vec_id >= $QUERY_IDS_BELOW),
+        sc AS (SELECT q_id, q_label, vec_id, label = q_label AS same,
+                      list_cosine_similarity(qv::DOUBLE[],
+                                             embedding::DOUBLE[]) AS raw
+               FROM q CROSS JOIN c),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY q_id, same
+                      ORDER BY raw DESC, vec_id) AS rk
+          FROM sc),
+        g AS (
+          SELECT q_id, q_label,
+                 max(CASE WHEN same THEN vec_id END) AS pos_id,
+                 round(max(CASE WHEN same THEN raw END), 4) AS pos_score,
+                 max(CASE WHEN NOT same THEN vec_id END) AS neg_id,
+                 round(max(CASE WHEN NOT same THEN raw END), 4) AS neg_score
+          FROM best WHERE rk = 1 GROUP BY q_id, q_label)
+        SELECT q_id, q_label, pos_id, pos_score, neg_id, neg_score,
+               round(pos_score - neg_score, 4) AS margin,
+               neg_score > pos_score AS label_noise
+        FROM g ORDER BY q_id"""))
   )
 }

@@ -19,6 +19,14 @@ object TrainingPipeline {
   /** Tokens per training sequence for p02 (GPT-style concat-and-split). */
   private val SEQ_LEN = 2048
 
+  /** p25's average-surprisal keep threshold in CENTI-nats/bigram (3.39 —
+    * the shipped corpus's median, so the gate splits it nontrivially;
+    * production would fit this to a held-out clean-corpus percentile).
+    * Centi-units keep the keep-predicate in integer×decimal
+    * cross-multiplication: sl·100 ≤ nb·THRESH, both sides exact.
+    */
+  private val NLL_THRESH_C = 339L
+
   /** (key, md5(8-token shingle)) rows of a document frame — the shared
     * building block of p01/p05/p06. md5 keeps the join key engine-
     * portable for the oracles; production would use xxhash64 (8-byte
@@ -1245,6 +1253,84 @@ object TrainingPipeline {
                (total_tokens + ${SEQ_LEN - 1}) // $SEQ_LEN AS n_bins,
                (total_tokens + ${SEQ_LEN - 1}) // $SEQ_LEN * $SEQ_LEN
                  - total_tokens AS tail_waste
-        FROM g ORDER BY lang"""))
+        FROM g ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- p25
+    // LM-perplexity quality gate (the CCNet/Gopher filter stage): score
+    // every doc with t08's bigram surprisal and report, per source, how
+    // much survives an average-NLL cut. The keep decision is EXACT — the
+    // DECIMAL(30,6) surprisal sum is compared against threshold×count by
+    // integer cross-multiplication, so no float ever decides a doc's
+    // fate and the verdict is partition/engine-stable. Docs too short to
+    // score (<2 tokens) are reported as unscored, not silently kept.
+    // Scale shape is t08's: vocab²-bounded counts, bigram-keyed joins,
+    // then a |sources|-row rollup — corpus-linear, never doc-pairs.
+    "p25_perplexity_gate" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val inst = docs
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(TextFns.shingles(col("tk"), 2)).as("bg"))
+        val bgc = inst.groupBy("bg").agg(count(lit(1)).as("cb"))
+        val pfx = bgc
+          .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum("cb").as("cp"))
+        val ll = bgc
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(pfx, "w1")
+          .select(col("bg"),
+            log(col("cp").cast("double") / col("cb"))
+              .cast("decimal(30,6)").as("l"))
+        val scored = inst.join(ll, "bg")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("nb"), sum("l").as("sl"))
+        docs.select(col("doc_id"), col("source"))
+          .join(scored, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("nb").isNotNull, 1L).otherwise(0L))
+              .as("n_scored"),
+            sum(when(col("sl") * 100 <= col("nb") * NLL_THRESH_C, 1L)
+              .otherwise(0L)).as("n_kept"))
+          .select(col("source"), col("n_docs"), col("n_scored"),
+            col("n_kept"),
+            when(col("n_scored") === 0, 0L)
+              .otherwise(expr("n_kept * 10000 div n_scored"))
+              .as("kept_bp"))
+          .orderBy("source")
+      },
+      oracle = Some(s"""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+          FROM documents),
+        inst AS (
+          SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg
+          FROM tk, unnest(range(len(t) - 1)) AS u(i)
+          WHERE len(t) >= 2),
+        bgc AS (SELECT bg, count(*) AS cb FROM inst GROUP BY bg),
+        pfx AS (SELECT string_split(bg, ' ')[1] AS w1,
+                       CAST(sum(cb) AS BIGINT) AS cp
+                FROM bgc GROUP BY 1),
+        ll AS (SELECT bg, CAST(round(ln(CAST(cp AS DOUBLE) / cb), 6)
+                          AS DECIMAL(30,6)) AS l
+               FROM bgc JOIN pfx ON string_split(bgc.bg, ' ')[1] = pfx.w1),
+        scored AS (
+          SELECT i.doc_id, count(*) AS nb, sum(l) AS sl
+          FROM inst i JOIN ll USING (bg) GROUP BY i.doc_id),
+        g AS (
+          SELECT d.source,
+                 count(*) AS n_docs,
+                 CAST(sum(CASE WHEN s.nb IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_scored,
+                 CAST(sum(CASE WHEN s.sl * 100 <= s.nb * $NLL_THRESH_C
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+          FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+          GROUP BY d.source)
+        SELECT source, n_docs, n_scored, n_kept,
+               CASE WHEN n_scored = 0 THEN 0
+                    ELSE n_kept * 10000 // n_scored END AS kept_bp
+        FROM g ORDER BY source"""))
   )
 }

@@ -64,7 +64,8 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "d20_minhash_calibration", "t18_learned_stopwords",
     "p23_boilerplate_strip", "t19_truncation_loss", "x16_profile_drift",
     "t20_compression_ratio", "d21_multisource_dups", "p24_pack_efficiency",
-    "t21_length_outliers", "x19_kanonymity", "m09_payload_profile")
+    "t21_length_outliers", "x19_kanonymity", "m09_payload_profile",
+    "p25_perplexity_gate")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

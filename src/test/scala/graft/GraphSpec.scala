@@ -285,4 +285,25 @@ class GraphSpec extends SparkSpecBase {
     assert(sfGot.getOrElse(0L, 0L) == 1L, sfGot)
     assert(sfGot.keySet.subsetOf(Set(0L, 1L, 2L, 3L, 4L)), sfGot)
   }
+
+  test("g10 assortativity: planted graph's neighbor-degree means are exact") {
+    // planted degrees: c1=3, c2=c3=c4=1, s10=3, s11=1, s12=2 — all < 4,
+    // so one bucket (0) with 7 nodes and 12 directed endpoints.
+    // Σ deg(v) over directed edges = 14 (c→s legs) + 12 (s→c legs) = 26
+    // → mean_c = 2600 div 12 = 216, max neighbor degree 3.
+    val got = run("g10_assortativity", plantedDir).collect()
+    assert(got.length == 1, got.mkString(";"))
+    val r = got.head
+    assert(r.getAs[Long]("bucket") == 0L && r.getAs[Long]("n_nodes") == 7L
+      && r.getAs[Long]("n_endpoints") == 12L
+      && r.getAs[Long]("mean_nbr_deg_c") == 216L
+      && r.getAs[Long]("max_nbr_deg") == 3L, r)
+    // sf invariants: endpoint total = 2|edges| = Σ n_nodes-weighted degs;
+    // every mean sits inside [100, 100·max_deg]
+    val sfRows = run("g10_assortativity").collect()
+    sfRows.foreach { s =>
+      val m = s.getAs[Long]("mean_nbr_deg_c")
+      assert(m >= 100L && m <= s.getAs[Long]("max_nbr_deg") * 100, s)
+    }
+  }
 }

@@ -341,4 +341,37 @@ class RelationalExtSpec extends SparkSpecBase {
       assert(cums.last == rs.map(_.getAs[Long]("new_customers")).sum)
     }
   }
+
+  test("q52 yoy growth: planted revenues pin sign-split truncation") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q52").toString
+    def d(y: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(y, 6, 1, 0, 0, 0))
+    // nation 1, customer 10: 2020=100.00, 2021=85.00 (-1500 bp exact),
+    // 2022=92.57 (+890.58… → truncates to 890),
+    // 2023=92.00 (−0.57/92.57 → −61.57… bp → truncates toward zero: −61,
+    // where floor semantics would give −62 — the cross-engine trap)
+    Seq((1L, 10L, d(2020)), (2L, 10L, d(2021)), (3L, 10L, d(2022)),
+      (4L, 10L, d(2023)))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((10L, 1L)).toDF("c_custkey", "c_nationkey")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    Seq((1L, 100.00, 0.0), (2L, 85.00, 0.0), (3L, 92.57, 0.0),
+      (4L, 92.00, 0.0))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = run("q52_yoy_growth", dir).collect()
+      .map(r => r.getAs[Long]("yr") ->
+        ((r.getAs[Double]("revenue"), r.getAs[Long]("growth_bp")))).toMap
+    assert(got == Map(
+      2021L -> ((85.00, -1500L)), 2022L -> ((92.57, 890L)),
+      2023L -> ((92.00, -61L))), got)
+    // sf invariants: growth_bp consistent with the revenue ordering
+    run("q52_yoy_growth").collect().foreach { r =>
+      val (rev, prev, bp) = (r.getAs[Double]("revenue"),
+        r.getAs[Double]("prev_revenue"), r.getAs[Long]("growth_bp"))
+      if (rev > prev) assert(bp >= 0, r) else assert(bp <= 0, r)
+    }
+  }
 }

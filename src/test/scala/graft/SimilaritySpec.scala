@@ -593,4 +593,38 @@ class SimilaritySpec extends SparkSpecBase {
       assert(r.getAs[Double]("min_sil") == 1.0, r.toString)
     }
   }
+
+  test("a22 hard negatives: a planted mislabeled point flags label_noise") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("a22").toString
+    def axis(k: Int): Array[Float] = {
+      val a = new Array[Float](64); a(k) = 1f; a
+    }
+    // q0 (label 0, axis 0): same-label vec 10 on axis 0 (score 1),
+    //   cross-label vec 11 on axis 1 (score 0) → margin 1, clean.
+    // q1 (label 0, axis 2): nearest neighbor vec 12 is CROSS-label on
+    //   axis 2 (score 1) while the best same-label vec 13 only projects
+    //   0.6 onto axis 2 → margin −0.4, label-noise candidate.
+    val v13 = new Array[Float](64); v13(2) = 0.6f; v13(3) = 0.8f
+    Seq((0L, axis(0), 0), (1L, axis(2), 0),
+      (10L, axis(0), 0), (11L, axis(1), 1),
+      (12L, axis(2), 1), (13L, v13, 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = run("a22_hard_negatives", dir).collect()
+      .map(r => r.getAs[Long]("q_id") -> r).toMap
+    val q0 = got(0L)
+    assert(q0.getAs[Long]("pos_id") == 10L && q0.getAs[Long]("neg_id") == 11L, q0)
+    assert(q0.getAs[Double]("margin") == 1.0 && !q0.getAs[Boolean]("label_noise"), q0)
+    val q1 = got(1L)
+    assert(q1.getAs[Long]("pos_id") == 13L && q1.getAs[Long]("neg_id") == 12L, q1)
+    assert(q1.getAs[Double]("margin") == -0.4 && q1.getAs[Boolean]("label_noise"), q1)
+    // sf invariants: margin is exactly pos−neg; noise ⇔ negative margin
+    run("a22_hard_negatives").collect().foreach { r =>
+      val (p, n, m) = (r.getAs[Double]("pos_score"),
+        r.getAs[Double]("neg_score"), r.getAs[Double]("margin"))
+      assert(math.abs(m - (p - n)) < 5e-5, r)
+      assert(r.getAs[Boolean]("label_noise") == (n > p), r)
+    }
+  }
 }

@@ -1034,6 +1034,44 @@ class TextAndEventsSpec extends SparkSpecBase {
     sf2.values.foreach(r => assert(r.getAs[Long]("mean_lag_csec") >= 0L, r))
   }
 
+  test("e26 interarrival: planted gaps land in their power-of-8 bins exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("e26").toString
+    def ts(sec: Long) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0).plusSeconds(sec))
+    // user 1 gaps: 0 s (two events in the same second, event_id breaks
+    // the tie), 5 s, 60 s, 600 s, 5000 s → buckets 0,1,2,4,5; user 2
+    // contributes no gap (single event)
+    Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(0), 1L, "view", 1.0, "{}"),
+      (3L, ts(5), 1L, "click", 1.0, "{}"),
+      (4L, ts(65), 1L, "view", 1.0, "{}"),
+      (5L, ts(665), 1L, "view", 1.0, "{}"),
+      (6L, ts(5665), 1L, "purchase", 1.0, "{}"),
+      (7L, ts(9), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = run("e26_interarrival", dir).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Long]("min_s"),
+          r.getAs[Long]("max_s"), r.getAs[Long]("mean_cs")))).toMap
+    assert(got == Map(
+      0L -> ((1L, 0L, 0L, 0L)), 1L -> ((1L, 5L, 5L, 500L)),
+      2L -> ((1L, 60L, 60L, 6000L)), 4L -> ((1L, 600L, 600L, 60000L)),
+      5L -> ((1L, 5000L, 5000L, 500000L))), got)
+    // sf invariants: bins ordered, extremes inside each bin's range
+    val sfRows = run("e26_interarrival").collect()
+    sfRows.foreach { r =>
+      val (b, lo, hi) = (r.getAs[Long]("bucket"), r.getAs[Long]("min_s"),
+        r.getAs[Long]("max_s"))
+      assert(lo <= hi, r)
+      val edges = Seq(0L, 1L, 8L, 64L, 512L, 4096L, Long.MaxValue)
+      assert(lo >= edges(b.toInt), r)
+      assert(b == 5 || hi < edges(b.toInt + 1), r)
+    }
+  }
+
   test("t21 length outliers: a planted 10x-length doc flags long, not short") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("t21").toString

@@ -580,4 +580,30 @@ class TrainingPipelineSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_split_docs") <= r.getAs[Long]("n_docs"), r)
     }
   }
+
+  test("p25 perplexity gate: gibberish continuation is cut, natural kept") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("p25").toString
+    // 30 natural docs "the cat": bigram surprisal ln(31/30) ≈ 0.0328 →
+    // kept. 1 gibberish doc "the zzz": its bigram is unique but shares
+    // the frequent "the" prefix → surprisal ln(31/1) ≈ 3.434 nats >
+    // 3.39 threshold → cut. 1 single-token doc → unscored.
+    val docs = (0L until 30L).map(i => (i, "the cat", "en", "s", 7L)) ++
+      Seq((30L, "the zzz", "en", "s", 7L), (31L, "x", "en", "s", 1L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = run("p25_perplexity_gate", dir).collect().head
+    assert(r.getAs[Long]("n_docs") == 32L && r.getAs[Long]("n_scored") == 31L, r)
+    assert(r.getAs[Long]("n_kept") == 30L, r)
+    assert(r.getAs[Long]("kept_bp") == 30L * 10000 / 31, r)
+    // sf invariants: kept ⊆ scored ⊆ docs; the gate splits the corpus
+    val sfRows = run("p25_perplexity_gate").collect()
+    sfRows.foreach { s =>
+      assert(s.getAs[Long]("n_kept") <= s.getAs[Long]("n_scored"), s)
+      assert(s.getAs[Long]("n_scored") <= s.getAs[Long]("n_docs"), s)
+    }
+    val (kept, scored) = (sfRows.map(_.getAs[Long]("n_kept")).sum,
+      sfRows.map(_.getAs[Long]("n_scored")).sum)
+    assert(kept > 0 && kept < scored, s"gate degenerate: $kept/$scored")
+  }
 }
