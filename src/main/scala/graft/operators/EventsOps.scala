@@ -1205,6 +1205,54 @@ object EventsOps {
         SELECT bucket, count(*) AS n_gaps,
                min(gap_s) AS min_s, max(gap_s) AS max_s,
                CAST(sum(gap_s) * 100 // count(*) AS BIGINT) AS mean_cs
-        FROM b GROUP BY bucket ORDER BY bucket"""))
+        FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // ---------------------------------------------------------------- e27
+    // SCD2-style state-dwell accounting: each event opens a validity
+    // interval [ts, user's next event ts) — the slowly-changing-dimension
+    // reconstruction via lead() that a warehouse runs to turn an event
+    // stream into interval tables — rolled up to per-type dwell totals
+    // (which state do users actually sit in?). One user-keyed window pass
+    // (same shuffle e09/e26 ride), all arithmetic in exact int64 micros:
+    // totals are micros sums (safe through ~10^5 users × day-scale gaps;
+    // the DECIMAL(38,0) move is documented in g01's note for the 1e9
+    // regime), per-type means in integer centiseconds — no float decides
+    // a row. Window order is (us, event_id): ts ties are real (generated
+    // data quantizes to seconds) and the id tie-break makes the interval
+    // set a pure function of the input on both engines.
+    "e27_state_dwell" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+          .withColumn("next_us", lead(col("us"), 1).over(w))
+          .filter(col("next_us").isNotNull)
+          .select(col("event_type"),
+            (col("next_us") - col("us")).as("dwell_us"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_intervals"),
+            expr("sum(dwell_us) div 1000000").as("total_dwell_s"),
+            expr("sum(dwell_us) * 100 div (count(1) * 1000000)")
+              .as("mean_dwell_cs"),
+            expr("max(dwell_us) div 1000000").as("max_dwell_s"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH iv AS (
+          SELECT event_type,
+                 lead(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                     PARTITION BY user_id
+                     ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                   - epoch_us(CAST(ts AS TIMESTAMP)) AS dwell_us
+          FROM events)
+        SELECT event_type, count(*) AS n_intervals,
+               CAST(sum(dwell_us) // 1000000 AS BIGINT) AS total_dwell_s,
+               CAST(sum(dwell_us) * 100 // (count(*) * 1000000) AS BIGINT)
+                 AS mean_dwell_cs,
+               CAST(max(dwell_us) // 1000000 AS BIGINT) AS max_dwell_s
+        FROM iv WHERE dwell_us IS NOT NULL
+        GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -586,6 +586,67 @@ object GraphOps {
            |SELECT n.bucket, n.n_nodes, b.n_endpoints, b.mean_nbr_deg_c,
            |       b.max_nbr_deg
            |FROM nodes n JOIN nbr b ON n.bucket = b.bucket
-           |ORDER BY n.bucket""".stripMargin))
+           |ORDER BY n.bucket""".stripMargin)),
+
+    // ---------------------------------------------------------------- g11
+    // LINK PREDICTION by neighborhood Jaccard: for supplier pairs in the
+    // co-purchase projection, |N(a)∩N(b)| / |N(a)∪N(b)| over customer
+    // neighborhoods — the common-neighbors recommender primitive ("which
+    // suppliers serve the same demand?") and the feature a graph-ML
+    // pipeline exports before training an edge model. Candidate pairs
+    // come from g05/g08's hub-capped generation (a customer with ≤64
+    // suppliers contributes ≤2016 pairs — linear in the purchase table,
+    // never quadratic in suppliers; pairs sharing zero customers score 0
+    // and are never materialized, which is the point of candidate
+    // generation). Degrees are computed from the SAME capped stream so
+    // intersection ≤ union by construction; |union| = d(a)+d(b)−shared
+    // needs no second pair pass. The |suppliers|-row degree table joins
+    // back broadcastable (left to AQE). Scores in exact integer bp; the
+    // global top-20 is a TakeOrderedAndProject bounded heap with full
+    // (score, s1, s2) tie-break — deterministic on any engine.
+    "g11_link_prediction" -> QueryDef(
+      build = (s, d) => {
+        val cs = t(s, d, "orders")
+          .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+          .distinct()
+        val small = cs.join(
+          cs.groupBy("c").agg(count(lit(1)).as("cd")).filter(col("cd") <= 64)
+            .select("c"),
+          "c")
+        val deg = small.groupBy("sk").agg(count(lit(1)).as("deg"))
+        small.select(col("c"), col("sk").as("s1"))
+          .join(small.select(col("c"), col("sk").as("s2")), Seq("c"))
+          .filter(col("s1") < col("s2"))
+          .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+          .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
+          .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), "s2")
+          .select(col("s1"), col("s2"), col("shared"),
+            (col("d1") + col("d2") - col("shared")).as("n_union"),
+            expr("shared * 10000 div (d1 + d2 - shared)").as("jaccard_bp"))
+          .orderBy(desc("jaccard_bp"), asc("s1"), asc("s2"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH cs AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        small AS (
+          SELECT cs.c, cs.sk FROM cs JOIN (
+            SELECT c FROM cs GROUP BY c HAVING count(*) <= 64) k
+          ON k.c = cs.c),
+        deg AS (SELECT sk, count(*) AS deg FROM small GROUP BY sk),
+        p AS (
+          SELECT a.sk AS s1, b.sk AS s2, count(*) AS shared
+          FROM small a JOIN small b ON a.c = b.c AND a.sk < b.sk
+          GROUP BY 1, 2)
+        SELECT p.s1, p.s2, p.shared,
+               d1.deg + d2.deg - p.shared AS n_union,
+               CAST(p.shared * 10000 // (d1.deg + d2.deg - p.shared)
+                 AS BIGINT) AS jaccard_bp
+        FROM p
+        JOIN deg d1 ON d1.sk = p.s1
+        JOIN deg d2 ON d2.sk = p.s2
+        ORDER BY jaccard_bp DESC, p.s1, p.s2 LIMIT 20"""))
   )
 }

@@ -773,6 +773,80 @@ object PipelineOps {
           FROM cls GROUP BY lang)
         SELECT lang, n_classes, n_docs, n_small_classes, docs_at_risk,
                docs_at_risk * 10000 // n_docs AS risk_bp, min_class_size
-        FROM g ORDER BY lang"""))
+        FROM g ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- x20
+    // STORAGE-LAYOUT pruning audit (zone maps / min-max file statistics):
+    // simulate the same corpus written under two layouts — round-robin
+    // (f = doc_id % 32, what an unsorted writer produces) vs value-range
+    // on n_chars (what a sort-before-write / Z-order on one key
+    // produces) — compute each virtual file's min/max "footer stat", and
+    // count the files a `n_chars BETWEEN 200 AND 400` scan must touch.
+    // This is the audit that prices a 100 TB re-sort: parquet row-group
+    // pruning works off exactly these min/max footers, and the answer
+    // ("bylen touches 4/32 files, roundrobin all 32") is the bytes-
+    // scanned ratio a layout buys. Everything is map-side file
+    // assignment (the range layout uses broadcast global min/max — two
+    // cheap pruned scans, no global sort: the audit PRICES the sort
+    // without performing it) + one 32-row-per-layout aggregate; all
+    // counters exact BIGINTs, prune share in integer bp.
+    "x20_layout_pruning" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+        val ext = docs.agg(min("n_chars").as("mn_all"),
+          max("n_chars").as("mx_all"))
+        val withF = docs.crossJoin(broadcast(ext))
+          .select(col("n_chars"),
+            (col("doc_id") % 32).as("f_rr"),
+            expr("least(31, (n_chars - mn_all) * 32 div " +
+              "(mx_all - mn_all + 1))").as("f_len"))
+        def audit(name: String, fcol: String) =
+          withF.groupBy(col(fcol).as("file_id"))
+            .agg(count(lit(1)).as("n_rows"),
+              min("n_chars").as("mn"), max("n_chars").as("mx"),
+              sum(when(col("n_chars").between(200, 400), 1L).otherwise(0L))
+                .as("n_match"))
+            .agg(count(lit(1)).as("n_files"),
+              sum(when(col("mn") <= 400 && col("mx") >= 200, 1L)
+                .otherwise(0L)).as("files_touched"),
+              sum(when(col("mn") <= 400 && col("mx") >= 200, col("n_rows"))
+                .otherwise(0L)).as("rows_scanned"),
+              sum("n_match").as("n_match"))
+            .select(lit(name).as("layout"), col("n_files"),
+              col("files_touched"), col("rows_scanned"), col("n_match"),
+              expr("(n_files - files_touched) * 10000 div n_files")
+                .as("prune_bp"))
+        audit("bylen", "f_len").unionByName(audit("roundrobin", "f_rr"))
+          .orderBy("layout")
+      },
+      oracle = Some("""
+        WITH ext AS (
+          SELECT min(n_chars) AS mn_all, max(n_chars) AS mx_all
+          FROM documents),
+        w AS (
+          SELECT n_chars, doc_id % 32 AS f_rr,
+                 least(31, (n_chars - mn_all) * 32
+                   // (mx_all - mn_all + 1)) AS f_len
+          FROM documents CROSS JOIN ext),
+        perfile AS (
+          SELECT 'roundrobin' AS layout, f_rr AS file_id,
+                 count(*) AS n_rows, min(n_chars) AS mn, max(n_chars) AS mx,
+                 sum(CASE WHEN n_chars BETWEEN 200 AND 400 THEN 1 ELSE 0
+                   END) AS n_match
+          FROM w GROUP BY 2
+          UNION ALL
+          SELECT 'bylen', f_len, count(*), min(n_chars), max(n_chars),
+                 sum(CASE WHEN n_chars BETWEEN 200 AND 400 THEN 1 ELSE 0 END)
+          FROM w GROUP BY 2)
+        SELECT layout, count(*) AS n_files,
+               CAST(sum(CASE WHEN mn <= 400 AND mx >= 200 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS files_touched,
+               CAST(sum(CASE WHEN mn <= 400 AND mx >= 200 THEN n_rows
+                 ELSE 0 END) AS BIGINT) AS rows_scanned,
+               CAST(sum(n_match) AS BIGINT) AS n_match,
+               CAST((count(*) - sum(CASE WHEN mn <= 400 AND mx >= 200
+                 THEN 1 ELSE 0 END)) * 10000 // count(*) AS BIGINT)
+                 AS prune_bp
+        FROM perfile GROUP BY layout ORDER BY layout"""))
   )
 }

@@ -226,6 +226,62 @@ object ShuffleWorkloads {
         SELECT dist, n_keys, n_rows, max_cnt,
                CAST(max_cnt * 1000000 // n_rows AS BIGINT) AS top1_ppm,
                max_cnt * n_keys > n_rows * 4 AS skewed
-        FROM a ORDER BY dist"""))
+        FROM a ORDER BY dist""")),
+
+    // ---------------------------------------------------------------- s08
+    // PARTITION PLANNER: the §5 sizing arithmetic as a query — per table,
+    // exact row count + a deterministic per-row byte estimate (string
+    // payload bytes + fixed numeric widths; embeddings at 4 B/dim), and
+    // the shuffle/scan partition count that keeps each partition under
+    // the 128 MiB target (`spark.sql.files.maxPartitionBytes` default).
+    // This is the pre-flight a 100 TB job runs to size
+    // spark.sql.shuffle.partitions before the first shuffle instead of
+    // discovering OOM at stage 3 — and because AQE coalesces DOWN but
+    // splits up only on skew, the planner's ceiling matters. One
+    // column-pruned scan + scalar agg per table (3 rows out); all
+    // arithmetic exact int64 (ceil division via (b + P - 1) div P).
+    "s08_partition_planner" -> QueryDef(
+      build = (s, d) => {
+        val P = 134217728L
+        def plan(name: String, df: org.apache.spark.sql.DataFrame,
+            rowBytes: org.apache.spark.sql.Column) =
+          df.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(rowBytes.cast("long")), lit(0L)).as("est_bytes"))
+            .select(lit(name).as("tbl"), col("n_rows"), col("est_bytes"),
+              greatest(lit(1L), expr(s"(est_bytes + $P - 1) div $P"))
+                .as("rec_partitions"))
+        val docs = plan("documents", t(s, d, "documents"),
+          octet_length(coalesce(col("text"), lit(""))).cast("long") +
+            octet_length(coalesce(col("lang"), lit(""))) +
+            octet_length(coalesce(col("source"), lit(""))) + lit(16L))
+        val evs = plan("events", t(s, d, "events"),
+          lit(32L) + octet_length(coalesce(col("event_type"), lit(""))) +
+            octet_length(coalesce(col("props"), lit(""))))
+        val emb = plan("embeddings", t(s, d, "embeddings"),
+          lit(12L) + coalesce(size(col("embedding")), lit(0)) * 4)
+        docs.unionByName(evs).unionByName(emb).orderBy("tbl")
+      },
+      oracle = Some("""
+        WITH a AS (
+          SELECT 'documents' AS tbl, count(*) AS n_rows,
+                 CAST(coalesce(sum(strlen(coalesce(text, ''))
+                   + strlen(coalesce(lang, ''))
+                   + strlen(coalesce(source, '')) + 16), 0) AS BIGINT)
+                   AS est_bytes
+          FROM documents
+          UNION ALL
+          SELECT 'events', count(*),
+                 CAST(coalesce(sum(32 + strlen(coalesce(event_type, ''))
+                   + strlen(coalesce(props, ''))), 0) AS BIGINT)
+          FROM events
+          UNION ALL
+          SELECT 'embeddings', count(*),
+                 CAST(coalesce(sum(12 + coalesce(len(embedding), 0) * 4), 0)
+                   AS BIGINT)
+          FROM embeddings)
+        SELECT tbl, n_rows, est_bytes,
+               greatest(1, CAST((est_bytes + 134217727) // 134217728
+                 AS BIGINT)) AS rec_partitions
+        FROM a ORDER BY tbl"""))
   )
 }

@@ -1007,6 +1007,58 @@ object TextAnalysis {
                CAST(sum(CASE WHEN dev < 0 AND dev * dev > var9
                    THEN 1 ELSE 0 END) AS BIGINT) AS n_short_outliers,
                min(x) AS min_tok, max(x) AS max_tok
-        FROM f GROUP BY lang ORDER BY lang"""))
+        FROM f GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- t22
+    // ENCODING audit: per source, docs carrying (a) C0 control characters
+    // outside \t\n\r — binary junk / truncated-transfer tell, (b) U+FFFD
+    // replacement characters — an upstream decoder already lost bytes,
+    // (c) the UTF-8-read-as-Latin-1 double-encoding signature (Â/Ã lead
+    // bytes, the classic mojibake artifact) — run before any tokenizer
+    // eats the corpus, because every downstream text op silently degrades
+    // on mojibake. The flags are one map-side select (p13's materialize-
+    // before-reuse lesson: each flag feeds its own counter AND the
+    // any-dirty counter), one |sources|-row hash agg; clean share in
+    // exact integer bp. The driver corpus is clean ASCII, so sf rows pin
+    // all-zero counters (an audit PASSING is a result); the planted spec
+    // carries each dirty branch. The control-class regex uses only char
+    // classes shared by Java regex and RE2 — same matches on both
+    // engines.
+    "t22_encoding_audit" -> QueryDef(
+      build = (s, d) => {
+        val txt = coalesce(col("text"), lit(""))
+        t(s, d, "documents")
+          .select(col("source"),
+            txt.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("fc"),
+            (instr(txt, "\uFFFD") > 0).as("fr"),
+            (instr(txt, "\u00C3") > 0 || instr(txt, "\u00C2") > 0).as("fm"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("fc"), 1L).otherwise(0L)).as("n_ctrl"),
+            sum(when(col("fr"), 1L).otherwise(0L)).as("n_repl"),
+            sum(when(col("fm"), 1L).otherwise(0L)).as("n_moji"),
+            sum(when(col("fc") || col("fr") || col("fm"), 1L).otherwise(0L))
+              .as("n_dirty"))
+          .select(col("source"), col("n_docs"), col("n_ctrl"),
+            col("n_repl"), col("n_moji"),
+            expr("(n_docs - n_dirty) * 10000 div n_docs").as("clean_bp"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT source,
+                 regexp_matches(coalesce(text, ''),
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F]') AS fc,
+                 contains(coalesce(text, ''), chr(65533)) AS fr,
+                 (contains(coalesce(text, ''), chr(195))
+                  OR contains(coalesce(text, ''), chr(194))) AS fm
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN fc THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+               CAST(sum(CASE WHEN fr THEN 1 ELSE 0 END) AS BIGINT) AS n_repl,
+               CAST(sum(CASE WHEN fm THEN 1 ELSE 0 END) AS BIGINT) AS n_moji,
+               CAST((count(*) - sum(CASE WHEN fc OR fr OR fm THEN 1 ELSE 0
+                 END)) * 10000 // count(*) AS BIGINT) AS clean_bp
+        FROM f GROUP BY source ORDER BY source"""))
   )
 }

@@ -306,4 +306,25 @@ class GraphSpec extends SparkSpecBase {
       assert(m >= 100L && m <= s.getAs[Long]("max_nbr_deg") * 100, s)
     }
   }
+
+  test("g11 jaccard link scores replay on the planted demand overlap") {
+    // deg: s10→{c1,c2,c3}, s11→{c1}, s12→{c1,c4}; pairs share only c1:
+    // (11,12): 1/2 = 5000 bp, (10,11): 1/3 = 3333, (10,12): 1/4 = 2500
+    val got = run("g11_link_prediction", plantedDir).collect()
+      .map(r => (r.getAs[Long]("s1"), r.getAs[Long]("s2"),
+        r.getAs[Long]("shared"), r.getAs[Long]("n_union"),
+        r.getAs[Long]("jaccard_bp"))).toSeq
+    assert(got == Seq((11L, 12L, 1L, 2L, 5000L),
+      (10L, 11L, 1L, 3L, 3333L), (10L, 12L, 1L, 4L, 2500L)), got)
+    // sf invariants: bounded heap, desc order, score algebra exact
+    val sfRows = run("g11_link_prediction").collect()
+    assert(sfRows.length <= 20)
+    val scores = sfRows.map(_.getAs[Long]("jaccard_bp"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    sfRows.foreach { r =>
+      assert(r.getAs[Long]("jaccard_bp") ==
+        r.getAs[Long]("shared") * 10000 / r.getAs[Long]("n_union"), r)
+      assert(r.getAs[Long]("shared") <= r.getAs[Long]("n_union"), r)
+    }
+  }
 }

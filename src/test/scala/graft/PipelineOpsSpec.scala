@@ -347,4 +347,35 @@ class PipelineOpsSpec extends SparkSpecBase {
       Tables(spark, sf, "documents").count())
     sfRows.foreach(s => assert(s.getAs[Long]("risk_bp") <= 10000L, s))
   }
+
+  test("x20 prunes the sorted layout, never the round-robin one") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("x20").toString
+    // 320 docs with n_chars = doc_id: the range layout gives file f
+    // exactly n_chars ∈ [10f, 10f+10), so BETWEEN 200 AND 400 touches
+    // files 20..31; round-robin leaves matches in every file (120
+    // consecutive ids cover all 32 residues)
+    (0 until 320).map(i => (i.toLong, "x", i.toLong))
+      .toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = run("x20_layout_pruning", d).collect()
+      .map(r => r.getAs[String]("layout") ->
+        ((r.getAs[Long]("n_files"), r.getAs[Long]("files_touched"),
+          r.getAs[Long]("rows_scanned"), r.getAs[Long]("n_match"),
+          r.getAs[Long]("prune_bp")))).toMap
+    assert(got("bylen") == ((32L, 12L, 120L, 120L, 6250L)), got)
+    assert(got("roundrobin") == ((32L, 32L, 320L, 120L, 0L)), got)
+    // sf invariants: the predicate's row count is layout-independent;
+    // scanned rows always cover the matches; the sorted layout never
+    // touches more files than the unsorted one
+    val sfRows = run("x20_layout_pruning").collect()
+      .map(r => r.getAs[String]("layout") ->
+        ((r.getAs[Long]("files_touched"), r.getAs[Long]("rows_scanned"),
+          r.getAs[Long]("n_match")))).toMap
+    assert(sfRows("bylen")._3 == sfRows("roundrobin")._3)
+    sfRows.values.foreach(v => assert(v._2 >= v._3, v))
+    assert(sfRows("bylen")._1 <= sfRows("roundrobin")._1)
+  }
 }

@@ -349,4 +349,38 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
     assert(countOf(p, "HashAggregate") == 2, p) // partial + final
   }
+
+  test("s08 partition plan replays exactly on a planted corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("s08").toString
+    Seq((0L, "abcd"), (1L, "xy"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s1"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Seq((1L, "2024-01-01 10:00:00", 1L, "view", 1.0, "{}"))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    Seq((0L, Array(1.0f, 2.0f, 3.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val got = run("s08_partition_planner", d).collect()
+      .map(r => r.getAs[String]("tbl") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("est_bytes"),
+          r.getAs[Long]("rec_partitions")))).toMap
+    // documents: (4+2+2+16) + (2+2+2+16) = 46; events: 32+4+2 = 38;
+    // embeddings: 12 + 3*4 = 24; everything far under one 128 MiB target
+    assert(got == Map(
+      "documents" -> ((2L, 46L, 1L)),
+      "events" -> ((1L, 38L, 1L)),
+      "embeddings" -> ((1L, 24L, 1L))), got)
+    // sf sanity: bytes grow with rows, the plan never drops below 1
+    run("s08_partition_planner").collect().foreach { r =>
+      assert(r.getAs[Long]("est_bytes") > r.getAs[Long]("n_rows"), r)
+      assert(r.getAs[Long]("rec_partitions") >= 1L, r)
+    }
+  }
 }

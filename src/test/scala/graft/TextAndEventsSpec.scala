@@ -1095,4 +1095,62 @@ class TextAndEventsSpec extends SparkSpecBase {
         < s.getAs[Long]("n_docs"), s)
     }
   }
+
+  test("t22 flags each planted encoding defect exactly once") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("t22").toString
+    Seq(
+      (0L, "clean prose here"),
+      (1L, "ctrl\u0001inside"),      // C0 control outside \t\n\r
+      (2L, "lost\uFFFDbyte"),        // replacement char
+      (3L, "caf\u00C3\u00A9 mojibake"), // UTF-8 e-acute read as Latin-1
+      (4L, "tab\tand\nnewline\rare fine"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = run("t22_encoding_audit", d).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_docs") == 5L, r.head)
+    assert(r.head.getAs[Long]("n_ctrl") == 1L, r.head)
+    assert(r.head.getAs[Long]("n_repl") == 1L, r.head)
+    assert(r.head.getAs[Long]("n_moji") == 1L, r.head)
+    assert(r.head.getAs[Long]("clean_bp") == 4000L, r.head) // 2 of 5 clean
+    // the sf corpus is clean ASCII: the audit PASSING is the result
+    assert(run("t22_encoding_audit").collect()
+      .forall(_.getAs[Long]("clean_bp") == 10000L))
+  }
+
+  test("e27 dwell intervals replay exactly on planted events") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("e27").toString
+    Seq(
+      // user 1: view(t0) → click(+10 s) → view(+70 s):
+      // the first view dwells 10 s, the click dwells 60 s
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:00:10", 1L, "click"),
+      (3L, "2024-01-01 10:01:10", 1L, "view"),
+      // user 2: a single event opens no closed interval
+      (4L, "2024-01-01 12:00:00", 2L, "view"))
+      .toDF("event_id", "tss", "user_id", "event_type")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = run("e27_state_dwell", d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_intervals"), r.getAs[Long]("total_dwell_s"),
+          r.getAs[Long]("mean_dwell_cs"), r.getAs[Long]("max_dwell_s"))))
+      .toMap
+    assert(got == Map(
+      "view" -> ((1L, 10L, 1000L, 10L)),
+      "click" -> ((1L, 60L, 6000L, 60L))))
+    // sf reconciliation: every event except each user's last one opens
+    // exactly one closed interval
+    val ev = Tables(spark, sf, "events")
+    assert(run("e27_state_dwell").collect()
+      .map(_.getAs[Long]("n_intervals")).sum ==
+      ev.count() - ev.select("user_id").distinct().count())
+  }
 }
