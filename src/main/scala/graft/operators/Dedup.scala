@@ -1445,7 +1445,62 @@ object Dedup {
         SELECT n_sources, count(*) AS n_clusters,
                CAST(sum(n) AS BIGINT) AS n_dup_docs,
                CAST(sum(n) - count(*) AS BIGINT) AS n_redundant
-        FROM cl GROUP BY n_sources ORDER BY n_sources"""))
+        FROM cl GROUP BY n_sources ORDER BY n_sources""")),
+
+    // ---------------------------------------------------------------- d22
+    // Duplication INFLATION audit: per source, raw token mass vs the
+    // mass after global exact dedup with keep-first (min doc_id) — the
+    // number that converts a dup RATE (d01/d21 count docs) into the
+    // compute/storage multiplier a 100 TB budget is actually charged
+    // (dup docs re-tokenize, re-embed, re-train). Keep-first is decided
+    // by one digest-keyed min(doc_id) aggregate joined back (two
+    // corpus-linear shuffles on the digest — never doc pairs, no
+    // window); kept mass attributes to the KEEPER's source, so
+    // Σ tok_kept over sources = corpus unique mass exactly. Inflation in
+    // exact integer bp of the source's own raw mass (10000 = no dup
+    // burden; a source whose canonical copies live elsewhere shows
+    // tok_kept = 0 and inflation against the corpus-wide keeper set).
+    "d22_dup_inflation" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("source"),
+            size(TextFns.tokens(col("text"))).cast("long").as("ntok"),
+            md5(col("text").cast("binary")).as("dg"))
+        val keep = docs.groupBy("dg").agg(min("doc_id").as("keep_id"))
+        docs.join(keep, "dg")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("doc_id") === col("keep_id"), 1L).otherwise(0L))
+              .as("n_kept"),
+            sum("ntok").as("tok_total"),
+            sum(when(col("doc_id") === col("keep_id"), col("ntok"))
+              .otherwise(0L)).as("tok_kept"))
+          .select(col("source"), col("n_docs"), col("n_kept"),
+            col("tok_total"), col("tok_kept"),
+            expr("CASE WHEN tok_kept = 0 THEN 0 ELSE " +
+              "tok_total * 10000 div tok_kept END").as("inflation_bp"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok,
+                 md5(text) AS dg
+          FROM documents),
+        k AS (SELECT dg, min(doc_id) AS keep_id FROM d GROUP BY dg)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               CAST(sum(ntok) AS BIGINT) AS tok_total,
+               CAST(sum(CASE WHEN doc_id = keep_id THEN ntok ELSE 0 END)
+                 AS BIGINT) AS tok_kept,
+               CAST(CASE WHEN sum(CASE WHEN doc_id = keep_id THEN ntok
+                      ELSE 0 END) = 0 THEN 0
+                    ELSE sum(ntok) * 10000 // sum(CASE WHEN doc_id = keep_id
+                      THEN ntok ELSE 0 END) END AS BIGINT) AS inflation_bp
+        FROM d JOIN k USING (dg)
+        GROUP BY source ORDER BY source"""))
   )
 
   /** Name → QueryDef for intra-object composition (d09 reuses d06b). */

@@ -1253,6 +1253,58 @@ object EventsOps {
                  AS mean_dwell_cs,
                CAST(max(dwell_us) // 1000000 AS BIGINT) AS max_dwell_s
         FROM iv WHERE dwell_us IS NOT NULL
-        GROUP BY event_type ORDER BY event_type"""))
+        GROUP BY event_type ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- e28
+    // ERROR-CASCADE audit: per event type, the share of events landing
+    // within 60 s of the SAME user's most recent error — "how much of
+    // each activity happens in an error's blast radius?" — the triage
+    // number that separates an error type that kills sessions from one
+    // users shrug off. Last-preceding-error time is max(CASE) over the
+    // user-keyed unbounded-preceding ROWS frame (one window pass on the
+    // e27 shuffle; the frame max is computed incrementally, never a
+    // rescan); the flag and the |types|-row rollup are exact int64
+    // micros + integer bp. Frame order (us, event_id) pins same-second
+    // ties on both engines.
+    "e28_error_cascade" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("us"))
+          .withColumn("prev_err_us",
+            max(when(col("event_type") === "error", col("us"))).over(w))
+          .select(col("event_type"),
+            (col("prev_err_us").isNotNull &&
+              col("us") - col("prev_err_us") <= 60000000L).as("hit"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_events"),
+            sum(when(col("hit"), 1L).otherwise(0L)).as("n_in_cascade"))
+          .select(col("event_type"), col("n_events"), col("n_in_cascade"),
+            expr("n_in_cascade * 10000 div n_events").as("cascade_bp"))
+          .orderBy("event_type")
+      },
+      oracle = Some("""
+        WITH x AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          FROM events),
+        f AS (
+          SELECT event_type, us,
+                 max(CASE WHEN event_type = 'error' THEN us END) OVER (
+                   PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_err_us
+          FROM x)
+        SELECT event_type, count(*) AS n_events,
+               CAST(sum(CASE WHEN prev_err_us IS NOT NULL
+                   AND us - prev_err_us <= 60000000 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_in_cascade,
+               CAST(sum(CASE WHEN prev_err_us IS NOT NULL
+                   AND us - prev_err_us <= 60000000 THEN 1 ELSE 0 END)
+                 * 10000 // count(*) AS BIGINT) AS cascade_bp
+        FROM f GROUP BY event_type ORDER BY event_type"""))
   )
 }

@@ -812,6 +812,9 @@ object PipelineOps {
               sum(when(col("mn") <= 400 && col("mx") >= 200, col("n_rows"))
                 .otherwise(0L)).as("rows_scanned"),
               sum("n_match").as("n_match"))
+            // empty corpus: the global agg still emits one n_files=0 row
+            // — drop it BEFORE prune_bp's division (ANSI div-by-zero)
+            .filter(col("n_files") > 0)
             .select(lit(name).as("layout"), col("n_files"),
               col("files_touched"), col("rows_scanned"), col("n_match"),
               expr("(n_files - files_touched) * 10000 div n_files")

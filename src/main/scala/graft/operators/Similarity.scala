@@ -1614,6 +1614,47 @@ object Similarity {
         SELECT q_id, q_label, pos_id, pos_score, neg_id, neg_score,
                round(pos_score - neg_score, 4) AS margin,
                neg_score > pos_score AS label_noise
-        FROM g ORDER BY q_id"""))
+        FROM g ORDER BY q_id""")),
+
+    // ---------------------------------------------------------------- a23
+    // IVF index MAINTENANCE plan: per cell of the shared a03 quantizer,
+    // occupancy vs the balanced target (total/8) and a split/merge/ok
+    // verdict — the rebalance decision an embedding store runs
+    // periodically, because a cell at 3× target serves 3× the probe
+    // latency (a03b scans whole cells) and near-empty cells waste
+    // centroid budget. Verdicts by exact integer cross-multiplication
+    // (split: n·16 > 3·total, i.e. > 1.5× target; merge: n·16 < total,
+    // i.e. < 0.5× target) — no float, engine/partition-stable. Empty
+    // cells surface via the trained-centroid left join (8 rows
+    // broadcast), occupancy share in exact bp. One |cells|-row agg over
+    // the assignment — the corpus shuffles once, keyed by cell.
+    "a23_cell_rebalance" -> QueryDef(
+      build = (s, d) => {
+        val (trained, assigned) = ivfTrainedAssigned(t(s, d, "embeddings"))
+        val sz = assigned.groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+        val tot = sz.agg(sum("n_vecs").as("total"))
+        trained.select(col("cent_id").as("cell"))
+          .join(sz, Seq("cell"), "left")
+          .select(col("cell"), coalesce(col("n_vecs"), lit(0L)).as("n_vecs"))
+          .crossJoin(broadcast(tot))
+          .select(col("cell"), col("n_vecs"),
+            expr("n_vecs * 10000 div total").as("share_bp"),
+            expr("CASE WHEN n_vecs * 16 > total * 3 THEN 'split' " +
+              "WHEN n_vecs * 16 < total THEN 'merge' " +
+              "ELSE 'ok' END").as("verdict"))
+          .orderBy("cell")
+      },
+      oracle = Some(s"""$IVF_ORACLE_CTES,
+        sz AS (SELECT cell, count(*) AS n_vecs FROM asg2 GROUP BY cell),
+        tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS total FROM sz),
+        o AS (SELECT c.cent_id AS cell,
+                     CAST(coalesce(sz.n_vecs, 0) AS BIGINT) AS n_vecs
+              FROM cents c LEFT JOIN sz ON sz.cell = c.cent_id)
+        SELECT cell, n_vecs,
+               CAST(n_vecs * 10000 // total AS BIGINT) AS share_bp,
+               CASE WHEN n_vecs * 16 > total * 3 THEN 'split'
+                    WHEN n_vecs * 16 < total THEN 'merge'
+                    ELSE 'ok' END AS verdict
+        FROM o CROSS JOIN tt ORDER BY cell"""))
   )
 }

@@ -1331,6 +1331,57 @@ object TrainingPipeline {
         SELECT source, n_docs, n_scored, n_kept,
                CASE WHEN n_scored = 0 THEN 0
                     ELSE n_kept * 10000 // n_scored END AS kept_bp
-        FROM g ORDER BY source"""))
+        FROM g ORDER BY source""")),
+
+    // ---------------------------------------------------------------- p26
+    // Deterministic STRATIFIED sampling plan: exactly min(50, |stratum|)
+    // docs per language by md5-draw rank — the eval-set / human-review
+    // draw that must be reproducible across reruns, shards and engines
+    // (no rand(), no sample(): the draw is a pure function of doc_id,
+    // p18's convention). One lang-keyed window pass computes ranks AND
+    // the per-stratum totals ride the same shuffle — no second corpus
+    // scan; the report is |langs| rows with the kept token-mass share in
+    // exact integer bp (the number that says whether a 50-doc sample is
+    // mass-representative or got all shorts). Ties impossible: the
+    // (draw, doc_id) order key is unique per row.
+    "p26_stratified_sample" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(TextFns.tokens(col("text"))).cast("long").as("ntok"),
+            md5(col("doc_id").cast("string").cast("binary")).as("draw"))
+        val w = Window.partitionBy("lang").orderBy(col("draw"), col("doc_id"))
+        docs.withColumn("rk", row_number().over(w))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("rk") <= 50, 1L).otherwise(0L)).as("n_kept"),
+            sum("ntok").as("tok_total"),
+            sum(when(col("rk") <= 50, col("ntok")).otherwise(0L))
+              .as("tok_kept"))
+          .select(col("lang"), col("n_docs"), col("n_kept"),
+            col("tok_total"), col("tok_kept"),
+            expr("CASE WHEN coalesce(tok_total, 0) = 0 THEN 0 ELSE " +
+              "tok_kept * 10000 div tok_total END").as("mass_bp"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH d AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok,
+                 md5(CAST(doc_id AS VARCHAR)) AS draw
+          FROM documents),
+        r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                ORDER BY draw, doc_id) AS rk FROM d)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN rk <= 50 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+               CAST(sum(ntok) AS BIGINT) AS tok_total,
+               CAST(sum(CASE WHEN rk <= 50 THEN ntok ELSE 0 END) AS BIGINT)
+                 AS tok_kept,
+               CAST(CASE WHEN coalesce(sum(ntok), 0) = 0 THEN 0
+                    ELSE sum(CASE WHEN rk <= 50 THEN ntok ELSE 0 END)
+                      * 10000 // sum(ntok) END AS BIGINT) AS mass_bp
+        FROM r GROUP BY lang ORDER BY lang"""))
   )
 }

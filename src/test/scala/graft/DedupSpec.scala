@@ -704,4 +704,34 @@ class DedupSpec extends SparkSpecBase {
     assert(mine.map(_.getAs[Long]("n_dup_docs")).sum ==
       d01.map(_.getAs[Long]("dup_cnt")).sum)
   }
+
+  test("d22 inflation: keep-first attributes mass to the keeper source") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = Files.createTempDirectory("d22").toString
+    Seq(
+      (0L, "x y z", "srcA"),   // keeper of the dup pair (min doc_id)
+      (1L, "x y z", "srcB"),   // loses to doc 0 — srcB keeps none of it
+      (2L, "a b", "srcB"))     // unique
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = run("d22_dup_inflation", d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("tok_total"), r.getAs[Long]("tok_kept"),
+          r.getAs[Long]("inflation_bp")))).toMap
+    assert(got("srcA") == ((1L, 1L, 3L, 3L, 10000L)), got)
+    assert(got("srcB") == ((2L, 1L, 5L, 2L, 25000L)), got)
+    // sf reconciliation: kept docs = distinct digests; inflation ≥ 10000
+    // wherever any mass is kept
+    val sfRows = run("d22_dup_inflation").collect()
+    val distinctDigests = Tables(spark, sf, "documents")
+      .select(md5(col("text").cast("binary"))).distinct().count()
+    assert(sfRows.map(_.getAs[Long]("n_kept")).sum == distinctDigests)
+    sfRows.filter(_.getAs[Long]("tok_kept") > 0)
+      .foreach(r => assert(r.getAs[Long]("inflation_bp") >= 10000L, r))
+  }
 }

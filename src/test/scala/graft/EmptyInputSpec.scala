@@ -48,7 +48,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "p23_boilerplate_strip", "t19_truncation_loss", "x16_profile_drift",
     "t20_compression_ratio", "d21_multisource_dups", "p24_pack_efficiency",
     "t21_length_outliers", "x19_kanonymity", "m09_payload_profile",
-    "p25_perplexity_gate")
+    "p25_perplexity_gate", "t22_encoding_audit", "x20_layout_pruning",
+    "d22_dup_inflation", "p26_stratified_sample")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

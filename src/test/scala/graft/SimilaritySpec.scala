@@ -627,4 +627,20 @@ class SimilaritySpec extends SparkSpecBase {
       assert(r.getAs[Boolean]("label_noise") == (n > p), r)
     }
   }
+
+  test("a23 rebalance plan: occupancy reconciles and verdicts replay") {
+    val rows = run("a23_cell_rebalance").collect()
+    assert(rows.length == 8) // every trained cell reports, even empty
+    val total = rows.map(_.getAs[Long]("n_vecs")).sum
+    assert(total == Tables(spark, sf, "embeddings").count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_vecs")
+      assert(r.getAs[Long]("share_bp") == n * 10000 / total, r)
+      val want =
+        if (n * 16 > total * 3) "split"
+        else if (n * 16 < total) "merge"
+        else "ok"
+      assert(r.getAs[String]("verdict") == want, r)
+    }
+  }
 }

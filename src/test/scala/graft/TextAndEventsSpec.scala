@@ -1153,4 +1153,37 @@ class TextAndEventsSpec extends SparkSpecBase {
       .map(_.getAs[Long]("n_intervals")).sum ==
       ev.count() - ev.select("user_id").distinct().count())
   }
+
+  test("e28 cascade flags only events within 60 s after an error") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("e28").toString
+    Seq(
+      // user 1: error at t0; a view 30 s later (in blast radius),
+      // a click 120 s later (outside)
+      (1L, "2024-01-01 10:00:00", 1L, "error"),
+      (2L, "2024-01-01 10:00:30", 1L, "view"),
+      (3L, "2024-01-01 10:02:00", 1L, "click"),
+      // user 2: never errors
+      (4L, "2024-01-01 12:00:00", 2L, "view"))
+      .toDF("event_id", "tss", "user_id", "event_type")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = run("e28_error_cascade", d).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_in_cascade"),
+          r.getAs[Long]("cascade_bp")))).toMap
+    assert(got == Map(
+      "error" -> ((1L, 0L, 0L)),
+      "view" -> ((2L, 1L, 5000L)),
+      "click" -> ((1L, 0L, 0L))), got)
+    // sf invariant: cascade shares are proper fractions and the event
+    // totals reconcile with the table
+    val sfRows = run("e28_error_cascade").collect()
+    assert(sfRows.map(_.getAs[Long]("n_events")).sum ==
+      Tables(spark, sf, "events").count())
+    sfRows.foreach(r =>
+      assert(r.getAs[Long]("n_in_cascade") <= r.getAs[Long]("n_events"), r))
+  }
 }

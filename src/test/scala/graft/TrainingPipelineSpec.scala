@@ -606,4 +606,33 @@ class TrainingPipelineSpec extends SparkSpecBase {
       sfRows.map(_.getAs[Long]("n_scored")).sum)
     assert(kept > 0 && kept < scored, s"gate degenerate: $kept/$scored")
   }
+
+  test("p26 stratified sample keeps exactly min(50, stratum) per lang") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("p26").toString
+    // 60 one-token docs in 'en', 5 in 'de': caps bind only on 'en'
+    ((0 until 60).map(i => (i.toLong, "w", "en")) ++
+      (60 until 65).map(i => (i.toLong, "w", "de")))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = run("p26_stratified_sample", d).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("tok_total"), r.getAs[Long]("tok_kept"),
+          r.getAs[Long]("mass_bp")))).toMap
+    assert(got("en") == ((60L, 50L, 60L, 50L, 8333L)), got)
+    assert(got("de") == ((5L, 5L, 5L, 5L, 10000L)), got)
+    // sf invariants: cap binds exactly, and a rerun draws the same set
+    val a = run("p26_stratified_sample").collect()
+    a.foreach { r =>
+      assert(r.getAs[Long]("n_kept") ==
+        math.min(50L, r.getAs[Long]("n_docs")), r)
+    }
+    val b = run("p26_stratified_sample").collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+  }
 }
