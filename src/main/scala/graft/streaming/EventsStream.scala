@@ -263,6 +263,61 @@ object EventsStream {
       }
   }
 
+  final case class DwellState(buffer: Seq[(Long, Long, String)],
+      last: Option[(Long, Long, String)])
+  final case class Dwell(userId: Long, eventType: String, dwellUs: Long)
+
+  /** Streaming twin of batch e27 (state dwell): per-user SCD2 validity
+    * intervals emitted incrementally in EVENT-TIME order. State carries
+    * the in-watermark buffer plus the last matured event (the opener of
+    * the currently-open interval); as events mature past the watermark
+    * each closes its predecessor's interval and the dwell is emitted —
+    * so a late arrival inside the allowance splits the interval it
+    * lands in, exactly as the batch lead() would have. Idle timeout
+    * flushes the intervals still closable inside the buffer and evicts;
+    * the final open interval is never emitted (batch e27 likewise drops
+    * each user's last event — no successor, no dwell). State is bounded
+    * by events inside the lateness horizon per active user.
+    */
+  def dwellTracker(events: Dataset[JourneyEvent],
+                   watermark: String = "2 hours",
+                   idleSec: Long = 3600): Dataset[Dwell] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[DwellState, Dwell](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, evs, state: GroupState[DwellState]) =>
+          def dwells(head: Option[(Long, Long, String)],
+                     seq: Seq[(Long, Long, String)]): Iterator[Dwell] = {
+            val chain = head.toSeq ++ seq
+            chain.zip(chain.drop(1)).iterator
+              .map { case (a, b) => Dwell(userId, a._3, b._1 - a._1) }
+          }
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            dwells(st.last, st.buffer)
+          } else {
+            val st = state.getOption.getOrElse(DwellState(Nil, None))
+            val incoming = evs.map(e =>
+              (e.ts.getTime * 1000L, e.eventId, e.eventType)).toSeq
+            val merged = (st.buffer ++ incoming).sortBy(t => (t._1, t._2))
+            val wmMicros = state.getCurrentWatermarkMs() * 1000L
+            val (mature, rest) = merged.partition(_._1 < wmMicros)
+            val out = dwells(st.last, mature)
+            val newLast = mature.lastOption.orElse(st.last)
+            val lastSeenMs = merged.map(_._1 / 1000L).max
+            state.update(DwellState(rest, newLast))
+            state.setTimeoutTimestamp(
+              math.max(lastSeenMs, state.getCurrentWatermarkMs() + 1) +
+                idleSec * 1000L)
+            out
+          }
+      }
+  }
+
   /** Streaming twin of the batch e14 DAU: exact daily active users via
     * chained stateful operators — dropDuplicatesWithinWatermark on
     * (user_id, day) bounds the dedup state to the lateness horizon,

@@ -508,4 +508,43 @@ class StreamingSpec extends SparkSpecBase {
       assert(got("view") == ((1L, 60L)), got)
     } finally q.stop()
   }
+
+  test("dwellTracker: a late arrival splits the interval it lands in") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import EventsStream.JourneyEvent
+    val input = MemoryStream[JourneyEvent]
+    val q = EventsStream.dwellTracker(input.toDS(),
+        watermark = "1 hour", idleSec = 60)
+      .writeStream.format("memory").queryName("dwells")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "view"),
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:00:20"), 3L,
+          "purchase"))
+      q.processAllAvailable()
+      // late click at 10:00:10 (inside the allowance): the view's dwell
+      // must close at 10 s against IT — never 20 s against the purchase
+      input.addData(
+        JourneyEvent(1L, Timestamp.valueOf("2024-01-01 10:00:10"), 2L,
+          "click"))
+      q.processAllAvailable()
+      // push the watermark past the idle horizon, then one more batch so
+      // the timeout fires and flushes user 1's closable buffer
+      input.addData(
+        JourneyEvent(2L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L,
+          "view"))
+      q.processAllAvailable()
+      input.addData(
+        JourneyEvent(3L, Timestamp.valueOf("2024-01-01 15:00:00"), 10L,
+          "view"))
+      q.processAllAvailable()
+      val got = spark.table("dwells").as[EventsStream.Dwell]
+        .collect().filter(_.userId == 1L)
+        .map(d => (d.eventType, d.dwellUs)).toSeq
+      // purchase is user 1's last event: open interval, never emitted
+      assert(got == Seq(("view", 10000000L), ("click", 10000000L)), got)
+    } finally q.stop()
+  }
 }
