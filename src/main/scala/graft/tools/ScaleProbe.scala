@@ -520,6 +520,58 @@ object ScaleProbe {
       row(n, "e23")(force(qe("e23_daily_anomaly")))
       graft.operators.HotCache.releaseAll()
     }
+    // r9i leg: the ninth-sitting operators. d22/t22/p26 are one corpus
+    // scan each (digest agg + join-back / map-side flags / lang-keyed
+    // window); e27/e28 ride one user-keyed window pass (output |types|
+    // rows); g11 is g05's hub-capped pair generation + a broadcastable
+    // degree join-back and a bounded top-20 heap. The claim on all six:
+    // cpu ~ n, shuffle ~ n (or bounded), output constant-or-|strata|.
+    println(f"${"rows"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("r9i")) {
+      def force(df: org.apache.spark.sql.DataFrame): Long =
+        df.collect().length.toLong
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "d22")(force(q("d22_dup_inflation")))
+      row(n, "t22")(force(q("t22_encoding_audit")))
+      row(n, "p26")(force(q("p26_stratified_sample")))
+      val edir = s"/tmp/graft-probe-ev28-$n"
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        pmod(col("id"), lit(math.max(n / 100, 1))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("error"), lit("purchase")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$edir/events.parquet")
+      def qe(name: String) = graft.SparkEntry.queries(name)(spark, edir)
+      row(n, "e27")(force(qe("e27_state_dwell")))
+      row(n, "e28")(force(qe("e28_error_cascade")))
+      val gdir = s"/tmp/graft-probe-graph-$n"
+      spark.range(n / 4).select(
+        col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id")), lit(math.max(n / 400, 4)))
+          .as("o_custkey"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$gdir/orders.parquet")
+      spark.range(n).select(
+        pmod(col("id"), lit(n / 4)).as("l_orderkey"),
+        pmod(xxhash64(col("id"), lit(2)), lit(math.max(n / 2000, 10)))
+          .as("l_suppkey"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$gdir/lineitem.parquet")
+      row(n, "g11")(force(
+        graft.SparkEntry.queries("g11_link_prediction")(spark, gdir)))
+      graft.operators.HotCache.releaseAll()
+    }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the
