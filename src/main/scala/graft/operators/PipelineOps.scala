@@ -850,6 +850,42 @@ object PipelineOps {
                CAST((count(*) - sum(CASE WHEN mn <= 400 AND mx >= 200
                  THEN 1 ELSE 0 END)) * 10000 // count(*) AS BIGINT)
                  AS prune_bp
-        FROM perfile GROUP BY layout ORDER BY layout"""))
+        FROM perfile GROUP BY layout ORDER BY layout""")),
+
+    // ---------------------------------------------------------------- x21
+    // Row-level LINEAGE card: for every doc, all the pipeline
+    // assignments the engine derives for it — surrogate id (x14's
+    // convention), output shard (x07's md5-prefix draw — note it is a
+    // prefix of the surrogate itself: the shard is derivable from the
+    // published id without the raw key), k-fold slot (p18's
+    // content-keyed draw) and the content signature — in ONE map-side
+    // select. This is the audit that proves every routing decision is a
+    // pure function of the row (rerun/shard/engine-stable, no rand()
+    // anywhere), and the join key a debugging session uses to trace one
+    // document through shards, folds and dedup artifacts at 100 TB
+    // without re-deriving any of them.
+    "x21_lineage_card" -> QueryDef(
+      build = (s, d) => {
+        val idMd5 = md5(col("doc_id").cast("string").cast("binary"))
+        val digest = md5(coalesce(col("text"), lit("")).cast("binary"))
+        t(s, d, "documents")
+          .select(col("doc_id"),
+            idMd5.as("surrogate"),
+            pmod(conv(substring(idMd5, 1, 8), 16, 10).cast("long"),
+              lit(32L)).as("shard"),
+            pmod(conv(substring(md5(digest.cast("binary")), 1, 8), 16, 10)
+              .cast("long"), lit(5L)).as("fold"),
+            digest.as("content_sig"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR)) AS surrogate,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 32 AS shard,
+               ('0x' || substr(md5(md5(coalesce(text, ''))), 1, 8))::BIGINT
+                 % 5 AS fold,
+               md5(coalesce(text, '')) AS content_sig
+        FROM documents ORDER BY doc_id"""))
   )
 }

@@ -1494,7 +1494,61 @@ object Relational {
                CAST(sign(rev_u - prev_u) AS BIGINT)
                  * (abs(rev_u - prev_u) * 10000 // prev_u) AS growth_bp
         FROM w WHERE prev_u IS NOT NULL
-        ORDER BY nation, yr"""))
+        ORDER BY nation, yr""")),
+
+    // ---------------------------------------------------------------- q53
+    // MERGE / UPSERT reconciliation: apply a deterministic correction
+    // delta to orders — every 97th key re-priced (+10.00), every 199th
+    // key re-keyed high (an insert) — via the scalable MERGE shape: ONE
+    // key-keyed full-outer join with delta-wins coalesce. This is the
+    // warehouse CDC-apply primitive (Delta/Iceberg MERGE INTO compiles
+    // to exactly this join); expressing it relationally keeps it one
+    // shuffle of each side at any scale, with AQE free to broadcast a
+    // small delta — no row-at-a-time upsert loop anywhere. The
+    // reconciliation row (inserted/updated/unchanged + order-free
+    // decimal totals before/after) is what a 100 TB CDC job publishes
+    // to prove the merge did what the delta said.
+    "q53_merge_upsert" -> QueryDef(
+      build = (s, d) => {
+        val base = t(s, d, "orders")
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+        val delta = base.filter(col("k") % 97 === 0)
+          .select(col("k"), (col("p") + 10.0).as("p"))
+          .unionAll(base.filter(col("k") % 199 === 0)
+            .select((col("k") + 1000000000L).as("k"), col("p")))
+        base.select(col("k"), col("p").as("bp"))
+          .join(delta.select(col("k"), col("p").as("dp")),
+            Seq("k"), "full_outer")
+          .agg(count(lit(1)).as("n_merged"),
+            sum(when(col("bp").isNull, 1L).otherwise(0L)).as("n_inserted"),
+            sum(when(col("bp").isNotNull && col("dp").isNotNull, 1L)
+              .otherwise(0L)).as("n_updated"),
+            sum(when(col("dp").isNull, 1L).otherwise(0L)).as("n_unchanged"),
+            dsum(coalesce(col("bp"), lit(0.0))).as("total_before"),
+            dsum(coalesce(col("dp"), col("bp"))).as("total_after"))
+      },
+      oracle = Some(s"""
+        WITH base AS (
+          SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+        delta AS (
+          SELECT k, p + 10.0 AS p FROM base WHERE k % 97 = 0
+          UNION ALL
+          SELECT k + 1000000000, p FROM base WHERE k % 199 = 0),
+        m AS (
+          SELECT base.k AS bk, base.p AS bp, delta.k AS dk, delta.p AS dp
+          FROM base FULL OUTER JOIN delta ON base.k = delta.k)
+        SELECT count(*) AS n_merged,
+               CAST(sum(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_inserted,
+               CAST(sum(CASE WHEN bk IS NOT NULL AND dk IS NOT NULL
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+               CAST(sum(CASE WHEN dk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unchanged,
+               ${graft.functions.AggFns.sqlDsum("coalesce(bp, 0.0)")}
+                 AS total_before,
+               ${graft.functions.AggFns.sqlDsum("coalesce(dp, bp)")}
+                 AS total_after
+        FROM m"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

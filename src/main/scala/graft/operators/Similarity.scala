@@ -1655,6 +1655,80 @@ object Similarity {
                CASE WHEN n_vecs * 16 > total * 3 THEN 'split'
                     WHEN n_vecs * 16 < total THEN 'merge'
                     ELSE 'ok' END AS verdict
-        FROM o CROSS JOIN tt ORDER BY cell"""))
+        FROM o CROSS JOIN tt ORDER BY cell""")),
+
+    // ---------------------------------------------------------------- a24
+    // Embedding DISTRIBUTION-DRIFT audit: per label, the cosine between
+    // the even-half and odd-half centroids (p14's even/odd snapshot
+    // convention) — the "did the embedding model / upstream corpus
+    // shift between ingestion batches?" tripwire run before mixing
+    // snapshots into one index (drifted labels poison a03's cells and
+    // a12's votes). A near-zero-mean label has NO stable centroid
+    // direction and flags too (cos ≈ 0) — also the right answer: its
+    // centroid is noise and centroid-based ops shouldn't trust it.
+    // Per-(label, half, dim) means use the dsum scheme
+    // (6-dp-rounded values summed in DECIMAL(30,6) — exact, partition-
+    // order-free; the /n division and the 64-dim cosine fold are then
+    // identical IEEE sequences on identical inputs on both engines).
+    // One posexplode pass → |labels|×2×64 rows → |labels|-row report;
+    // the corpus shuffles once, keyed by (label, half, dim).
+    "a24_embedding_drift" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val means = e
+          .select(col("label"), (col("vec_id") % 2).as("half"),
+            posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("label", "half", "pos")
+          .agg((sum(col("v").cast("decimal(30,6)")).cast("double") /
+            count(lit(1))).as("mv"))
+          .groupBy("label", "half")
+          .agg(map_from_arrays(collect_list("pos"), collect_list("mv"))
+            .as("m"))
+          .select(col("label"), col("half"),
+            expr("transform(sequence(0, 63), i -> m[cast(i AS int)])")
+              .as("cv"))
+        val cnt = e.groupBy(col("label"), (col("vec_id") % 2).as("half"))
+          .agg(count(lit(1)).as("n"))
+        val ev = means.filter(col("half") === 0)
+          .join(cnt.filter(col("half") === 0).select(col("label"),
+            col("n").as("n_even")), "label")
+          .select(col("label"), col("cv").as("c0"), col("n_even"))
+        val od = means.filter(col("half") === 1)
+          .join(cnt.filter(col("half") === 1).select(col("label"),
+            col("n").as("n_odd")), "label")
+          .select(col("label"), col("cv").as("c1"), col("n_odd"))
+        ev.join(od, "label")
+          .select(col("label"), col("n_even"), col("n_odd"),
+            round(VectorFns.cosine(col("c0"), col("c1")), 4)
+              .as("drift_cos"))
+          .withColumn("drifting", col("drift_cos") < 0.999)
+          .orderBy("label")
+      },
+      oracle = Some("""
+        WITH x AS (
+          SELECT label, vec_id % 2 AS half,
+                 unnest(embedding::DOUBLE[]) AS v,
+                 unnest(range(64)) AS pos
+          FROM embeddings),
+        mn AS (
+          SELECT label, half, pos,
+                 CAST(sum(CAST(round(v, 6) AS DECIMAL(30,6))) AS DOUBLE)
+                   / count(*) AS mv
+          FROM x GROUP BY label, half, pos),
+        cv AS (
+          SELECT label, half, list(mv ORDER BY pos) AS cv
+          FROM mn GROUP BY label, half),
+        ct AS (
+          SELECT label, vec_id % 2 AS half, count(*) AS n
+          FROM embeddings GROUP BY 1, 2)
+        SELECT e.label, ce.n AS n_even, co.n AS n_odd,
+               round(list_cosine_similarity(e.cv, o.cv), 4) AS drift_cos,
+               round(list_cosine_similarity(e.cv, o.cv), 4) < 0.999
+                 AS drifting
+        FROM cv e
+        JOIN cv o ON o.label = e.label AND e.half = 0 AND o.half = 1
+        JOIN ct ce ON ce.label = e.label AND ce.half = 0
+        JOIN ct co ON co.label = e.label AND co.half = 1
+        ORDER BY e.label"""))
   )
 }

@@ -378,4 +378,34 @@ class PipelineOpsSpec extends SparkSpecBase {
     sfRows.values.foreach(v => assert(v._2 >= v._3, v))
     assert(sfRows("bylen")._1 <= sfRows("roundrobin")._1)
   }
+
+  test("x21 lineage card agrees with the ops whose draws it re-derives") {
+    import org.apache.spark.sql.functions._
+    val card = run("x21_lineage_card")
+    // fold must equal p18's assignment doc-by-doc
+    val mismatch = card.select(col("doc_id"), col("fold"))
+      .join(run("p18_kfold_split")
+        .select(col("doc_id"), col("fold").as("p18_fold")), "doc_id")
+      .filter(col("fold") =!= col("p18_fold")).count()
+    assert(mismatch == 0L)
+    val rows = card.collect()
+    assert(rows.length == Tables(spark, sf, "documents").count().toInt)
+    rows.foreach { r =>
+      val sh = r.getAs[Long]("shard")
+      assert(sh >= 0 && sh < 32, r)
+      // the shard is the surrogate's own md5 prefix mod 32 — derivable
+      // from the published id alone
+      assert(sh ==
+        java.lang.Long.parseLong(
+          r.getAs[String]("surrogate").substring(0, 8), 16) % 32, r)
+      assert(r.getAs[Long]("fold") >= 0 && r.getAs[Long]("fold") < 5, r)
+    }
+    // surrogate replay for one row through the JVM's own MD5
+    val r0 = rows.head
+    val mdig = java.security.MessageDigest.getInstance("MD5")
+      .digest(r0.getAs[Long]("doc_id").toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    assert(r0.getAs[String]("surrogate") == mdig, r0)
+  }
 }

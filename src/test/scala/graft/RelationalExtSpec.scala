@@ -374,4 +374,30 @@ class RelationalExtSpec extends SparkSpecBase {
       if (rev > prev) assert(bp >= 0, r) else assert(bp <= 0, r)
     }
   }
+
+  test("q53 merge reconciles: counts partition the merged set exactly") {
+    val r = run("q53_merge_upsert").collect().head
+    val orders = Tables(spark, sf, "orders")
+    val nBase = orders.count()
+    val nUpd = orders
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 97 === 0)
+      .count()
+    val nIns = orders
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 199 === 0)
+      .count()
+    assert(r.getAs[Long]("n_merged") == nBase + nIns, r)
+    assert(r.getAs[Long]("n_inserted") == nIns, r)
+    assert(r.getAs[Long]("n_updated") == nUpd, r)
+    assert(r.getAs[Long]("n_unchanged") == nBase - nUpd, r)
+    // every update adds exactly +10.00 and every insert re-adds its
+    // source price: after − before = 10·updates + Σ inserted prices
+    val insSum = BigDecimal(orders
+      .filter(org.apache.spark.sql.functions.col("o_orderkey") % 199 === 0)
+      .agg(graft.functions.AggFns.dsum(
+        org.apache.spark.sql.functions.col("o_totalprice")))
+      .collect().head.getDouble(0))
+    val deltaSum = BigDecimal(r.getAs[Double]("total_after")) -
+      BigDecimal(r.getAs[Double]("total_before"))
+    assert((deltaSum - (BigDecimal(10) * nUpd + insSum)).abs < 0.02, r)
+  }
 }

@@ -643,4 +643,37 @@ class SimilaritySpec extends SparkSpecBase {
       assert(r.getAs[String]("verdict") == want, r)
     }
   }
+
+  test("a24 drift: identical halves score exactly 1.0; sf halves agree") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("a24").toString
+    // even ids and their odd successors carry the SAME vector: the
+    // half-centroids coincide, so drift_cos must be exactly 1.0
+    (0 until 40).map { i =>
+      val base = (i / 2) * 2 // odd id copies its even predecessor
+      (i.toLong,
+        Array.tabulate(64)(j => ((base * 64 + j) % 97 / 97.0f)),
+        base % 3)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val planted = run("a24_embedding_drift", d).collect()
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      assert(r.getAs[Double]("drift_cos") == 1.0, r)
+      assert(!r.getAs[Boolean]("drifting"), r)
+    }
+    // sf corpus: counts reconcile; the near-zero-mean sf labels have no
+    // stable centroid direction (cos ≈ 0 → flagged), which is exactly
+    // what the audit should report before anyone trusts centroid-based
+    // ops on them — the planted corpus above carries the stable case
+    val sfRows = run("a24_embedding_drift").collect()
+    assert(sfRows.map(r =>
+      r.getAs[Long]("n_even") + r.getAs[Long]("n_odd")).sum ==
+      Tables(spark, sf, "embeddings").count())
+    sfRows.foreach { r =>
+      val c = r.getAs[Double]("drift_cos")
+      assert(c >= -1.0 && c <= 1.0, r)
+      assert(r.getAs[Boolean]("drifting") == (c < 0.999), r)
+    }
+  }
 }
