@@ -1305,6 +1305,51 @@ object EventsOps {
                CAST(sum(CASE WHEN prev_err_us IS NOT NULL
                    AND us - prev_err_us <= 60000000 THEN 1 ELSE 0 END)
                  * 10000 // count(*) AS BIGINT) AS cascade_bp
-        FROM f GROUP BY event_type ORDER BY event_type"""))
+        FROM f GROUP BY event_type ORDER BY event_type""")),
+
+    // ---------------------------------------------------------------- e29
+    // STICKINESS (DAU/WAU): per day, distinct daily actives over
+    // distinct trailing-7-day actives, in exact integer bp — the
+    // engagement ratio product teams track; also e14's two windows
+    // joined into the one number. COUNT(DISTINCT) over a sliding frame
+    // is the q51 problem — the scalable rewrite EXPLODES each distinct
+    // (user, day) into the 7 window-ending days it serves, dedups, and
+    // counts: fan-out is a constant 7× of |user-days| (already the
+    // distinct'd, pre-aggregated table — never raw events), so the
+    // whole curve costs two hash aggregates + one bounded explode at
+    // any scale. Output |days| rows.
+    "e29_stickiness" -> QueryDef(
+      build = (s, d) => {
+        val ud = t(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(date_trunc('day', cast(ts as timestamp)))" +
+              " div 86400000000").as("day"))
+          .distinct()
+        val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = ud
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("wday"))
+          .distinct()
+          .groupBy(col("wday").as("day")).agg(count(lit(1)).as("wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("dau"), col("wau"),
+            expr("dau * 10000 div wau").as("stickiness_bp"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                   // 86400000000 AS day
+          FROM events),
+        dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+        w AS (
+          SELECT DISTINCT user_id, day + i AS day
+          FROM ud CROSS JOIN (SELECT unnest(range(7)) AS i) z),
+        wau AS (SELECT day, count(*) AS wau FROM w GROUP BY day)
+        SELECT d.day, d.dau, u.wau,
+               CAST(d.dau * 10000 // u.wau AS BIGINT) AS stickiness_bp
+        FROM dau d JOIN wau u ON u.day = d.day
+        ORDER BY d.day"""))
   )
 }

@@ -647,6 +647,39 @@ object GraphOps {
         FROM p
         JOIN deg d1 ON d1.sk = p.s1
         JOIN deg d2 ON d2.sk = p.s2
-        ORDER BY jaccard_bp DESC, p.s1, p.s2 LIMIT 20"""))
+        ORDER BY jaccard_bp DESC, p.s1, p.s2 LIMIT 20""")),
+
+    // ---------------------------------------------------------------- g12
+    // HUB report: the top-10 nodes by degree with their share of all
+    // edge endpoints in exact ppm — the concrete salting target list
+    // (s05/s06) and the g10 summary a join planner actually consumes:
+    // "which keys need splitting, and how much of the table do they
+    // carry?". One node-keyed degree aggregate, a broadcast scalar
+    // total, and a TakeOrderedAndProject bounded heap with full
+    // (deg, type, key) tie-break — no global sort at any scale.
+    "g12_hub_report" -> QueryDef(
+      build = (s, d) => {
+        val deg = purchaseEdges(s, d)
+          .groupBy("u").agg(count(lit(1)).as("deg"))
+        val tot = deg.agg(sum("deg").as("tot_deg"))
+        deg.crossJoin(broadcast(tot))
+          .select(
+            expr("CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END")
+              .as("node_type"),
+            expr("u div 2").as("node_key"), col("deg"),
+            expr("deg * 1000000 div tot_deg").as("share_ppm"))
+          .orderBy(desc("deg"), col("node_type"), col("node_key"))
+          .limit(10)
+      },
+      oracle = Some(
+        s"""WITH $sqlEdges,
+           |deg AS (SELECT u, count(*) AS deg FROM e GROUP BY u),
+           |t AS (SELECT CAST(sum(deg) AS BIGINT) AS tot_deg FROM deg)
+           |SELECT CASE WHEN u % 2 = 0 THEN 'customer' ELSE 'supplier' END
+           |         AS node_type,
+           |       u // 2 AS node_key, deg,
+           |       CAST(deg * 1000000 // tot_deg AS BIGINT) AS share_ppm
+           |FROM deg CROSS JOIN t
+           |ORDER BY deg DESC, node_type, node_key LIMIT 10""".stripMargin))
   )
 }

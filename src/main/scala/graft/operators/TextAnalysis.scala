@@ -1059,6 +1059,53 @@ object TextAnalysis {
                CAST(sum(CASE WHEN fm THEN 1 ELSE 0 END) AS BIGINT) AS n_moji,
                CAST((count(*) - sum(CASE WHEN fc OR fr OR fm THEN 1 ELSE 0
                  END)) * 10000 // count(*) AS BIGINT) AS clean_bp
+        FROM f GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- t23
+    // CASING profile: per source, docs that are SHOUTY (uppercase >30%
+    // of letters — exact integer cross-multiplication, no ratio
+    // rounding ever decides a flag) and docs with no letters at all
+    // (pure numeric/symbol payloads that every casing heuristic must
+    // skip, not divide-by-zero on). Casing is a cheap quality signal
+    // (all-caps crawl spam; OCR shouting) that standard pre-training
+    // filters gate on before the expensive stages. One map-side select
+    // (two regexp strips in the Java∩RE2 subset), one |sources|-row
+    // agg, shares in exact bp.
+    "t23_casing_profile" -> QueryDef(
+      build = (s, d) => {
+        val txt = coalesce(col("text"), lit(""))
+        t(s, d, "documents")
+          .select(col("source"),
+            length(regexp_replace(txt, "[^A-Z]", "")).cast("long")
+              .as("n_up"),
+            length(regexp_replace(txt, "[^A-Za-z]", "")).cast("long")
+              .as("n_let"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_up") * 10 > col("n_let") * 3, 1L)
+              .otherwise(0L)).as("n_shouty"),
+            sum(when(col("n_let") === 0, 1L).otherwise(0L))
+              .as("n_no_letters"))
+          .select(col("source"), col("n_docs"), col("n_shouty"),
+            col("n_no_letters"),
+            expr("n_shouty * 10000 div n_docs").as("shouty_bp"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT source,
+                 CAST(length(regexp_replace(coalesce(text, ''),
+                   '[^A-Z]', '', 'g')) AS BIGINT) AS n_up,
+                 CAST(length(regexp_replace(coalesce(text, ''),
+                   '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_let
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_up * 10 > n_let * 3 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_shouty,
+               CAST(sum(CASE WHEN n_let = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_no_letters,
+               CAST(sum(CASE WHEN n_up * 10 > n_let * 3 THEN 1 ELSE 0 END)
+                 * 10000 // count(*) AS BIGINT) AS shouty_bp
         FROM f GROUP BY source ORDER BY source"""))
   )
 }

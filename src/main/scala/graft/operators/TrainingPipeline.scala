@@ -1382,6 +1382,91 @@ object TrainingPipeline {
                CAST(CASE WHEN coalesce(sum(ntok), 0) = 0 THEN 0
                     ELSE sum(CASE WHEN rk <= 50 THEN ntok ELSE 0 END)
                       * 10000 // sum(ntok) END AS BIGINT) AS mass_bp
-        FROM r GROUP BY lang ORDER BY lang"""))
+        FROM r GROUP BY lang ORDER BY lang""")),
+
+    // ---------------------------------------------------------------- p27
+    // DEDUP-AWARE mix plan: p12's waterfill rebalance computed on the
+    // exact-deduped corpus (d22's keep-first keeper set) — the order a
+    // real pipeline runs these in (CCNet/RefinedWeb: dedup FIRST, then
+    // mix), because duplicated mass inflates a language's apparent
+    // budget and the waterline with it; a lang that is 2× duplicated
+    // would otherwise crowd out genuinely scarce ones. Same physical
+    // shapes as its parents: one digest-keyed min agg + join-back
+    // (corpus-linear) feeding one |langs|-row totals aggregate, the
+    // keep predicate in DECIMAL(38,0) cross-multiplication, md5 draw
+    // map-side. Reports both raw and unique mass per lang so the
+    // inflation correction is visible in the plan itself.
+    "p27_dedup_mix" -> QueryDef(
+      build = (s, d) => {
+        val raw = t(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            size(graft.functions.TextFns.tokens(col("text")))
+              .cast("long").as("ntok"),
+            md5(col("text").cast("binary")).as("dg"))
+        val keep = raw.groupBy("dg").agg(min("doc_id").as("keep_id"))
+        val rawTotals = raw.groupBy("lang").agg(sum("ntok").as("raw_tok"))
+        val docs = raw.join(keep, "dg")
+          .filter(col("doc_id") === col("keep_id"))
+          .select("doc_id", "lang", "ntok")
+        val totals = docs.groupBy("lang")
+          .agg(sum("ntok").as("t_tok"), count(lit(1)).as("n_docs"))
+        val kDf = totals.agg(min("t_tok").as("k_tok"))
+        val draw = conv(substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 4), 16, 10).cast("long")
+        val keptAgg = docs.withColumn("v", draw)
+          .join(broadcast(totals.select("lang", "t_tok")), "lang")
+          .crossJoin(broadcast(kDf))
+          .filter(col("v").cast("decimal(38,0)") * col("t_tok") <
+            col("k_tok").cast("decimal(38,0)") * lit(65536L))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs_kept"), sum("ntok").as("tokens_kept"))
+        totals.join(broadcast(rawTotals), "lang")
+          .crossJoin(broadcast(kDf))
+          .join(keptAgg, Seq("lang"), "left")
+          .select(col("lang"), col("raw_tok").as("tokens_raw"),
+            col("n_docs").as("docs_unique"),
+            col("t_tok").as("tokens_unique"),
+            col("k_tok").as("tokens_target"),
+            coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+          .orderBy("lang")
+      },
+      oracle = Some("""
+        WITH raw AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split_regex(lower(trim(text)), '\s+'))
+                   AS BIGINT) AS ntok,
+                 md5(text) AS dg
+          FROM documents),
+        keep AS (SELECT dg, min(doc_id) AS keep_id FROM raw GROUP BY dg),
+        rawt AS (
+          SELECT lang, CAST(sum(ntok) AS BIGINT) AS raw_tok
+          FROM raw GROUP BY lang),
+        docs AS (
+          SELECT raw.doc_id, raw.lang, raw.ntok
+          FROM raw JOIN keep ON raw.dg = keep.dg
+          WHERE raw.doc_id = keep.keep_id),
+        totals AS (
+          SELECT lang, CAST(sum(ntok) AS BIGINT) AS t_tok,
+                 count(*) AS n_docs
+          FROM docs GROUP BY lang),
+        k AS (SELECT min(t_tok) AS k_tok FROM totals),
+        kept AS (
+          SELECT d.lang, count(*) AS docs_kept,
+                 CAST(sum(d.ntok) AS BIGINT) AS tokens_kept
+          FROM docs d JOIN totals t ON d.lang = t.lang CROSS JOIN k
+          WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))
+                  ::BIGINT AS HUGEINT) * t.t_tok
+                < CAST(k.k_tok AS HUGEINT) * 65536
+          GROUP BY d.lang)
+        SELECT t.lang, r.raw_tok AS tokens_raw, t.n_docs AS docs_unique,
+               t.t_tok AS tokens_unique, k.k_tok AS tokens_target,
+               CAST(coalesce(kp.docs_kept, 0) AS BIGINT) AS docs_kept,
+               CAST(coalesce(kp.tokens_kept, 0) AS BIGINT) AS tokens_kept
+        FROM totals t
+        JOIN rawt r ON r.lang = t.lang
+        CROSS JOIN k
+        LEFT JOIN kept kp ON kp.lang = t.lang
+        ORDER BY t.lang"""))
   )
 }

@@ -327,4 +327,21 @@ class GraphSpec extends SparkSpecBase {
       assert(r.getAs[Long]("shared") <= r.getAs[Long]("n_union"), r)
     }
   }
+
+  test("g12 hub report ranks the planted hubs with exact shares") {
+    // degrees: c1=3, s10=3, s12=2, rest 1 → 12 endpoints total
+    val got = run("g12_hub_report", plantedDir).collect()
+      .map(r => (r.getAs[String]("node_type"), r.getAs[Long]("node_key"),
+        r.getAs[Long]("deg"), r.getAs[Long]("share_ppm"))).toSeq
+    assert(got.take(3) == Seq(
+      ("customer", 1L, 3L, 250000L),
+      ("supplier", 10L, 3L, 250000L),
+      ("supplier", 12L, 2L, 166666L)), got)
+    assert(got.length == 7) // whole graph fits the top-10 heap
+    // sf invariants: ≤10 rows, desc degs, shares consistent
+    val sfRows = run("g12_hub_report").collect()
+    assert(sfRows.length <= 10)
+    val degs = sfRows.map(_.getAs[Long]("deg"))
+    assert(degs.sameElements(degs.sortBy(-(_: Long))))
+  }
 }

@@ -1186,4 +1186,54 @@ class TextAndEventsSpec extends SparkSpecBase {
     sfRows.foreach(r =>
       assert(r.getAs[Long]("n_in_cascade") <= r.getAs[Long]("n_events"), r))
   }
+
+  test("t23 flags shouty and letterless docs; never divides by zero") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("t23").toString
+    Seq(
+      (0L, "WARNING ACT NOW"),      // 13/13 letters upper → shouty
+      (1L, "Hello there, world."),  // 2/16 upper → fine
+      (2L, "123 456 --- 789"))      // no letters at all
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = run("t23_casing_profile", d).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_docs") == 3L, r.head)
+    assert(r.head.getAs[Long]("n_shouty") == 1L, r.head)
+    assert(r.head.getAs[Long]("n_no_letters") == 1L, r.head)
+    assert(r.head.getAs[Long]("shouty_bp") == 3333L, r.head)
+    // sf: flags are proper subsets
+    run("t23_casing_profile").collect().foreach { s =>
+      assert(s.getAs[Long]("n_shouty") + s.getAs[Long]("n_no_letters") <=
+        s.getAs[Long]("n_docs"), s)
+    }
+  }
+
+  test("e29 stickiness: DAU/WAU replays on a planted two-day corpus") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("e29").toString
+    Seq( // user 1 active both days, user 2 only day 0
+      (1L, "2024-01-01 10:00:00", 1L),
+      (2L, "2024-01-01 11:00:00", 2L),
+      (3L, "2024-01-02 10:00:00", 1L))
+      .map { case (id, tss, u) => (id, tss, u) }
+      .toDF("event_id", "tss", "user_id")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = run("e29_stickiness", d).collect()
+      .map(r => (r.getAs[Long]("dau"), r.getAs[Long]("wau"),
+        r.getAs[Long]("stickiness_bp"))).toSeq
+    // day 0: DAU 2, WAU 2 → 10000; day 1: DAU 1, WAU 2 (user 2 is
+    // inside the trailing window) → 5000
+    assert(rows == Seq((2L, 2L, 10000L), (1L, 2L, 5000L)), rows)
+    // sf invariants: DAU ≤ WAU, share a proper fraction
+    run("e29_stickiness").collect().foreach { r =>
+      assert(r.getAs[Long]("dau") <= r.getAs[Long]("wau"), r)
+      assert(r.getAs[Long]("stickiness_bp") <= 10000L, r)
+    }
+  }
 }

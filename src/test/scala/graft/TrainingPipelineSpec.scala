@@ -635,4 +635,39 @@ class TrainingPipelineSpec extends SparkSpecBase {
     val b = run("p26_stratified_sample").collect()
     assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
   }
+
+  test("p27 waterfills on UNIQUE mass; the scarcest lang keeps all") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("p27").toString
+    Seq(
+      (0L, "a b c", "en"),  // keeper of the dup pair
+      (1L, "a b c", "en"),  // dup — must NOT inflate en's budget
+      (2L, "d e", "en"),
+      (3L, "x", "de"))      // scarcest lang: the waterline
+      .toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = run("p27_dedup_mix", d).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("tokens_raw"), r.getAs[Long]("docs_unique"),
+          r.getAs[Long]("tokens_unique"), r.getAs[Long]("tokens_target"),
+          r.getAs[Long]("docs_kept"), r.getAs[Long]("tokens_kept"))))
+      .toMap
+    assert(got("en")._1 == 8L && got("en")._2 == 2L &&
+      got("en")._3 == 5L && got("en")._4 == 1L, got)
+    // the argmin lang's keep predicate is v·T < T·65536 — always true
+    assert(got("de") == ((1L, 1L, 1L, 1L, 1L, 1L)), got)
+    // sf invariants: unique mass never exceeds raw mass, kept never
+    // exceeds unique, and the scarcest lang keeps everything
+    val sfRows = run("p27_dedup_mix").collect()
+    sfRows.foreach { r =>
+      assert(r.getAs[Long]("tokens_unique") <= r.getAs[Long]("tokens_raw"), r)
+      assert(r.getAs[Long]("tokens_kept") <= r.getAs[Long]("tokens_unique"), r)
+    }
+    val argmin = sfRows.minBy(_.getAs[Long]("tokens_unique"))
+    assert(argmin.getAs[Long]("docs_kept") == argmin.getAs[Long]("docs_unique"))
+  }
 }
