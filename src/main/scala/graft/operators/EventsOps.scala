@@ -1350,6 +1350,59 @@ object EventsOps {
         SELECT d.day, d.dau, u.wau,
                CAST(d.dau * 10000 // u.wau AS BIGINT) AS stickiness_bp
         FROM dau d JOIN wau u ON u.day = d.day
-        ORDER BY d.day"""))
+        ORDER BY d.day""")),
+
+    // ---------------------------------------------------------------- e30
+    // User LIFECYCLE census: classify every user against the stream's
+    // high-water day — `new` (first seen inside the trailing 7 days),
+    // `churned` (last seen more than 7 days before the high-water
+    // mark), `active` otherwise — the segmentation a growth dashboard
+    // refreshes daily and the input to retention targeting. One
+    // user-keyed min/max aggregate (|users| rows), a broadcast scalar
+    // high-water day, a ≤3-row census with shares in exact bp. Day
+    // arithmetic in exact integer epoch-days; a user both new AND
+    // gone inside the window counts as `new` (explicit branch order,
+    // same CASE on both engines).
+    "e30_lifecycle" -> QueryDef(
+      build = (s, d) => {
+        val day = expr("unix_micros(date_trunc('day', cast(ts as " +
+          "timestamp))) div 86400000000")
+        val users = t(s, d, "events")
+          .select(col("user_id"), day.as("day"))
+          .groupBy("user_id")
+          .agg(min("day").as("first_day"), max("day").as("last_day"))
+        val hw = users.agg(max("last_day").as("hw_day"))
+        val tot = users.agg(count(lit(1)).as("n_users_total"))
+        users.crossJoin(broadcast(hw))
+          .select(
+            expr("CASE WHEN first_day > hw_day - 7 THEN 'new' " +
+              "WHEN last_day < hw_day - 7 THEN 'churned' " +
+              "ELSE 'active' END").as("status"))
+          .groupBy("status").agg(count(lit(1)).as("n_users"))
+          .crossJoin(broadcast(tot))
+          .select(col("status"), col("n_users"),
+            expr("n_users * 10000 div n_users_total").as("share_bp"))
+          .orderBy("status")
+      },
+      oracle = Some("""
+        WITH u AS (
+          SELECT user_id,
+                 min(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                   // 86400000000) AS first_day,
+                 max(epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                   // 86400000000) AS last_day
+          FROM events GROUP BY user_id),
+        hw AS (SELECT max(last_day) AS hw_day FROM u),
+        t AS (SELECT count(*) AS n_users_total FROM u),
+        c AS (
+          SELECT CASE WHEN first_day > hw_day - 7 THEN 'new'
+                      WHEN last_day < hw_day - 7 THEN 'churned'
+                      ELSE 'active' END AS status
+          FROM u CROSS JOIN hw)
+        SELECT status, count(*) AS n_users,
+               CAST(count(*) * 10000 // n_users_total AS BIGINT)
+                 AS share_bp
+        FROM c CROSS JOIN t GROUP BY status, n_users_total
+        ORDER BY status"""))
   )
 }

@@ -886,6 +886,56 @@ object PipelineOps {
                ('0x' || substr(md5(md5(coalesce(text, ''))), 1, 8))::BIGINT
                  % 5 AS fold,
                md5(coalesce(text, '')) AS content_sig
-        FROM documents ORDER BY doc_id"""))
+        FROM documents ORDER BY doc_id""")),
+
+    // ---------------------------------------------------------------- x22
+    // REDACTION-EFFECTIVENESS audit: apply x04's transform and re-scan
+    // the redacted text with the SAME detector — residual hits must be
+    // zero, proving the redaction is complete and idempotent (the audit
+    // a privacy review actually asks for: not "did you redact?" but
+    // "does the detector find anything AFTER?"). Per source: affected
+    // docs, total redactions, placeholder density, residuals. A nonzero
+    // residual means detector and redactor disagree (e.g. a pattern
+    // that re-forms after substitution) — the class of bug this
+    // tripwire exists to catch before a 100 TB release. One map-side
+    // select, one |sources|-row agg, exact integers.
+    "x22_redaction_audit" -> QueryDef(
+      build = (s, d) => {
+        val txt = coalesce(col("text"), lit(""))
+        val red = regexp_replace(txt, "[0-9]+", "<NUM>")
+        t(s, d, "documents")
+          .select(col("source"),
+            size(regexp_extract_all(txt, lit("[0-9]+"), lit(0)))
+              .cast("long").as("n_hits"),
+            size(regexp_extract_all(red, lit("[0-9]+"), lit(0)))
+              .cast("long").as("n_residual"),
+            size(regexp_extract_all(red, lit("<NUM>"), lit(0)))
+              .cast("long").as("n_marks"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_hits") > 0, 1L).otherwise(0L))
+              .as("docs_with_pii"),
+            sum("n_hits").as("total_redactions"),
+            sum("n_marks").as("total_marks"),
+            sum("n_residual").as("residual_after"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH f AS (
+          SELECT source,
+                 len(regexp_extract_all(coalesce(text, ''), '[0-9]+'))
+                   AS n_hits,
+                 len(regexp_extract_all(regexp_replace(coalesce(text, ''),
+                   '[0-9]+', '<NUM>', 'g'), '[0-9]+')) AS n_residual,
+                 len(regexp_extract_all(regexp_replace(coalesce(text, ''),
+                   '[0-9]+', '<NUM>', 'g'), '<NUM>')) AS n_marks
+          FROM documents)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_with_pii,
+               CAST(sum(n_hits) AS BIGINT) AS total_redactions,
+               CAST(sum(n_marks) AS BIGINT) AS total_marks,
+               CAST(sum(n_residual) AS BIGINT) AS residual_after
+        FROM f GROUP BY source ORDER BY source"""))
   )
 }

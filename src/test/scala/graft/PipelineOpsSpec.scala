@@ -408,4 +408,30 @@ class PipelineOpsSpec extends SparkSpecBase {
       .map("%02x".format(_)).mkString
     assert(r0.getAs[String]("surrogate") == mdig, r0)
   }
+
+  test("x22 redaction leaves zero residual and marks every hit") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("x22").toString
+    Seq(
+      (0L, "call 555 1234 now"),   // two digit runs
+      (1L, "no numbers here"),
+      (2L, "year 2024"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val r = run("x22_redaction_audit", d).collect().head
+    assert(r.getAs[Long]("n_docs") == 3L, r)
+    assert(r.getAs[Long]("docs_with_pii") == 2L, r)
+    assert(r.getAs[Long]("total_redactions") == 3L, r)
+    assert(r.getAs[Long]("total_marks") == 3L, r)
+    assert(r.getAs[Long]("residual_after") == 0L, r)
+    // sf: the detector must never find anything post-redaction, and
+    // every hit must have produced a placeholder
+    run("x22_redaction_audit").collect().foreach { s =>
+      assert(s.getAs[Long]("residual_after") == 0L, s)
+      assert(s.getAs[Long]("total_marks") == s.getAs[Long]("total_redactions"), s)
+    }
+  }
 }

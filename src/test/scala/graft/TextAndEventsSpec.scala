@@ -1236,4 +1236,30 @@ class TextAndEventsSpec extends SparkSpecBase {
       assert(r.getAs[Long]("stickiness_bp") <= 10000L, r)
     }
   }
+
+  test("e30 lifecycle: planted new/active/churned users classify exactly") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("e30").toString
+    Seq( // high-water day = 2024-01-20
+      (1L, "2024-01-20 10:00:00", 1L), // user 1: first seen in window → new
+      (2L, "2024-01-01 10:00:00", 2L), // user 2: gone for >7 days → churned
+      (3L, "2024-01-01 10:00:00", 3L), // user 3: long-lived, recently seen
+      (4L, "2024-01-19 10:00:00", 3L))
+      .toDF("event_id", "tss", "user_id")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = run("e30_lifecycle", d).collect()
+      .map(r => r.getAs[String]("status") ->
+        ((r.getAs[Long]("n_users"), r.getAs[Long]("share_bp")))).toMap
+    assert(got == Map(
+      "new" -> ((1L, 3333L)),
+      "churned" -> ((1L, 3333L)),
+      "active" -> ((1L, 3333L))), got)
+    // sf: census totals reconcile with distinct users
+    val sfRows = run("e30_lifecycle").collect()
+    assert(sfRows.map(_.getAs[Long]("n_users")).sum ==
+      Tables(spark, sf, "events").select("user_id").distinct().count())
+  }
 }
