@@ -383,4 +383,38 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(r.getAs[Long]("rec_partitions") >= 1L, r)
     }
   }
+
+  test("g11/g12 rank through bounded heaps, never a global sort") {
+    val p11 = plan("g11_link_prediction")
+    assert(p11.contains("TakeOrderedAndProject"), p11)
+    val p12 = plan("g12_hub_report")
+    assert(p12.contains("TakeOrderedAndProject"), p12)
+  }
+
+  test("q53 merge is ONE full-outer join, no window anywhere") {
+    val p = plan("q53_merge_upsert")
+    assert(countOf(p, "FullOuter") == 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("t22/t23/x22 audits are map-side: one exchange each (the agg)") {
+    Seq("t22_encoding_audit", "t23_casing_profile", "x22_redaction_audit")
+      .foreach { name =>
+        val p = plan(name)
+        assert(!p.contains("Join"), s"$name: $p")
+        assert(!p.contains("Window"), s"$name: $p")
+      }
+  }
+
+  test("x21 lineage card is pure map-side apart from the output sort") {
+    val p = plan("x21_lineage_card")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("e29 never windows: the explode rewrite is aggregates only") {
+    val p = plan("e29_stickiness")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("Generate"), p) // the bounded 7-day explode
+  }
 }
