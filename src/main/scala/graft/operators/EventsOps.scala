@@ -1403,6 +1403,52 @@ object EventsOps {
                CAST(count(*) * 10000 // n_users_total AS BIGINT)
                  AS share_bp
         FROM c CROSS JOIN t GROUP BY status, n_users_total
-        ORDER BY status"""))
+        ORDER BY status""")),
+
+    // ---------------------------------------------------------------- e31
+    // CUSUM change-point scan over daily volume: the classic
+    // mean-shift detector, in EXACT integers — the per-day deviation
+    // is scaled by |days| (dev_d = D·c_d − T, so the mean needs no
+    // division) and the cumulative sum runs over the ≤|days|-row
+    // pre-aggregated table (e17's bounded-window argument: the window
+    // never touches event volume). The flagged day(s) — where |CUSUM|
+    // peaks — mark the most likely level-shift boundary; on a stream
+    // with no shift the peak is noise-sized relative to D·T. No float
+    // anywhere: D·c_i ≤ |days|·|events| is safely int64 at any
+    // realistic horizon, and argmax ties flag together (deterministic
+    // on both engines).
+    "e31_cusum" -> QueryDef(
+      build = (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(expr("unix_micros(date_trunc('day', cast(ts as " +
+            "timestamp))) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        val tot = daily.agg(count(lit(1)).as("nd"), sum("c").as("t"))
+        val w = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cu = daily.crossJoin(broadcast(tot))
+          .withColumn("cusum", sum(col("c") * col("nd") - col("t")).over(w))
+        val mx = cu.agg(max(abs(col("cusum"))).as("mx"))
+        cu.crossJoin(broadcast(mx))
+          .select(col("day"), col("c").as("n_events"), col("cusum"),
+            (abs(col("cusum")) === col("mx")).as("is_changepoint"))
+          .orderBy("day")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                   // 86400000000 AS day, count(*) AS c
+          FROM events GROUP BY 1),
+        t AS (SELECT count(*) AS nd, CAST(sum(c) AS BIGINT) AS t FROM daily),
+        cu AS (
+          SELECT day, c,
+                 CAST(sum(c * nd - t) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cusum
+          FROM daily CROSS JOIN t),
+        m AS (SELECT max(abs(cusum)) AS mx FROM cu)
+        SELECT day, c AS n_events, cusum,
+               abs(cusum) = mx AS is_changepoint
+        FROM cu CROSS JOIN m ORDER BY day"""))
   )
 }

@@ -1548,7 +1548,127 @@ object Relational {
                  AS total_before,
                ${graft.functions.AggFns.sqlDsum("coalesce(dp, bp)")}
                  AS total_after
-        FROM m"""))
+        FROM m""")),
+
+    // ---------------------------------------------------------------- q54
+    // CORRELATION matrix in EXACT sums: Pearson r for the three
+    // quantity/price/discount pairs from the five power sums
+    // (n, Σx, Σy, Σxy, Σx², Σy²) — each exact, because inputs convert
+    // to integer CENTS first (2-dp money is exact in cents) and the
+    // sums accumulate in DECIMAL(38,0). The only floating point is the
+    // terminal (nΣxy−ΣxΣy)/√(...) — every operand identical on both
+    // engines, and IEEE ÷ and √ are correctly rounded, so the double
+    // is bit-identical with NO display rounding at all. This is the
+    // 100 TB corr(): one hash aggregate with map-side partials; the
+    // built-in corr() accumulates floats in partition order and can
+    // never hash-match across engines — the power-sum form is both
+    // faster (integer adds) and deterministic.
+    "q54_corr_matrix" -> QueryDef(
+      build = (s, d) => {
+        val li = t(s, d, "lineitem").select(
+          expr("CAST(round(l_quantity * 100, 0) AS DECIMAL(38,0))")
+            .as("q"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS DECIMAL(38,0))")
+            .as("p"),
+          expr("CAST(round(l_discount * 100, 0) AS DECIMAL(38,0))")
+            .as("di"))
+        def pair(name: String, x: String, y: String) =
+          li.agg(count(lit(1)).as("n"),
+            sum(col(x)).as("sx"), sum(col(y)).as("sy"),
+            sum(col(x) * col(y)).as("sxy"),
+            sum(col(x) * col(x)).as("sxx"),
+            sum(col(y) * col(y)).as("syy"))
+            .select(lit(name).as("pair"), col("n"),
+              (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+                sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)") *
+                  expr("CAST(n * syy - sy * sy AS DOUBLE)"))).as("r"))
+        pair("price_discount", "p", "di")
+          .unionByName(pair("qty_discount", "q", "di"))
+          .unionByName(pair("qty_price", "q", "p"))
+          .orderBy("pair")
+      },
+      oracle = Some("""
+        WITH c AS (
+          SELECT CAST(round(l_quantity * 100, 0) AS HUGEINT) AS q,
+                 CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS p,
+                 CAST(round(l_discount * 100, 0) AS HUGEINT) AS di
+          FROM lineitem),
+        s AS (
+          SELECT 'qty_price' AS pair, count(*) AS n,
+                 sum(q) AS sx, sum(p) AS sy, sum(q * p) AS sxy,
+                 sum(q * q) AS sxx, sum(p * p) AS syy
+          FROM c
+          UNION ALL
+          SELECT 'qty_discount', count(*), sum(q), sum(di), sum(q * di),
+                 sum(q * q), sum(di * di) FROM c
+          UNION ALL
+          SELECT 'price_discount', count(*), sum(p), sum(di), sum(p * di),
+                 sum(p * p), sum(di * di) FROM c)
+        SELECT pair, n,
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                      CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        FROM s ORDER BY pair""")),
+
+    // ---------------------------------------------------------------- q55
+    // OLS TREND slope per nation: least-squares slope of monthly
+    // revenue over the month index, in q54's exact power-sum scheme —
+    // month indices and revenue CENTS are integers, the five sums
+    // accumulate in DECIMAL(38,0), and the slope is one terminal
+    // IEEE division of two exactly-computed operands (bit-identical
+    // across engines, no display rounding). The trend VERDICT is the
+    // exact integer sign of the numerator — no float ever decides
+    // "growing or shrinking". Physically: the fact table collapses to
+    // the |nations|×|months| rollup first (one hash agg), the
+    // regression is a second |nations|-row agg — the shape that makes
+    // per-group OLS free at 100 TB. Single-month nations have no
+    // defined slope (denominator 0) and are excluded explicitly.
+    "q55_trend_slope" -> QueryDef(
+      build = (s, d) => {
+        val monthly = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_nationkey").cast("long").as("nation"),
+            (year(col("o_orderdate").cast("timestamp")) * 12 +
+              month(col("o_orderdate").cast("timestamp")) - 1)
+              .cast("long").as("ym"))
+          .agg(sum(expr("CAST(round(o_totalprice * 100, 0) " +
+            "AS DECIMAL(38,0))")).as("rev_c"))
+        monthly.groupBy("nation")
+          .agg(count(lit(1)).as("n_months"),
+            sum(col("ym").cast("decimal(38,0)")).as("sx"),
+            sum(col("rev_c")).as("sy"),
+            sum(col("ym").cast("decimal(38,0)") * col("rev_c")).as("sxy"),
+            sum(col("ym").cast("decimal(38,0)") * col("ym")).as("sxx"))
+          .filter(col("n_months") >= 2)
+          .select(col("nation"), col("n_months"),
+            (expr("CAST(n_months * sxy - sx * sy AS DOUBLE)") /
+              expr("CAST(n_months * sxx - sx * sx AS DOUBLE)"))
+              .as("slope_c_per_month"),
+            expr("CAST(sign(n_months * sxy - sx * sy) AS BIGINT)")
+              .as("trend"))
+          .orderBy("nation")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+                 CAST(year(CAST(o_orderdate AS TIMESTAMP)) * 12
+                   + month(CAST(o_orderdate AS TIMESTAMP)) - 1 AS BIGINT)
+                   AS ym,
+                 sum(CAST(round(o_totalprice * 100, 0) AS HUGEINT))
+                   AS rev_c
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY 1, 2),
+        s AS (
+          SELECT nation, count(*) AS n_months,
+                 sum(ym) AS sx, sum(rev_c) AS sy,
+                 sum(ym * rev_c) AS sxy, sum(ym * ym) AS sxx
+          FROM m GROUP BY nation HAVING count(*) >= 2)
+        SELECT nation, n_months,
+               CAST(n_months * sxy - sx * sy AS DOUBLE) /
+                 CAST(n_months * sxx - sx * sx AS DOUBLE)
+                 AS slope_c_per_month,
+               CAST(sign(n_months * sxy - sx * sy) AS BIGINT) AS trend
+        FROM s ORDER BY nation"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

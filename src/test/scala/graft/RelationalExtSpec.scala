@@ -400,4 +400,35 @@ class RelationalExtSpec extends SparkSpecBase {
       BigDecimal(r.getAs[Double]("total_before"))
     assert((deltaSum - (BigDecimal(10) * nUpd + insSum)).abs < 0.02, r)
   }
+
+  test("q54 correlations replay exactly from driver-side power sums") {
+    import org.apache.spark.sql.functions._
+    val got = run("q54_corr_matrix").collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Double]("r")).toMap
+    got.values.foreach(r => assert(r >= -1.0 && r <= 1.0, r))
+    // replay qty_price through BigInteger sums — must be BIT-identical
+    val rows = Tables(spark, sf, "lineitem")
+      .select(expr("CAST(round(l_quantity * 100, 0) AS LONG)"),
+        expr("CAST(round(l_extendedprice * 100, 0) AS LONG)"))
+      .collect().map(r => (BigInt(r.getLong(0)), BigInt(r.getLong(1))))
+    val n = BigInt(rows.length)
+    val sx = rows.map(_._1).sum; val sy = rows.map(_._2).sum
+    val sxy = rows.map(t => t._1 * t._2).sum
+    val sxx = rows.map(t => t._1 * t._1).sum
+    val syy = rows.map(t => t._2 * t._2).sum
+    val want = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    assert(got("qty_price") == want, s"${got("qty_price")} vs $want")
+  }
+
+  test("q55 trend verdict is the exact sign of the slope") {
+    val rows = run("q55_trend_slope").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_months") >= 2L, r)
+      val s = r.getAs[Double]("slope_c_per_month")
+      val t = r.getAs[Long]("trend")
+      assert(math.signum(s) == t.toDouble || (s == 0.0 && t == 0L), r)
+    }
+  }
 }

@@ -1262,4 +1262,29 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(sfRows.map(_.getAs[Long]("n_users")).sum ==
       Tables(spark, sf, "events").select("user_id").distinct().count())
   }
+
+  test("e31 CUSUM peaks at the planted level shift; closes at zero") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("e31").toString
+    // three flat days of 2 events, then a 6-event day: D=4, T=12,
+    // dev = 4c−12 → −4,−4,−4,12; cusum −4,−8,−12,0 → peak at day 3
+    val evs = (0 until 2).map(i => (i, 0)) ++ (2 until 4).map(i => (i, 1)) ++
+      (4 until 6).map(i => (i, 2)) ++ (6 until 12).map(i => (i, 3))
+    evs.map { case (id, dayOff) =>
+      (id.toLong, f"2024-01-${dayOff + 1}%02d 10:00:00", id.toLong % 3) }
+      .toDF("event_id", "tss", "user_id")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val rows = run("e31_cusum", d).collect()
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Long]("cusum"),
+        r.getAs[Boolean]("is_changepoint"))).toSeq
+    assert(rows == Seq((2L, -4L, false), (2L, -8L, false),
+      (2L, -12L, true), (6L, 0L, false)), rows)
+    // structural invariant: the last cumulative deviation is always 0
+    val sfRows = run("e31_cusum").collect()
+    assert(sfRows.last.getAs[Long]("cusum") == 0L)
+    assert(sfRows.count(_.getAs[Boolean]("is_changepoint")) >= 1)
+  }
 }
