@@ -936,6 +936,52 @@ object PipelineOps {
                CAST(sum(n_hits) AS BIGINT) AS total_redactions,
                CAST(sum(n_marks) AS BIGINT) AS total_marks,
                CAST(sum(n_residual) AS BIGINT) AS residual_after
-        FROM f GROUP BY source ORDER BY source"""))
+        FROM f GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- x23
+    // EQUI-DEPTH binning WITHOUT a global sort: 4 quartile bands over
+    // n_chars computed from the value histogram — distinct values with
+    // counts, a cumulative sum over the ≤|distinct values|-row
+    // histogram (never the corpus), and each value lands in the band
+    // of its FIRST row's rank ((cum − cnt)·4 div total, exact
+    // integers). This is the feature-bucketizer / range-partitioner
+    // boundary computation at 100 TB: the corpus is touched once by a
+    // hash aggregate, the window touches |distinct| rows, and the
+    // boundaries are a pure function of the data (no sampling, no
+    // engine RNG — contrast Spark's sampled RangePartitioner). Band
+    // populations are equal up to value-granularity (a heavy value
+    // cannot split across bands — spec'd).
+    "x23_equidepth_bins" -> QueryDef(
+      build = (s, d) => {
+        val hist = t(s, d, "documents")
+          .groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("cnt"))
+        val tot = hist.agg(sum("cnt").as("total"))
+        val w = Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        hist.withColumn("cum", sum("cnt").over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("v"), col("cnt"),
+            expr("(cum - cnt) * 4 div total").as("band"))
+          .groupBy("band")
+          .agg(min("v").as("lo"), max("v").as("hi"),
+            sum("cnt").as("n_docs"))
+          .orderBy("band")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT n_chars AS v, count(*) AS cnt
+          FROM documents GROUP BY n_chars),
+        t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+        c AS (
+          SELECT v, cnt,
+                 CAST(sum(cnt) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum
+          FROM h)
+        SELECT CAST((cum - cnt) * 4 // total AS BIGINT) AS band,
+               min(v) AS lo, max(v) AS hi,
+               CAST(sum(cnt) AS BIGINT) AS n_docs
+        FROM c CROSS JOIN t
+        GROUP BY 1 ORDER BY band"""))
   )
 }

@@ -1106,6 +1106,55 @@ object TextAnalysis {
                  AS n_no_letters,
                CAST(sum(CASE WHEN n_up * 10 > n_let * 3 THEN 1 ELSE 0 END)
                  * 10000 // count(*) AS BIGINT) AS shouty_bp
-        FROM f GROUP BY source ORDER BY source"""))
+        FROM f GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- t24
+    // Token BURSTINESS: variance-to-mean ratio of per-doc counts for
+    // the top-20 corpus tokens, in q54's exact power-sum scheme —
+    // "does this token spread evenly (function word, VMR ≈ 1) or
+    // clump in a few docs (topical/spam, VMR ≫ 1)?", the
+    // Church–Gale statistic behind stopword vs content-word routing
+    // and spam-burst detection. Absent docs count as zeros: n is the
+    // corpus doc count (broadcast scalar), Σc/Σc² come from the
+    // present-doc aggregate, and VMR = (nΣc² − (Σc)²)/(n·Σc) lands in
+    // exact integer bp — no float decides a verdict. One tokenize
+    // pass → (token, doc) counts riding the token-keyed shuffle →
+    // |vocab|-row aggregate → top-20 bounded heap.
+    "t24_burstiness" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+        val nd = docs.agg(count(lit(1)).as("n"))
+        docs.select(col("doc_id"),
+            explode(TextFns.tokens(col("text"))).as("tok"))
+          .groupBy("tok", "doc_id").agg(count(lit(1)).as("c"))
+          .groupBy("tok")
+          .agg(sum("c").as("sc"), sum(col("c") * col("c")).as("scc"),
+            count(lit(1)).as("n_docs_with"))
+          .crossJoin(broadcast(nd))
+          .select(col("tok"), col("sc").as("total_cnt"),
+            col("n_docs_with"),
+            expr("(n * scc - sc * sc) * 10000 div (n * sc)").as("vmr_bp"))
+          .orderBy(desc("total_cnt"), asc("tok"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH nd AS (SELECT count(*) AS n FROM documents),
+        tc AS (
+          SELECT tok, doc_id, count(*) AS c FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+'))
+                     AS tok
+            FROM documents) z
+          GROUP BY tok, doc_id),
+        agg AS (
+          SELECT tok, CAST(sum(c) AS BIGINT) AS sc,
+                 CAST(sum(c * c) AS BIGINT) AS scc,
+                 count(*) AS n_docs_with
+          FROM tc GROUP BY tok)
+        SELECT tok, sc AS total_cnt, n_docs_with,
+               CAST((n * scc - sc * sc) * 10000 // (n * sc) AS BIGINT)
+                 AS vmr_bp
+        FROM agg CROSS JOIN nd
+        ORDER BY total_cnt DESC, tok LIMIT 20"""))
   )
 }

@@ -434,4 +434,36 @@ class PipelineOpsSpec extends SparkSpecBase {
       assert(s.getAs[Long]("total_marks") == s.getAs[Long]("total_redactions"), s)
     }
   }
+
+  test("x23 equi-depth bands are exact; a heavy value never splits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("x23").toString
+    // n_chars = [1×5, 2, 3, 4]: value 1 fills band 0 entirely (5 > 8/4
+    // docs — it may NOT split); 2 → band 2, {3,4} → band 3
+    ((0 until 5).map(i => (i.toLong, 1L)) ++
+      Seq((5L, 2L), (6L, 3L), (7L, 4L)))
+      .map { case (id, n) => (id, "x" * n.toInt, n) }
+      .toDF("doc_id", "text", "n_chars")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = run("x23_equidepth_bins", d).collect()
+      .map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("lo"), r.getAs[Long]("hi"),
+          r.getAs[Long]("n_docs")))).toMap
+    assert(got == Map(
+      0L -> ((1L, 1L, 5L)),
+      2L -> ((2L, 2L, 1L)),
+      3L -> ((3L, 4L, 2L))), got)
+    // sf: bands cover the corpus, ranges are disjoint and ordered
+    val sfRows = run("x23_equidepth_bins").collect()
+    assert(sfRows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables(spark, sf, "documents").count())
+    sfRows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"), s"$a $b")
+      case _ =>
+    }
+  }
 }

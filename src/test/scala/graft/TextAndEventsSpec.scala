@@ -1287,4 +1287,27 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(sfRows.last.getAs[Long]("cusum") == 0L)
     assert(sfRows.count(_.getAs[Boolean]("is_changepoint")) >= 1)
   }
+
+  test("t24 burstiness: uniform token scores 0, clumped token 3x mean") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("t24").toString
+    // "a" once in every doc (VMR = 0 — no variance);
+    // "b" four times in one doc (VMR = 3 → 30000 bp)
+    Seq((0L, "a b b b b"), (1L, "a"), (2L, "a"), (3L, "a"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = run("t24_burstiness", d).collect()
+      .map(r => r.getAs[String]("tok") ->
+        ((r.getAs[Long]("total_cnt"), r.getAs[Long]("n_docs_with"),
+          r.getAs[Long]("vmr_bp")))).toMap
+    assert(got("a") == ((4L, 4L, 0L)), got)
+    assert(got("b") == ((4L, 1L, 30000L)), got)
+    // sf: top tokens are frequent; VMR never negative
+    run("t24_burstiness").collect().foreach { r =>
+      assert(r.getAs[Long]("vmr_bp") >= 0L, r)
+      assert(r.getAs[Long]("n_docs_with") <= r.getAs[Long]("total_cnt"), r)
+    }
+  }
 }
