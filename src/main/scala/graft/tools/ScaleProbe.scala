@@ -572,6 +572,65 @@ object ScaleProbe {
         graft.SparkEntry.queries("g11_link_prediction")(spark, gdir)))
       graft.operators.HotCache.releaseAll()
     }
+    // r9j leg: the eighth-sitting operators. q54 is the exact power-sum
+    // corr (one hash agg — cpu ~ n, shuffle constant); q53 the full-
+    // outer MERGE (two scans + one key shuffle each side); p27 chains
+    // the digest keep-first into the waterfill (two corpus-linear
+    // shuffles); t24 rides the token-keyed shuffle; e29's explode is a
+    // constant 7x of the user-day table; e31 windows only |days| rows.
+    println(f"${"rows"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("r9j")) {
+      def force(df: org.apache.spark.sql.DataFrame): Long =
+        df.collect().length.toLong
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "p27")(force(q("p27_dedup_mix")))
+      row(n, "t24")(force(q("t24_burstiness")))
+      val tdir = s"/tmp/graft-probe-tpc-$n"
+      spark.range(n).select(
+        col("id").as("l_orderkey"),
+        ((pmod(xxhash64(col("id")), lit(50)) + 1).cast("double"))
+          .as("l_quantity"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(100000)) / 100.0)
+          .as("l_extendedprice"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(11)) / 100.0)
+          .as("l_discount"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$tdir/lineitem.parquet")
+      spark.range(n).select(
+        col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id")), lit(math.max(n / 100, 1)))
+          .as("o_custkey"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(1000000)) / 100.0)
+          .as("o_totalprice"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$tdir/orders.parquet")
+      row(n, "q54")(force(
+        graft.SparkEntry.queries("q54_corr_matrix")(spark, tdir)))
+      row(n, "q53")(force(
+        graft.SparkEntry.queries("q53_merge_upsert")(spark, tdir)))
+      val edir = s"/tmp/graft-probe-ev-$n"
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        pmod(col("id"), lit(math.max(n / 100, 1))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("scroll")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$edir/events.parquet")
+      def qe(name: String) = graft.SparkEntry.queries(name)(spark, edir)
+      row(n, "e29")(force(qe("e29_stickiness")))
+      row(n, "e31")(force(qe("e31_cusum")))
+      graft.operators.HotCache.releaseAll()
+    }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the
