@@ -1449,6 +1449,66 @@ object EventsOps {
         m AS (SELECT max(abs(cusum)) AS mx FROM cu)
         SELECT day, c AS n_events, cusum,
                abs(cusum) = mx AS is_changepoint
-        FROM cu CROSS JOIN m ORDER BY day"""))
+        FROM cu CROSS JOIN m ORDER BY day""")),
+
+    // ---------------------------------------------------------------- e32
+    // Daily-volume AUTOCORRELATION at lags 1 and 7 — "does today
+    // predict tomorrow / is there weekly seasonality" — in q54's exact
+    // power-sum scheme: counts pair up by calendar-day join (a missing
+    // day contributes no pair, rather than silently pairing
+    // non-adjacent days the way a lag() over row order would), the five
+    // sums accumulate exactly in DECIMAL(38,0), and r is a terminal
+    // IEEE division of exactly-computed operands. Physically the event
+    // stream collapses to the ≤|days|-row daily table FIRST (one hash
+    // agg); both lag legs are self-joins of that bounded table, so the
+    // whole statistic costs one fact-table pass at any scale. Legs with
+    // fewer than two pairs have no defined r and are excluded on both
+    // engines.
+    "e32_autocorr" -> QueryDef(
+      build = (s, d) => {
+        val daily = t(s, d, "events")
+          .groupBy(expr("unix_micros(date_trunc('day', cast(ts as " +
+            "timestamp))) div 86400000000").as("day"))
+          .agg(count(lit(1)).as("c"))
+        def leg(lagDays: Int) = {
+          val a = daily.select(col("day"),
+            col("c").cast("decimal(38,0)").as("x"))
+          val b = daily.select((col("day") - lagDays).as("day"),
+            col("c").cast("decimal(38,0)").as("y"))
+          a.join(b, "day")
+            .agg(count(lit(1)).as("n"),
+              sum("x").as("sx"), sum("y").as("sy"),
+              sum(col("x") * col("y")).as("sxy"),
+              sum(col("x") * col("x")).as("sxx"),
+              sum(col("y") * col("y")).as("syy"))
+            .filter(col("n") >= 2)
+            .select(lit(lagDays.toLong).as("lag_days"), col("n"),
+              (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
+                sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)") *
+                  expr("CAST(n * syy - sy * sy AS DOUBLE)"))).as("r"))
+        }
+        leg(1).unionByName(leg(7)).orderBy("lag_days")
+      },
+      oracle = Some("""
+        WITH daily AS (
+          SELECT epoch_us(date_trunc('day', CAST(ts AS TIMESTAMP)))
+                   // 86400000000 AS day,
+                 CAST(count(*) AS HUGEINT) AS c
+          FROM events GROUP BY 1),
+        legs AS (
+          SELECT l.lag_days, a.c AS x, b.c AS y
+          FROM (VALUES (1), (7)) l(lag_days)
+          JOIN daily a ON TRUE
+          JOIN daily b ON b.day = a.day + l.lag_days),
+        s AS (
+          SELECT lag_days, count(*) AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+                 sum(x * x) AS sxx, sum(y * y) AS syy
+          FROM legs GROUP BY lag_days HAVING count(*) >= 2)
+        SELECT CAST(lag_days AS BIGINT) AS lag_days, n,
+               CAST(n * sxy - sx * sy AS DOUBLE) /
+                 sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
+                      CAST(n * syy - sy * sy AS DOUBLE)) AS r
+        FROM s ORDER BY lag_days"""))
   )
 }

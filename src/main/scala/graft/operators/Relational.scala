@@ -1668,7 +1668,63 @@ object Relational {
                  CAST(n_months * sxx - sx * sx AS DOUBLE)
                  AS slope_c_per_month,
                CAST(sign(n_months * sxy - sx * sy) AS BIGINT) AS trend
-        FROM s ORDER BY nation"""))
+        FROM s ORDER BY nation""")),
+
+    // ---------------------------------------------------------------- q56
+    // SKYLINE (Pareto frontier) over parts: cheapest-for-their-demand
+    // parts — p is dominated iff some q has price ≤, demand ≥, one
+    // strict. Runs on the |parts|-row per-part aggregate (price in
+    // exact integer cents, demand an exact integer unit sum), never on
+    // the fact table: the only fact-side work is one hash aggregate.
+    // The frontier itself falls out of two window passes over the dim
+    // aggregate — m_lt = max demand at strictly lower price (RANGE
+    // frame on integer cents, so price peers are handled exactly) and
+    // m_eq = max demand at the same price — p survives iff
+    // m_lt < demand (nothing cheaper matches it) and m_eq = demand
+    // (nothing at its price beats it; equal points co-survive). That is
+    // O(n log n) against the textbook O(n²) dominance self-join — which
+    // is exactly what the DuckDB oracle runs (NOT EXISTS), so the two
+    // engines cross-check INDEPENDENT formulations. The global-ordered
+    // window is dim-bounded here; a fact-sized skyline would bucket by
+    // price range and merge per-bucket frontiers (x23's two-pass shape).
+    "q56_skyline" -> QueryDef(
+      build = (s, d) => {
+        val demand = t(s, d, "lineitem")
+          .groupBy(col("l_partkey"))
+          .agg(sum(expr("CAST(round(l_quantity, 0) AS BIGINT)"))
+            .as("demand"))
+        val pts = t(s, d, "part")
+          .join(demand, col("p_partkey") === col("l_partkey"))
+          .select(col("p_partkey"),
+            expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)")
+              .as("price_c"),
+            col("demand"))
+        val wLt = Window.orderBy("price_c")
+          .rangeBetween(Window.unboundedPreceding, -1)
+        val wEq = Window.partitionBy("price_c")
+        pts
+          .withColumn("m_lt", max("demand").over(wLt))
+          .withColumn("m_eq", max("demand").over(wEq))
+          .filter((col("m_lt").isNull || col("m_lt") < col("demand")) &&
+            col("m_eq") === col("demand"))
+          .select(col("p_partkey"), col("price_c"), col("demand"))
+          .orderBy("price_c", "p_partkey")
+      },
+      oracle = Some("""
+        WITH pts AS (
+          SELECT p_partkey,
+                 CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c,
+                 CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS demand
+          FROM part JOIN lineitem ON p_partkey = l_partkey
+          GROUP BY 1, 2)
+        SELECT p_partkey, price_c, demand
+        FROM pts p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM pts q
+          WHERE q.price_c <= p.price_c AND q.demand >= p.demand
+            AND (q.price_c < p.price_c OR q.demand > p.demand))
+        ORDER BY price_c, p_partkey"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

@@ -1155,6 +1155,73 @@ object TextAnalysis {
                CAST((n * scc - sc * sc) * 10000 // (n * sc) AS BIGINT)
                  AS vmr_bp
         FROM agg CROSS JOIN nd
-        ORDER BY total_cnt DESC, tok LIMIT 20"""))
+        ORDER BY total_cnt DESC, tok LIMIT 20""")),
+
+    // ---------------------------------------------------------------- t25
+    // PMI COLLOCATIONS: top-20 bigrams by pointwise mutual information
+    // ln(P(w1w2) / (P(·w2)·P(w1·))) over the corpus bigram distribution
+    // (marginals = prefix/suffix sums of the SAME distribution, so the
+    // three tables reconcile exactly), min count 5 to suppress
+    // hapax-pair noise — the classic "new york"/"et al" multi-word-
+    // expression miner. The bigram-count table is the SAME cached plan
+    // t08 registers (one materialization serves the language model and
+    // the collocation miner; four consumers here alone). Ranking is on
+    // the 4-dp-rounded PMI with the bigram string as tie-break, so the
+    // top-20 cut is deterministic on both engines; the ln operand is
+    // built double-by-double in one fixed shape ((cab·N)/(c1·c2)) —
+    // identical IEEE ops in identical order on both engines. Marginal
+    // joins are vocab-keyed shuffles (linear); the final top-20 is a
+    // TakeOrderedAndProject bounded heap, never a global sort.
+    "t25_pmi_collocations" -> QueryDef(
+      build = (s, d) => {
+        val inst = t(s, d, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(col("doc_id"),
+            explode(TextFns.shingles(col("tk"), 2)).as("bg"))
+        val bgc = bigramCache.register(
+          inst.groupBy("bg").agg(count(lit(1)).as("cb")))
+        val tot = bgc.agg(sum("cb").cast("long").as("nb"))
+        val m1 = bgc.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum("cb").cast("long").as("c1"))
+        val m2 = bgc.groupBy(substring_index(col("bg"), " ", -1).as("w2"))
+          .agg(sum("cb").cast("long").as("c2"))
+        bgc.filter(col("cb") >= 5)
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .withColumn("w2", substring_index(col("bg"), " ", -1))
+          .join(m1, "w1").join(m2, "w2")
+          .crossJoin(broadcast(tot))
+          .select(col("bg"), col("cb").as("cab"), col("c1"), col("c2"),
+            round(log((col("cb").cast("double") * col("nb").cast("double")) /
+              (col("c1").cast("double") * col("c2").cast("double"))), 4)
+              .as("pmi"))
+          .orderBy(col("pmi").desc, col("bg"))
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        inst AS (
+          SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg
+          FROM tk, unnest(range(len(t) - 1)) AS u(i)
+          WHERE len(t) >= 2),
+        bgc AS (SELECT bg, count(*) AS cab FROM inst GROUP BY bg),
+        tot AS (SELECT CAST(sum(cab) AS BIGINT) AS nb FROM bgc),
+        m1 AS (SELECT string_split(bg, ' ')[1] AS w1,
+                      CAST(sum(cab) AS BIGINT) AS c1
+               FROM bgc GROUP BY 1),
+        m2 AS (SELECT string_split(bg, ' ')[2] AS w2,
+                      CAST(sum(cab) AS BIGINT) AS c2
+               FROM bgc GROUP BY 1)
+        SELECT bg, cab, c1, c2,
+               round(ln((CAST(cab AS DOUBLE) * CAST(nb AS DOUBLE)) /
+                 (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 4) AS pmi
+        FROM bgc
+        JOIN m1 ON string_split(bg, ' ')[1] = w1
+        JOIN m2 ON string_split(bg, ' ')[2] = w2
+        CROSS JOIN tot
+        WHERE cab >= 5
+        ORDER BY pmi DESC, bg LIMIT 20"""))
   )
 }

@@ -68,7 +68,7 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "p25_perplexity_gate", "t22_encoding_audit", "x20_layout_pruning",
     "d22_dup_inflation", "p26_stratified_sample", "x21_lineage_card",
     "p27_dedup_mix", "t23_casing_profile", "x22_redaction_audit",
-    "t24_burstiness", "x23_equidepth_bins")
+    "t24_burstiness", "x23_equidepth_bins", "t25_pmi_collocations")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

@@ -42,7 +42,8 @@ class DegenerateEventsSpec extends SparkSpecBase {
     "x11_dp_count", "e21_native_sessions", "e22_conversion_lag",
     "e23_daily_anomaly", "e24_activity_gini", "x17_freshness_audit",
     "e25_funnel_timing", "e26_interarrival", "e27_state_dwell",
-    "e28_error_cascade", "e29_stickiness", "e30_lifecycle", "e31_cusum")
+    "e28_error_cascade", "e29_stickiness", "e30_lifecycle", "e31_cusum",
+    "e32_autocorr")
 
   test("every events operator materializes and reruns identically on degenerate events") {
     val failures = eventOps.flatMap { name =>

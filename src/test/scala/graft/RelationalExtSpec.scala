@@ -431,4 +431,44 @@ class RelationalExtSpec extends SparkSpecBase {
       assert(math.signum(s) == t.toDouble || (s == 0.0 && t == 0L), r)
     }
   }
+
+  test("q56 skyline keeps exactly the undominated parts; ties co-survive") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("q56").toString
+    // (price¢, demand): 1=(50,50) 2=(100,60) 3=(100,60) dup of 2,
+    // 4=(120,55) dominated by 2, 5=(200,70), 6=(250,70) dominated by 5,
+    // 7=(100,40) dominated at its own price → frontier {1,2,3,5}
+    Seq((1L, 0.50), (2L, 1.00), (3L, 1.00), (4L, 1.20),
+        (5L, 2.00), (6L, 2.50), (7L, 1.00))
+      .toDF("p_partkey", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    Seq((1L, 50.0), (2L, 60.0), (3L, 60.0), (4L, 55.0),
+        (5L, 70.0), (6L, 70.0), (7L, 40.0))
+      .toDF("l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = run("q56_skyline", d).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("price_c"),
+        r.getAs[Long]("demand"))).toSeq
+    assert(got == Seq((1L, 50L, 50L), (2L, 100L, 60L),
+      (3L, 100L, 60L), (5L, 200L, 70L)), got)
+    // sf: window formulation must equal the brute-force O(n²) dominance
+    // scan (the oracle's shape) replayed driver-side
+    val pts = Tables(spark, sf, "lineitem")
+      .groupBy("l_partkey")
+      .agg(sum(expr("CAST(round(l_quantity, 0) AS BIGINT)")).as("dem"))
+      .join(Tables(spark, sf, "part"),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("p_partkey"),
+        expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)").as("pc"),
+        col("dem"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = pts.filter { case (_, pc, dem) =>
+      !pts.exists { case (_, qc, qd) =>
+        qc <= pc && qd >= dem && (qc < pc || qd > dem) }
+    }.sortBy(p => (p._2, p._1)).toSeq
+    val sfGot = run("q56_skyline").collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("price_c"),
+        r.getAs[Long]("demand"))).toSeq
+    assert(sfGot == brute, s"window skyline differs from brute force")
+  }
 }

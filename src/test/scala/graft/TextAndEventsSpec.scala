@@ -1310,4 +1310,67 @@ class TextAndEventsSpec extends SparkSpecBase {
       assert(r.getAs[Long]("n_docs_with") <= r.getAs[Long]("total_cnt"), r)
     }
   }
+
+  test("e32 autocorrelation: linear daily series is exactly 1.0 at both lags") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("e32").toString
+    // day k (0-based, 14 days) carries k+1 events: counts are a perfect
+    // line, so r = 1.0 EXACTLY at every lag (variances are equal ints;
+    // sqrt(v·v) = v bit-exactly for v < 2^26)
+    var id = -1L
+    val rows = (0 until 14).flatMap { day =>
+      (0 to day).map { i => id += 1
+        (id, f"2024-01-${day + 1}%02d 10:${i}%02d:00", id % 5) }
+    }
+    rows.toDF("event_id", "tss", "user_id")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = run("e32_autocorr", d).collect()
+      .map(r => r.getAs[Long]("lag_days") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("r")))).toMap
+    assert(got == Map(1L -> ((13L, 1.0)), 7L -> ((7L, 1.0))), got)
+    // sf: both lags defined, r in [-1, 1]
+    val sfRows = run("e32_autocorr").collect()
+    assert(sfRows.map(_.getAs[Long]("lag_days")).toSeq == Seq(1L, 7L))
+    sfRows.foreach { r =>
+      val v = r.getAs[Double]("r")
+      assert(v >= -1.0 && v <= 1.0, r)
+    }
+  }
+
+  test("t25 PMI replays exactly on a planted collocation corpus") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("t25").toString
+    // 10× "new york", 5× "the cat", 3× "rare pair" (below min count 5).
+    // N = 18 bigrams; both surviving pairs are exclusive, so
+    // pmi = ln(cab·N / cab²) = ln(N / cab).
+    val docs = (0 until 10).map(i => (i.toLong, "new york")) ++
+      (10 until 15).map(i => (i.toLong, "the cat")) ++
+      (15 until 18).map(i => (i.toLong, "rare pair"))
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    def pmi(n: Int, cab: Int): Double =
+      BigDecimal(java.math.BigDecimal.valueOf(
+        math.log((cab.toDouble * n.toDouble) / (cab.toDouble * cab.toDouble))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = run("t25_pmi_collocations", d).collect()
+      .map(r => r.getAs[String]("bg") ->
+        ((r.getAs[Long]("cab"), r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+          r.getAs[Double]("pmi")))).toMap
+    assert(got == Map(
+      "the cat" -> ((5L, 5L, 5L, pmi(18, 5))),
+      "new york" -> ((10L, 10L, 10L, pmi(18, 10)))), got)
+    // sf: output bounded at 20, marginals dominate the pair count
+    val sfRows = run("t25_pmi_collocations").collect()
+    assert(sfRows.length <= 20)
+    sfRows.foreach { r =>
+      assert(r.getAs[Long]("cab") >= 5L, r)
+      assert(r.getAs[Long]("c1") >= r.getAs[Long]("cab"), r)
+      assert(r.getAs[Long]("c2") >= r.getAs[Long]("cab"), r)
+    }
+  }
 }
