@@ -13,6 +13,12 @@ object EventsOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  // The per-day count table shared by e31 (2 consumers: totals + scan)
+  // and e32 (4: both sides of both lag legs): identical plans land in
+  // the same slot, so the event stream collapses ONCE per sf dir and
+  // every consumer reads the ≤|days|-row cache instead of re-scanning.
+  private val dailyCache = HotCache.slot()
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Tumbling 1-hour window counts/sums per event type — the batch twin of
@@ -1419,10 +1425,10 @@ object EventsOps {
     // on both engines).
     "e31_cusum" -> QueryDef(
       build = (s, d) => {
-        val daily = t(s, d, "events")
+        val daily = dailyCache.register(t(s, d, "events")
           .groupBy(expr("unix_micros(date_trunc('day', cast(ts as " +
             "timestamp))) div 86400000000").as("day"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("c")))
         val tot = daily.agg(count(lit(1)).as("nd"), sum("c").as("t"))
         val w = Window.orderBy("day")
           .rowsBetween(Window.unboundedPreceding, 0)
@@ -1466,10 +1472,10 @@ object EventsOps {
     // engines.
     "e32_autocorr" -> QueryDef(
       build = (s, d) => {
-        val daily = t(s, d, "events")
+        val daily = dailyCache.register(t(s, d, "events")
           .groupBy(expr("unix_micros(date_trunc('day', cast(ts as " +
             "timestamp))) div 86400000000").as("day"))
-          .agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("c")))
         def leg(lagDays: Int) = {
           val a = daily.select(col("day"),
             col("c").cast("decimal(38,0)").as("x"))

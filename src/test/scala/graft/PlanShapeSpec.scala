@@ -417,4 +417,30 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Window"), p)
     assert(p.contains("Generate"), p) // the bounded 7-day explode
   }
+
+  test("q56 skyline windows run over the dim aggregate, no dominance self-join") {
+    val p = plan("q56_skyline")
+    // two window passes (strictly-lower-price RANGE max + same-price max),
+    // one part↔demand join — and NOT the oracle's O(n²) NOT-EXISTS scan
+    assert(countOf(p, "Window [") == 2, p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("e31/e32 share one cached daily collapse; legs join the cache") {
+    val p32 = plan("e32_autocorr")
+    // all four leg sides read the ≤|days|-row cache, never the raw events
+    assert(countOf(p32, "InMemoryTableScan") == 4, p32)
+    assert(!p32.contains("Window"), p32)
+    val p31 = plan("e31_cusum")
+    assert(p31.contains("InMemoryTableScan"), p31)
+  }
+
+  test("t25 marginals derive from t08's cached bigram table; heap top-20") {
+    val p = plan("t25_pmi_collocations")
+    // pair table + both marginals + total = 4 reads of the one cache
+    assert(countOf(p, "InMemoryTableScan") == 4, p)
+    assert(p.contains("TakeOrderedAndProject"), p) // never a global sort
+    assert(!p.contains("CartesianProduct"), p)     // tot joins by broadcast
+  }
 }
