@@ -19,6 +19,12 @@ object EventsOps {
   // every consumer reads the ≤|days|-row cache instead of re-scanning.
   private val dailyCache = HotCache.slot()
 
+  // e33's session-interval table: one sessionize pass feeds the start
+  // endpoints, the end endpoints, and the session count — and the ranked
+  // endpoint table on top of it feeds both the max and the argmax filter.
+  private val sessCache = HotCache.slot()
+  private val runsCache = HotCache.slot()
+
   val defs: Seq[(String, QueryDef)] = Seq(
 
     // Tumbling 1-hour window counts/sums per event type — the batch twin of
@@ -1515,6 +1521,93 @@ object EventsOps {
                CAST(n * sxy - sx * sy AS DOUBLE) /
                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *
                       CAST(n * syy - sy * sy AS DOUBLE)) AS r
-        FROM s ORDER BY lag_days"""))
+        FROM s ORDER BY lag_days""")),
+
+    // ---------------------------------------------------------------- e33
+    // PEAK CONCURRENCY: the maximum number of simultaneously-open
+    // sessions (e03's 30-min-gap definition) and the earliest instant it
+    // is reached — the interval-overlap sweep behind capacity planning.
+    // Each session contributes a +1 at its start micro and a −1 at its
+    // end; the answer is the max of the running endpoint sum in
+    // (t, +1-before-−1) order, so touching sessions count as
+    // overlapping. The global running sum is NOT a single-task window:
+    // endpoints bucket by calendar day, per-day sums roll up to a
+    // ≤|days|-row offset table (the only global window, dim-bounded),
+    // and each day ranks internally in parallel — the TwoPassPrefix
+    // shape keyed by TIME, exactly composing to the one global order
+    // because (day, t) ordering IS t ordering. Ties inside an equal
+    // (t, delta) group permute only which row carries which prefix
+    // value, never the prefix multiset, so the max and its earliest t
+    // are deterministic without a per-row tie-break.
+    "e33_peak_concurrency" -> QueryDef(
+      build = (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sess = sessCache.register(t(s, d, "events")
+          .withColumn("m", expr("unix_micros(cast(ts as timestamp))"))
+          .withColumn("prev_m", lag("m", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_m").isNull ||
+              col("m") - col("prev_m") > 1800000000L, lit(1L))
+              .otherwise(lit(0L)))
+          .withColumn("session_id", sum("new_session").over(byUser))
+          .groupBy("user_id", "session_id")
+          .agg(min("m").as("s_m"), max("m").as("e_m")))
+        val pts = sess.select(col("s_m").as("t"), lit(1L).as("delta"))
+          .unionByName(sess.select(col("e_m").as("t"),
+            lit(-1L).as("delta")))
+          .withColumn("day", expr("t div 86400000000"))
+        val offs = pts.groupBy("day").agg(sum("delta").as("dsum"))
+          .withColumn("off", coalesce(sum("dsum").over(
+            Window.orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("day", "off")
+        val wDay = Window.partitionBy("day")
+          .orderBy(col("t"), col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val runs = runsCache.register(pts.join(broadcast(offs), "day")
+          .withColumn("run", col("off") + sum("delta").over(wDay)))
+        val mx = runs.agg(max("run").as("pk"))
+        runs.crossJoin(broadcast(mx))
+          .filter(col("run") === col("pk"))
+          .agg(max("run").as("peak"), min("t").as("at_micros"))
+          .crossJoin(broadcast(sess.agg(
+            count(lit(1)).as("n_sessions"))))
+          .select(col("peak"), col("at_micros"), col("n_sessions"))
+      },
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS m,
+                 CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                        IS NULL
+                      OR epoch_us(CAST(ts AS TIMESTAMP))
+                         - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id,
+                 sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY m, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id, m
+          FROM flagged),
+        iv AS (
+          SELECT user_id, session_id, min(m) AS s_m, max(m) AS e_m
+          FROM sess GROUP BY 1, 2),
+        pts AS (
+          SELECT s_m AS t, 1 AS delta FROM iv
+          UNION ALL
+          SELECT e_m, -1 FROM iv),
+        runs AS (
+          SELECT t, sum(delta) OVER (ORDER BY t, delta DESC
+            ROWS UNBOUNDED PRECEDING) AS run
+          FROM pts),
+        mx AS (SELECT max(run) AS peak FROM runs)
+        SELECT CAST(peak AS BIGINT) AS peak,
+               CAST((SELECT min(t) FROM runs WHERE run = peak)
+                 AS BIGINT) AS at_micros,
+               (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_sessions
+        FROM mx"""))
   )
 }

@@ -1724,7 +1724,73 @@ object Relational {
           SELECT 1 FROM pts q
           WHERE q.price_c <= p.price_c AND q.demand >= p.demand
             AND (q.price_c < p.price_c OR q.demand > p.demand))
-        ORDER BY price_c, p_partkey"""))
+        ORDER BY price_c, p_partkey""")),
+
+    // ---------------------------------------------------------------- q57
+    // TOP-N + OTHER report: the classic dashboard rollup — top-5 nations
+    // by order revenue as named rows, everything else collapsed into one
+    // OTHER row, with each group's share of total in exact integer basis
+    // points. The fact table is touched ONCE (one hash agg to the
+    // 25-nation rollup with map-side partials); the rank, the regroup
+    // and the share all run on that dim-bounded table, so the report
+    // costs one aggregation pass at any corpus size. Ranking is on the
+    // exact DECIMAL revenue with the nation name as tie-break
+    // (deterministic cut), and the share is micros-scaled DECIMAL(38,0)
+    // integer division — no float until the displayed revenue itself.
+    "q57_top_others" -> QueryDef(
+      build = (s, d) => {
+        val byNation = t(s, d, "orders")
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, d, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name")
+          .agg(dsumRaw(col("o_totalprice")).as("revd"),
+            count(lit(1)).as("n_orders"))
+        val w = Window.orderBy(col("revd").desc, col("n_name"))
+        // both the rank and the grand total are windows over the
+        // dim-bounded rollup, so the fact table is scanned exactly once
+        // (a crossJoin'd scalar total would re-derive the whole agg)
+        byNation
+          .withColumn("grp",
+            when(row_number().over(w) <= 5, col("n_name"))
+              .otherwise(lit("OTHER")))
+          .groupBy("grp")
+          .agg(sum("revd").as("grevd"), sum("n_orders").as("n_orders"))
+          .withColumn("gmic",
+            (col("grevd") * 1000000L).cast("decimal(38,0)"))
+          .withColumn("tmic", sum("gmic").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .select(col("grp").as("nation"), col("n_orders"),
+            round(col("grevd"), 2).cast("double").as("revenue"),
+            expr("CAST((gmic * 10000) DIV tmic AS BIGINT)").as("share_bp"))
+          .orderBy(col("revenue").desc, col("nation"))
+      },
+      oracle = Some(s"""
+        WITH byn AS (
+          SELECT n_name, ${graft.functions.AggFns.sqlDsumRaw("o_totalprice")}
+                   AS revd, count(*) AS n_orders
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1),
+        g AS (
+          SELECT CASE WHEN row_number()
+                        OVER (ORDER BY revd DESC, n_name) <= 5
+                      THEN n_name ELSE 'OTHER' END AS nation,
+                 revd, n_orders
+          FROM byn),
+        agg AS (
+          SELECT nation, sum(revd) AS grevd,
+                 CAST(sum(revd) * 1000000 AS HUGEINT) AS gmic,
+                 CAST(sum(n_orders) AS BIGINT) AS n_orders
+          FROM g GROUP BY 1),
+        tot AS (SELECT sum(gmic) AS tmic FROM agg)
+        SELECT nation, n_orders,
+               CAST(round(grevd, 2) AS DOUBLE) AS revenue,
+               CAST((gmic * 10000) // tmic AS BIGINT) AS share_bp
+        FROM agg CROSS JOIN tot
+        ORDER BY revenue DESC, nation"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

@@ -282,6 +282,66 @@ object ShuffleWorkloads {
         SELECT tbl, n_rows, est_bytes,
                greatest(1, CAST((est_bytes + 134217727) // 134217728
                  AS BIGINT)) AS rec_partitions
-        FROM a ORDER BY tbl"""))
+        FROM a ORDER BY tbl""")),
+
+    // ---------------------------------------------------------------- s09
+    // BUCKETED CO-LOCATED JOIN — the one shuffle Cherry's service cannot
+    // cache away is the one you never run. Both sides are written
+    // bucketed (8 buckets) AND sorted on the join key, with one file per
+    // bucket (the repartition before the write makes writer tasks and
+    // buckets coincide, which is what lets the scan report its sort
+    // order — multi-file buckets would force a re-sort, SPARK-19256), so
+    // the SortMergeJoin consumes both scans IN PLACE: zero Exchange and
+    // zero Sort below the join, at any scale. This is the 100 TB recipe
+    // for a fact↔fact join too big to broadcast and too hot to re-shuffle
+    // per query: pay the partitioned write once, join for free forever.
+    // The only shuffles in the whole plan are the 5-row post-join
+    // segment rollup and the output sort. PlanShapeSpec pins all of it
+    // (SelectedBucketsCount, no exchange/sort under the join).
+    "s09_bucketed_join" -> QueryDef(
+      build = (s, d) => {
+        import graft.functions.AggFns
+        // copies are keyed by the source dir, so planted-dir sweeps and
+        // sf runs never collide; same dir + same session reuses the
+        // catalog entry (and a fresh session just rewrites the copy)
+        val tag = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val base =
+          s"${System.getProperty("java.io.tmpdir")}/graft_buckets/$tag"
+        val ordT = s"graft_bkt_orders_$tag"
+        val cusT = s"graft_bkt_customer_$tag"
+        // one file per bucket is guaranteed by the repartition below, so
+        // re-enable sorted-bucket-scan reporting (off by default since
+        // Spark 3.0, SPARK-28632) — the SMJ then consumes the scans with
+        // no Sort at all; the flag only lets the scan DECLARE its order,
+        // it never changes results
+        s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
+          "true")
+        if (!s.catalog.tableExists(ordT)) {
+          t(s, d, "orders").repartition(8, col("o_custkey"))
+            .write.format("parquet").option("path", s"$base/orders")
+            .bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .mode("overwrite").saveAsTable(ordT)
+        }
+        if (!s.catalog.tableExists(cusT)) {
+          t(s, d, "customer").repartition(8, col("c_custkey"))
+            .write.format("parquet").option("path", s"$base/customer")
+            .bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .mode("overwrite").saveAsTable(cusT)
+        }
+        s.table(ordT).hint("merge")
+          .join(s.table(cusT), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            AggFns.dsum(col("o_totalprice")).as("revenue"))
+          .orderBy("c_mktsegment")
+      },
+      // the bucketed copies hold exactly the source rows, so the oracle
+      // is the plain join over the originals
+      oracle = Some(s"""
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+               ${graft.functions.AggFns.sqlDsum("o_totalprice")} AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -51,6 +51,11 @@ object TextAnalysis {
     */
   private val bigramCache = HotCache.slot()
 
+  /** t26's (source, token) count table: vocab-bounded, four consumers
+    * (token marginals, source totals, corpus total, grid join-back).
+    */
+  private val srcTokCache = HotCache.slot()
+
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -1222,6 +1227,97 @@ object TextAnalysis {
         JOIN m2 ON string_split(bg, ' ')[2] = w2
         CROSS JOIN tot
         WHERE cab >= 5
-        ORDER BY pmi DESC, bg LIMIT 20"""))
+        ORDER BY pmi DESC, bg LIMIT 20""")),
+
+    // ---------------------------------------------------------------- t26
+    // SOURCE DIVERGENCE: Jensen–Shannon divergence between each source's
+    // unigram distribution and the rest of the corpus — the "is this
+    // source distributionally weird" gate that decides whether a new
+    // crawl needs its own mix weight (p03/p27's upstream diagnostic).
+    // Physically: one tokenize pass → (source, token) counts; the
+    // token-marginal and source-total tables derive from that one count
+    // table (vocab-keyed and ≤|sources|-row respectively); the P/Q grid
+    // is vocab × |sources| rows — |sources| is a small constant, so the
+    // grid stays corpus-linear — built by cross-joining the broadcast
+    // source totals and LEFT-joining the counts so tokens a source never
+    // uses still contribute their Q-side mass. Per-token JSD terms are
+    // identical IEEE shapes on both engines, rounded at 6 dp and summed
+    // exactly in DECIMAL(30,6) (t08's scheme — partition-order-free).
+    // Single-source corpora have no rest-of-corpus and return empty on
+    // both engines. JSD ∈ [0, ln 2]: 0 = same distribution, 0.6931 =
+    // disjoint vocabularies (both pinned in the spec).
+    "t26_source_divergence" -> QueryDef(
+      build = (s, d) => {
+        // one tokenize+count materialization, four consumers (marginals,
+        // totals, and the grid join-back)
+        val cst = srcTokCache.register(t(s, d, "documents")
+          .select(coalesce(col("source"), lit("")).as("source"),
+            explode(TextFns.tokens(col("text"))).as("tok"))
+          .groupBy("source", "tok").agg(count(lit(1)).as("c")))
+        val ct = cst.groupBy("tok").agg(sum("c").as("ctot"))
+        val tsrc = cst.groupBy("source").agg(sum("c").as("tsrc"))
+        val ttot = cst.agg(sum("c").as("ttot"))
+        ct.crossJoin(broadcast(tsrc))
+          .crossJoin(broadcast(ttot))
+          .join(cst, Seq("source", "tok"), "left")
+          .withColumn("c", coalesce(col("c"), lit(0L)))
+          .withColumn("qn", col("ctot") - col("c"))
+          .withColumn("qd", col("ttot") - col("tsrc"))
+          .filter(col("qd") > 0)
+          .withColumn("p",
+            col("c").cast("double") / col("tsrc").cast("double"))
+          .withColumn("q",
+            col("qn").cast("double") / col("qd").cast("double"))
+          .withColumn("m", (col("p") + col("q")) / lit(2.0))
+          .withColumn("term",
+            (when(col("c") > 0, col("p") * log(col("p") / col("m")))
+              .otherwise(lit(0.0)) +
+             when(col("qn") > 0, col("q") * log(col("q") / col("m")))
+              .otherwise(lit(0.0))) / lit(2.0))
+          .groupBy("source")
+          .agg(max("tsrc").as("n_tokens"),
+            sum(col("term").cast("decimal(30,6)")).as("sj"))
+          .select(col("source"), col("n_tokens"),
+            round(col("sj").cast("double"), 4).as("jsd"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH inst AS (
+          SELECT coalesce(source, '') AS source, u.tok
+          FROM documents,
+               unnest(string_split_regex(lower(trim(text)), '\s+'))
+                 AS u(tok)),
+        cst AS (SELECT source, tok, count(*) AS c
+                FROM inst GROUP BY 1, 2),
+        ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ctot
+               FROM cst GROUP BY 1),
+        tsrc AS (SELECT source, CAST(sum(c) AS BIGINT) AS tsrc
+                 FROM cst GROUP BY 1),
+        ttot AS (SELECT CAST(sum(c) AS BIGINT) AS ttot FROM cst),
+        grid AS (
+          SELECT s.source, t.tok, t.ctot, s.tsrc, g.ttot,
+                 coalesce(c.c, 0) AS c
+          FROM ct t
+          CROSS JOIN tsrc s
+          CROSS JOIN ttot g
+          LEFT JOIN cst c ON c.source = s.source AND c.tok = t.tok),
+        terms AS (
+          SELECT source, tsrc,
+                 CAST(c AS DOUBLE) / CAST(tsrc AS DOUBLE) AS p,
+                 CAST(ctot - c AS DOUBLE) / CAST(ttot - tsrc AS DOUBLE)
+                   AS q, ctot - c AS qn
+          FROM grid WHERE ttot - tsrc > 0),
+        rterms AS (
+          SELECT source, tsrc,
+                 CAST(round(
+                   (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2.0))
+                         ELSE 0.0 END
+                    + CASE WHEN qn > 0 THEN q * ln(q / ((p + q) / 2.0))
+                           ELSE 0.0 END) / 2.0, 6)
+                   AS DECIMAL(30,6)) AS term
+          FROM terms)
+        SELECT source, max(tsrc) AS n_tokens,
+               round(CAST(sum(term) AS DOUBLE), 4) AS jsd
+        FROM rterms GROUP BY source ORDER BY source"""))
   )
 }

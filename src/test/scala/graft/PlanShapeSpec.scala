@@ -443,4 +443,56 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("TakeOrderedAndProject"), p) // never a global sort
     assert(!p.contains("CartesianProduct"), p)     // tot joins by broadcast
   }
+
+  test("s09 joins bucketed scans in place: no exchange or sort below the join") {
+    val p = plan("s09_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // both scans are bucketed 8/8 — co-located, nothing to shuffle
+    assert(countOf(p, "SelectedBucketsCount: 8 out of 8") == 2, p)
+    // the ONLY exchanges are the 5-row segment rollup and the output
+    // sort; one file per bucket means the scan sort order feeds the SMJ
+    // directly, so the only Sort node is the output's
+    assert(countOf(p, "Exchange") == 2, p)
+    assert(countOf(p, "Sort [") == 1, p)
+    // and the bucketed copies hold exactly the source rows
+    import org.apache.spark.sql.functions._
+    val expect = graft.Tables(spark, sf, "orders")
+      .join(graft.Tables(spark, sf, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.AggFns.dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("c_mktsegment")
+      .collect().map(_.toSeq).toSeq
+    assert(run("s09_bucketed_join").collect().map(_.toSeq).toSeq == expect)
+  }
+
+  test("q57 ranks/regroups on the 25-nation rollup: one fact pass") {
+    val p = plan("q57_top_others")
+    // rank + grand-total are BOTH windows over the dim rollup, so each
+    // fact/dim table is scanned exactly once
+    assert(countOf(p, "Window [") == 2, p)
+    assert(countOf(p, "FileScan parquet") == 3, p)
+    assert(p.contains("BroadcastHashJoin"), p) // nation dim broadcasts
+  }
+
+  test("t26 grid joins the one cached count table; corpus tokenized once") {
+    val p = plan("t26_source_divergence")
+    // marginals + totals + grid join-back all read the cache
+    assert(countOf(p, "InMemoryTableScan") == 4, p)
+    assert(!p.contains("CartesianProduct"), p) // totals ride as broadcasts
+  }
+
+  test("e33 endpoint sweep never single-tasks the corpus: day-keyed windows") {
+    val p = plan("e33_peak_concurrency")
+    // the endpoint running sum is PARTITIONED by day — the t-ordered
+    // window spec must lead with the day key, and its shuffle is a
+    // day-hash exchange, never one global sort of all endpoints
+    assert(p.contains("windowspecdefinition(day"), p)
+    assert(p.contains("Exchange hashpartitioning(day"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    // session + ranked-endpoint caches feed the multi-consumer fan-out
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -471,4 +471,32 @@ class RelationalExtSpec extends SparkSpecBase {
         r.getAs[Long]("demand"))).toSeq
     assert(sfGot == brute, s"window skyline differs from brute force")
   }
+
+  test("q57 top-5 + OTHER rollup replays exactly; shares are floor bp") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("q57").toString
+    // 7 nations, revenues 700..100 → top5 A..E, OTHER = F+G = 300
+    val names = Seq("A", "B", "C", "D", "E", "F", "G")
+    names.zipWithIndex.map { case (n, i) => (i, n) }
+      .toDF("n_nationkey", "n_name")
+      .write.mode("overwrite").parquet(s"$d/nation.parquet")
+    names.indices.map(i => (i.toLong, i))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    names.indices.map(i => (i.toLong, i.toLong, (700 - 100 * i).toDouble))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = run("q57_top_others", d).collect()
+      .map(r => (r.getAs[String]("nation"), r.getAs[Long]("n_orders"),
+        r.getAs[Double]("revenue"), r.getAs[Long]("share_bp"))).toSeq
+    // total 2800; e.g. 600·10000 div 2800 = 2142 (floor, exact ints)
+    assert(got == Seq(("A", 1L, 700.0, 2500L), ("B", 1L, 600.0, 2142L),
+      ("C", 1L, 500.0, 1785L), ("D", 1L, 400.0, 1428L),
+      ("E", 1L, 300.0, 1071L), ("OTHER", 2L, 300.0, 1071L)), got)
+    // sf: ≤6 rows, OTHER collapses the 20 tail nations, shares ≤ 10000
+    val sfRows = run("q57_top_others").collect()
+    assert(sfRows.length == 6, sfRows.length)
+    assert(sfRows.count(_.getAs[String]("nation") == "OTHER") == 1)
+    assert(sfRows.map(_.getAs[Long]("share_bp")).sum <= 10000L)
+  }
 }

@@ -1373,4 +1373,63 @@ class TextAndEventsSpec extends SparkSpecBase {
       assert(r.getAs[Long]("c2") >= r.getAs[Long]("cab"), r)
     }
   }
+
+  test("t26 JSD: identical distributions → 0, disjoint vocabularies → ln 2") {
+    import spark.implicits._
+    def plant(docs: Seq[(Long, String, String)]): String = {
+      val d = java.nio.file.Files.createTempDirectory("t26").toString
+      docs.toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    // identical unigram distributions on both sides → every token has
+    // p = q, every term is exactly 0
+    val same = plant(Seq((0L, "a b", "s0"), (1L, "a b", "s1")))
+    val gotSame = run("t26_source_divergence", same).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("jsd"))).toSeq
+    assert(gotSame == Seq(("s0", 2L, 0.0), ("s1", 2L, 0.0)), gotSame)
+    // disjoint vocabularies → per-token terms are ln(2)/2 rounded at
+    // 6 dp; 2·round(ln(2)/2, 6) = 0.693148 → 0.6931 at 4 dp
+    val disj = plant(Seq((0L, "x x x", "s0"), (1L, "y y y", "s1")))
+    val gotDisj = run("t26_source_divergence", disj).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("jsd"))).toSeq
+    assert(gotDisj == Seq(("s0", 0.6931), ("s1", 0.6931)), gotDisj)
+    // single source: no rest-of-corpus → empty on both engines
+    val single = plant(Seq((0L, "a b c", "s0")))
+    assert(run("t26_source_divergence", single).collect().isEmpty)
+    // sf: JSD bounded by ln 2 for every source
+    run("t26_source_divergence").collect().foreach { r =>
+      val j = r.getAs[Double]("jsd")
+      assert(j >= 0.0 && j <= 0.6932, r)
+    }
+  }
+
+  test("e33 peak concurrency: overlap + touching sessions pin the sweep order") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("e33").toString
+    val base = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    // u1 session [0,10s]; u2 [5s,5s] → overlap of 2 at t=5s (earliest).
+    // u4 [100s,200s] and u5 [200s,200s] touch at 200s: +1 sorts before
+    // −1, so the touch also reaches 2 — but argmax keeps the earliest.
+    // u3 [3600s] far away. 5 sessions total.
+    val evs = Seq((1L, 0), (1L, 10), (2L, 5), (3L, 3600),
+      (4L, 100), (4L, 200), (5L, 200))
+    evs.zipWithIndex.map { case ((u, sec), i) =>
+      (i.toLong, new java.sql.Timestamp((base / 1000L) + sec * 1000L),
+        u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val r = run("e33_peak_concurrency", d).collect().head
+    assert(r.getAs[Long]("peak") == 2L, r)
+    assert(r.getAs[Long]("at_micros") == base + 5000000L, r)
+    assert(r.getAs[Long]("n_sessions") == 5L, r)
+    // sf: at least one session open at the peak, count positive
+    val sfr = run("e33_peak_concurrency").collect().head
+    assert(sfr.getAs[Long]("peak") >= 1L, sfr)
+    assert(sfr.getAs[Long]("n_sessions") >= 1L, sfr)
+  }
 }
