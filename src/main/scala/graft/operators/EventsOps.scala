@@ -1493,7 +1493,12 @@ object EventsOps {
               sum(col("x") * col("y")).as("sxy"),
               sum(col("x") * col("x")).as("sxx"),
               sum(col("y") * col("y")).as("syy"))
-            .filter(col("n") >= 2)
+            // <2 pairs OR a zero-variance side (constant daily volume)
+            // leaves r undefined — excluded on BOTH engines, in exact
+            // decimal arithmetic, before any division can hit zero
+            .filter(col("n") >= 2 &&
+              expr("n * sxx - sx * sx > 0") &&
+              expr("n * syy - sy * sy > 0"))
             .select(lit(lagDays.toLong).as("lag_days"), col("n"),
               (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
                 sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)") *
@@ -1516,7 +1521,10 @@ object EventsOps {
           SELECT lag_days, count(*) AS n,
                  sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
                  sum(x * x) AS sxx, sum(y * y) AS syy
-          FROM legs GROUP BY lag_days HAVING count(*) >= 2)
+          FROM legs GROUP BY lag_days
+          HAVING count(*) >= 2
+             AND count(*) * sum(x * x) - sum(x) * sum(x) > 0
+             AND count(*) * sum(y * y) - sum(y) * sum(y) > 0)
         SELECT CAST(lag_days AS BIGINT) AS lag_days, n,
                CAST(n * sxy - sx * sy AS DOUBLE) /
                  sqrt(CAST(n * sxx - sx * sx AS DOUBLE) *

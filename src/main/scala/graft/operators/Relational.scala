@@ -1684,9 +1684,16 @@ object Relational {
     // (nothing at its price beats it; equal points co-survive). That is
     // O(n log n) against the textbook O(n²) dominance self-join — which
     // is exactly what the DuckDB oracle runs (NOT EXISTS), so the two
-    // engines cross-check INDEPENDENT formulations. The global-ordered
-    // window is dim-bounded here; a fact-sized skyline would bucket by
-    // price range and merge per-bucket frontiers (x23's two-pass shape).
+    // engines cross-check INDEPENDENT formulations. The running max is
+    // NOT a single-task global window: prices bucket into fixed $81.92
+    // bands, per-band maxima prefix-combine over the tiny band table
+    // (the only global window — bounded by the PRICE RANGE, not the
+    // part count), and each band ranks internally in parallel — e33's
+    // time-keyed TwoPassPrefix shape keyed by price, composing exactly
+    // because (band, price) order IS price order. A same-price peer
+    // never splits across bands (band = price div C), so the in-band
+    // RANGE frame sees every strictly-cheaper peer of its band and the
+    // prefix carries the rest.
     "q56_skyline" -> QueryDef(
       build = (s, d) => {
         val demand = t(s, d, "lineitem")
@@ -1699,13 +1706,22 @@ object Relational {
             expr("CAST(round(p_retailprice * 100, 0) AS BIGINT)")
               .as("price_c"),
             col("demand"))
-        val wLt = Window.orderBy("price_c")
+          .withColumn("band", expr("price_c div 8192"))
+        val bandPref = pts.groupBy("band")
+          .agg(max("demand").as("bmax"))
+          .withColumn("pref", max("bmax").over(
+            Window.orderBy("band")
+              .rowsBetween(Window.unboundedPreceding, -1)))
+          .select("band", "pref")
+        val wLt = Window.partitionBy("band").orderBy("price_c")
           .rangeBetween(Window.unboundedPreceding, -1)
         val wEq = Window.partitionBy("price_c")
-        pts
-          .withColumn("m_lt", max("demand").over(wLt))
+        pts.join(broadcast(bandPref), "band")
+          .withColumn("m_lt",
+            greatest(coalesce(max("demand").over(wLt), lit(Long.MinValue)),
+              coalesce(col("pref"), lit(Long.MinValue))))
           .withColumn("m_eq", max("demand").over(wEq))
-          .filter((col("m_lt").isNull || col("m_lt") < col("demand")) &&
+          .filter(col("m_lt") < col("demand") &&
             col("m_eq") === col("demand"))
           .select(col("p_partkey"), col("price_c"), col("demand"))
           .orderBy("price_c", "p_partkey")

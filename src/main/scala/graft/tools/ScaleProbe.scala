@@ -631,6 +631,77 @@ object ScaleProbe {
       row(n, "e31")(force(qe("e31_cusum")))
       graft.operators.HotCache.releaseAll()
     }
+    // r9k: the tenth-sitting operators — PMI collocations + source JSD
+    // on the word-salad corpus (20 sources), skyline on a synthetic
+    // part/lineitem pair, top+OTHER and the bucketed join on synthetic
+    // orders/customer, autocorrelation + peak concurrency on the
+    // synthetic event stream. s09's number INCLUDES the one-time
+    // bucketed write of both sides (the pay-once cost the operator
+    // exists to amortize).
+    for (n <- sizes if legs("r9k")) {
+      def force(df: org.apache.spark.sql.DataFrame): Long =
+        df.collect().length.toLong
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      row(n, "t25")(force(q("t25_pmi_collocations")))
+      row(n, "t26")(force(q("t26_source_divergence")))
+      val pdir = s"/tmp/graft-probe-pt-$n"
+      spark.range(n).select(col("id").as("p_partkey"),
+        (pmod(xxhash64(col("id"), lit(9)), lit(100000)) / 100.0)
+          .as("p_retailprice"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$pdir/part.parquet")
+      spark.range(n * 4).select(
+        pmod(xxhash64(col("id")), lit(n)).as("l_partkey"),
+        ((pmod(xxhash64(col("id"), lit(1)), lit(50)) + 1).cast("double"))
+          .as("l_quantity"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$pdir/lineitem.parquet")
+      row(n, "q56")(force(
+        graft.SparkEntry.queries("q56_skyline")(spark, pdir)))
+      val tdir = s"/tmp/graft-probe-oc-$n"
+      spark.range(n).select(col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id")), lit(math.max(n / 10, 1L)))
+          .as("o_custkey"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(1000000)) / 100.0)
+          .as("o_totalprice"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$tdir/orders.parquet")
+      spark.range(math.max(n / 10, 1L)).select(col("id").as("c_custkey"),
+        pmod(col("id"), lit(25)).cast("int").as("c_nationkey"),
+        element_at(array(lit("AUTOMOBILE"), lit("BUILDING"),
+          lit("FURNITURE"), lit("HOUSEHOLD"), lit("MACHINERY")),
+          (pmod(col("id"), lit(5)) + 1).cast("int")).as("c_mktsegment"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$tdir/customer.parquet")
+      spark.range(25).select(col("id").cast("int").as("n_nationkey"),
+        concat(lit("N"), col("id")).as("n_name"))
+        .write.mode("overwrite").parquet(s"$tdir/nation.parquet")
+      row(n, "q57")(force(
+        graft.SparkEntry.queries("q57_top_others")(spark, tdir)))
+      row(n, "s09")(force(
+        graft.SparkEntry.queries("s09_bucketed_join")(spark, tdir)))
+      val edir = s"/tmp/graft-probe-ev-$n"
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        pmod(col("id"), lit(math.max(n / 100, 1L))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("scroll")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$edir/events.parquet")
+      def qe(name: String) = graft.SparkEntry.queries(name)(spark, edir)
+      row(n, "e32")(force(qe("e32_autocorr")))
+      row(n, "e33")(force(qe("e33_peak_concurrency")))
+      graft.operators.HotCache.releaseAll()
+    }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the

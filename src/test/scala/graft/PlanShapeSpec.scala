@@ -418,11 +418,13 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("Generate"), p) // the bounded 7-day explode
   }
 
-  test("q56 skyline windows run over the dim aggregate, no dominance self-join") {
+  test("q56 skyline windows are band-partitioned, no dominance self-join") {
     val p = plan("q56_skyline")
-    // two window passes (strictly-lower-price RANGE max + same-price max),
-    // one part↔demand join — and NOT the oracle's O(n²) NOT-EXISTS scan
-    assert(countOf(p, "Window [") == 2, p)
+    // three windows: band-prefix max (over the tiny band table), the
+    // BAND-PARTITIONED strictly-lower-price RANGE max, the same-price
+    // max — and NOT the oracle's O(n²) NOT-EXISTS scan
+    assert(countOf(p, "Window [") == 3, p)
+    assert(p.contains("windowspecdefinition(band"), p)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }

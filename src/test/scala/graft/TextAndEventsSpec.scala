@@ -1331,6 +1331,20 @@ class TextAndEventsSpec extends SparkSpecBase {
       .map(r => r.getAs[Long]("lag_days") ->
         ((r.getAs[Long]("n"), r.getAs[Double]("r")))).toMap
     assert(got == Map(1L -> ((13L, 1.0)), 7L -> ((7L, 1.0))), got)
+    // constant daily volume → zero variance → r undefined → both legs
+    // excluded (not a divide-by-zero crash: the r9k probe's
+    // 1-event-per-second stream hit exactly this)
+    val dc = java.nio.file.Files.createTempDirectory("e32c").toString
+    (0 until 6).flatMap { day => (0 until 3).map { i =>
+      (day * 3 + i, f"2024-01-${day + 1}%02d 0$i:00:00") } }
+      .toDF("id", "tss")
+      .select(col("id").cast("long").as("event_id"),
+        to_timestamp(col("tss")).as("ts"),
+        (col("id") % 2).cast("long").as("user_id"),
+        lit("view").as("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dc/events.parquet")
+    assert(run("e32_autocorr", dc).collect().isEmpty)
     // sf: both lags defined, r in [-1, 1]
     val sfRows = run("e32_autocorr").collect()
     assert(sfRows.map(_.getAs[Long]("lag_days")).toSeq == Seq(1L, 7L))
