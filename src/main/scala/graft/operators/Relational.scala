@@ -1806,7 +1806,61 @@ object Relational {
                CAST(round(grevd, 2) AS DOUBLE) AS revenue,
                CAST((gmic * 10000) // tmic AS BIGINT) AS share_bp
         FROM agg CROSS JOIN tot
-        ORDER BY revenue DESC, nation"""))
+        ORDER BY revenue DESC, nation""")),
+
+    // ---------------------------------------------------------------- q58
+    // EXACT per-group median WITHOUT sorting the data: the value
+    // HISTOGRAM path — q26's sort-based exact percentile is the
+    // correctness baseline, but at 100 TB an exact median over a
+    // quantized domain (integer quantities, cents, ratings) should be
+    // one hash aggregate, a flag-partitioned cumulative sum over the
+    // ≤|flags|×|values| histogram, and a conditional min: the fact
+    // table is touched once and NOTHING is ever globally sorted. Both
+    // middle ranks (k1=(n+1) div 2, k2=(n+2) div 2) resolve as
+    // "smallest value whose cumulative count reaches the rank" in the
+    // SAME single aggregate (cum is monotone in v), so odd/even parity
+    // needs no branching and the even-case mean is one exact integer
+    // add + one division by 2. No joins, no second fact pass.
+    "q58_group_median" -> QueryDef(
+      build = (s, d) => {
+        val hist = t(s, d, "lineitem")
+          .select(col("l_returnflag").as("flag"),
+            expr("CAST(round(l_quantity, 0) AS BIGINT)").as("v"))
+          .groupBy("flag", "v").agg(count(lit(1)).as("c"))
+        val wCum = Window.partitionBy("flag").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("flag")
+        hist
+          .withColumn("cum", sum("c").over(wCum))
+          .withColumn("n", sum("c").over(wAll))
+          .groupBy("flag")
+          .agg(max("n").as("n"),
+            min(when(expr("(n + 1) div 2") <= col("cum"), col("v")))
+              .as("v1"),
+            min(when(expr("(n + 2) div 2") <= col("cum"), col("v")))
+              .as("v2"))
+          .select(col("flag"), col("n"),
+            ((col("v1") + col("v2")).cast("double") / lit(2.0))
+              .as("median"))
+          .orderBy("flag")
+      },
+      oracle = Some("""
+        WITH h AS (
+          SELECT l_returnflag AS flag,
+                 CAST(round(l_quantity, 0) AS BIGINT) AS v,
+                 count(*) AS c
+          FROM lineitem GROUP BY 1, 2),
+        cum AS (
+          SELECT flag, v,
+                 sum(c) OVER (PARTITION BY flag ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY flag) AS n
+          FROM h)
+        SELECT flag, CAST(max(n) AS BIGINT) AS n,
+               CAST(min(CASE WHEN (n + 1) // 2 <= cum THEN v END)
+                    + min(CASE WHEN (n + 2) // 2 <= cum THEN v END)
+                    AS DOUBLE) / 2.0 AS median
+        FROM cum GROUP BY flag ORDER BY flag"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

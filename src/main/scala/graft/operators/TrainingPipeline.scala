@@ -85,6 +85,10 @@ object TrainingPipeline {
     */
   private val survivorCache = HotCache.slot()
 
+  // p28's (source, lang) token-mass grid: one fact pass, four consumers
+  // (row totals, global totals, the column denominators, the join-back).
+  private val ipfCache = HotCache.slot()
+
   /** Shared p06/p06b pipeline. `cacheSurvivors` is the 100 TB knob the
     * p06 scaladoc promises: the stage-1/2 survivor set feeds BOTH the
     * dedup keep-min aggregation and the final semi-join, so without a
@@ -1467,6 +1471,85 @@ object TrainingPipeline {
         JOIN rawt r ON r.lang = t.lang
         CROSS JOIN k
         LEFT JOIN kept kp ON kp.lang = t.lang
-        ORDER BY t.lang"""))
+        ORDER BY t.lang""")),
+
+    // ---------------------------------------------------------------- p28
+    // IPF / RAKING reweight: one iterative-proportional-fitting step
+    // that pulls the (source × lang) token-mass grid toward TWO marginal
+    // targets at once — equal share per source AND equal share per lang
+    // (p03/p12/p21 each balance ONE margin; a multilingual multi-crawl
+    // mix needs both). Row step: r_s = (T/|S|)/T_s; column step on the
+    // row-scaled grid: c_l = (T/|L|)/Σ_s T_sl·r_s; cell weight
+    // w_sl = r_s·c_l. Physically ONE fact pass builds the cached grid
+    // (≤|S|·|L| rows); every later table is dim-bounded and rides
+    // broadcast joins. Determinism: the multipliers are rounded to 6 dp
+    // decimals, so the column denominators are EXACT decimal sums of
+    // (int × decimal) products — partition-order-free — and the final
+    // w is a single rounded IEEE product of two identical doubles on
+    // both engines. Zero-mass sources/langs have no defined multiplier
+    // and are excluded on both engines (same clause family as e32).
+    "p28_ipf_reweight" -> QueryDef(
+      build = (s, d) => {
+        val cell = ipfCache.register(t(s, d, "documents")
+          .select(coalesce(col("source"), lit("")).as("source"),
+            coalesce(col("lang"), lit("")).as("lang"),
+            size(split(trim(col("text")), "\\s+")).cast("long")
+              .as("ntok"))
+          .groupBy("source", "lang")
+          .agg(coalesce(sum("ntok"), lit(0L)).as("tc")))
+        val gt = cell.agg(sum("tc").as("tt"),
+          countDistinct("source").as("ns"),
+          countDistinct("lang").as("nl"))
+        val r = cell.groupBy("source").agg(sum("tc").as("ts"))
+          .filter(col("ts") > 0)
+          .crossJoin(broadcast(gt))
+          .withColumn("r6",
+            (col("tt").cast("double") / col("ns").cast("double")
+              / col("ts").cast("double")).cast("decimal(30,6)"))
+          .select("source", "r6")
+        val c = cell.join(broadcast(r), "source")
+          .groupBy("lang").agg(sum(col("tc") * col("r6")).as("den"))
+          .filter(col("den") > 0)
+          .crossJoin(broadcast(gt))
+          .withColumn("c6",
+            (col("tt").cast("double") / col("nl").cast("double")
+              / col("den").cast("double")).cast("decimal(30,6)"))
+          .select("lang", "c6")
+        cell.join(broadcast(r), "source").join(broadcast(c), "lang")
+          .select(col("source"), col("lang"), col("tc").as("tokens"),
+            round(col("r6").cast("double") * col("c6").cast("double"), 6)
+              .as("w"))
+          .orderBy("source", "lang")
+      },
+      oracle = Some("""
+        WITH cell AS (
+          SELECT coalesce(source, '') AS source,
+                 coalesce(lang, '') AS lang,
+                 CAST(coalesce(sum(len(string_split_regex(trim(text),
+                   '\s+'))), 0) AS BIGINT) AS tc
+          FROM documents GROUP BY 1, 2),
+        g AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
+                     CAST(count(DISTINCT source) AS BIGINT) AS ns,
+                     CAST(count(DISTINCT lang) AS BIGINT) AS nl
+              FROM cell),
+        r AS (
+          SELECT source,
+                 CAST(round(CAST(tt AS DOUBLE) / CAST(ns AS DOUBLE)
+                   / CAST(ts AS DOUBLE), 6) AS DECIMAL(30,6)) AS r6
+          FROM (SELECT source, CAST(sum(tc) AS BIGINT) AS ts
+                FROM cell GROUP BY 1) s
+          CROSS JOIN g WHERE ts > 0),
+        den AS (
+          SELECT lang, sum(tc * r6) AS den
+          FROM cell JOIN r USING (source) GROUP BY 1),
+        c AS (
+          SELECT lang,
+                 CAST(round(CAST(tt AS DOUBLE) / CAST(nl AS DOUBLE)
+                   / CAST(den AS DOUBLE), 6) AS DECIMAL(30,6)) AS c6
+          FROM den CROSS JOIN g WHERE den > 0)
+        SELECT source, lang, tc AS tokens,
+               round(CAST(r6 AS DOUBLE) * CAST(c6 AS DOUBLE), 6) AS w
+        FROM cell JOIN r USING (source) JOIN c USING (lang)
+        ORDER BY source, lang"""))
   )
 }

@@ -485,6 +485,21 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), p) // totals ride as broadcasts
   }
 
+  test("q58 histogram median: one fact pass, flag-keyed windows, no join") {
+    val p = plan("q58_group_median")
+    assert(countOf(p, "FileScan parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+    // both windows partition by flag — never a global sort of the data
+    assert(p.contains("windowspecdefinition(flag"), p)
+  }
+
+  test("p28 IPF: the grid caches; multipliers ride broadcast joins only") {
+    val p = plan("p28_ipf_reweight")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("SortMergeJoin") &&
+      !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("e33 endpoint sweep never single-tasks the corpus: day-keyed windows") {
     val p = plan("e33_peak_concurrency")
     // the endpoint running sum is PARTITIONED by day — the t-ordered

@@ -499,4 +499,33 @@ class RelationalExtSpec extends SparkSpecBase {
     assert(sfRows.count(_.getAs[String]("nation") == "OTHER") == 1)
     assert(sfRows.map(_.getAs[Long]("share_bp")).sum <= 10000L)
   }
+
+  test("q58 histogram median nails odd/even/tied groups; sf matches a sort") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("q58").toString
+    // A: {1,2,3} → 2.0 (odd); B: {1,2,3,4} → 2.5 (even, .5 case);
+    // C: {5,5,5,9} → 5.0 (both middles inside the tied value)
+    val rows = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0),
+      ("B", 1.0), ("B", 2.0), ("B", 3.0), ("B", 4.0),
+      ("C", 5.0), ("C", 5.0), ("C", 5.0), ("C", 9.0))
+    rows.toDF("l_returnflag", "l_quantity")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = run("q58_group_median", d).collect()
+      .map(r => (r.getAs[String]("flag"), r.getAs[Long]("n"),
+        r.getAs[Double]("median"))).toSeq
+    assert(got == Seq(("A", 3L, 2.0), ("B", 4L, 2.5), ("C", 4L, 5.0)), got)
+    // sf: the histogram path must equal a driver-side full sort
+    val vals = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"), expr("CAST(round(l_quantity, 0) AS BIGINT)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (f, vs) =>
+        val s = vs.map(_._2).sorted
+        val n = s.length
+        f -> ((n.toLong, (s((n - 1) / 2) + s(n / 2)).toDouble / 2.0))
+      }
+    val sfGot = run("q58_group_median").collect()
+      .map(r => r.getAs[String]("flag") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("median")))).toMap
+    assert(sfGot == vals, s"histogram median differs from sorted replay")
+  }
 }

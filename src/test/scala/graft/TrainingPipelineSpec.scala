@@ -670,4 +670,50 @@ class TrainingPipelineSpec extends SparkSpecBase {
     val argmin = sfRows.minBy(_.getAs[Long]("tokens_unique"))
     assert(argmin.getAs[Long]("docs_kept") == argmin.getAs[Long]("docs_unique"))
   }
+
+  test("p28 IPF step replays exactly; zero-mass sources are excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val d = java.nio.file.Files.createTempDirectory("p28").toString
+    // grid: s0=(en 3, de 2), s1=(en 1, de 4); s2 carries only NULL text
+    // → zero mass → no defined multiplier → excluded rows
+    Seq((0L, "a b c", "s0", "en"), (1L, "x y", "s0", "de"),
+        (2L, "p", "s1", "en"), (3L, "q r s t", "s1", "de"))
+      .toDF("doc_id", "text", "source", "lang")
+      .union(Seq((4L, null.asInstanceOf[String], "s2", "en"))
+        .toDF("doc_id", "text", "source", "lang"))
+      .withColumn("n_chars",
+        coalesce(length(col("text")), lit(0)).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // tt=10, ns=3 (s2 counts as a source!), nl=2; ts: s0=5, s1=5 →
+    // r6 = (10/3)/5 = 0.666667; den_en = (3+1)·r6, den_de = (2+4)·r6
+    val r6 = BigDecimal((10.0 / 3.0) / 5.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def c6(den: Double): Double = BigDecimal((10.0 / 2.0) / den)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val denEn = BigDecimal(4L) * BigDecimal(r6)
+    val denDe = BigDecimal(6L) * BigDecimal(r6)
+    def w(den: BigDecimal): Double = BigDecimal(r6 * c6(den.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = run("p28_ipf_reweight", d).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang")) ->
+        ((r.getAs[Long]("tokens"), r.getAs[Double]("w")))).toMap
+    assert(got == Map(
+      ("s0", "en") -> ((3L, w(denEn))), ("s0", "de") -> ((2L, w(denDe))),
+      ("s1", "en") -> ((1L, w(denEn))), ("s1", "de") -> ((4L, w(denDe)))),
+      got)
+    // sf: weights positive, and the column marginals land on target
+    // (tt/nl) within the 6-dp rounding slack of one IPF column step
+    val sfRows = run("p28_ipf_reweight").collect()
+    assert(sfRows.nonEmpty)
+    sfRows.foreach(r => assert(r.getAs[Double]("w") > 0.0, r))
+    val tt = sfRows.map(_.getAs[Long]("tokens")).sum.toDouble
+    val nl = sfRows.map(_.getAs[String]("lang")).distinct.length
+    sfRows.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val achieved = rows.map(r =>
+        r.getAs[Long]("tokens") * r.getAs[Double]("w")).sum
+      assert(math.abs(achieved - tt / nl) < tt / nl * 0.001,
+        s"achieved=$achieved target=${tt / nl}")
+    }
+  }
 }
