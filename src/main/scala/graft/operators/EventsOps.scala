@@ -1616,6 +1616,53 @@ object EventsOps {
                CAST((SELECT min(t) FROM runs WHERE run = peak)
                  AS BIGINT) AS at_micros,
                (SELECT CAST(count(*) AS BIGINT) FROM iv) AS n_sessions
-        FROM mx"""))
+        FROM mx""")),
+
+    // ---------------------------------------------------------------- e34
+    // One POWER-ITERATION step on e09's transition matrix, in exact
+    // integers: where does traffic concentrate after one hop from a
+    // uniform start — the event-type analog of g01's integer-exact
+    // PageRank step. Row-normalized probabilities floor-quantize to ppm
+    // (n·10⁶ div n_from — exact integer division, no float anywhere),
+    // and inflow(b) = Σ_a q_ppm(a,b), an integer sum over the ≤k²-row
+    // matrix (the uniform 1/k start factors out, so the k-scaled mass
+    // is reported as-is). The row totals come from a window over the
+    // tiny count table, NOT a join, so the event stream is touched by
+    // exactly one user-keyed window pass. Output ≤k rows ranked by
+    // inflow with the type as tie-break.
+    "e34_stationary_step" -> QueryDef(
+      build = (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val cnt = t(s, d, "events")
+          .withColumn("to_type", lead("event_type", 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        cnt
+          .withColumn("n_from",
+            sum("n").over(Window.partitionBy("from_type")))
+          .withColumn("q_ppm", expr("n * 1000000 div n_from"))
+          .groupBy(col("to_type").as("event_type"))
+          .agg(sum("q_ppm").as("inflow_kppm"),
+            count(lit(1)).as("n_sources"))
+          .orderBy(col("inflow_kppm").desc, col("event_type"))
+      },
+      oracle = Some("""
+        WITH nx AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS to_type
+          FROM events),
+        c AS (SELECT from_type, to_type, count(*) AS n
+              FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        q AS (SELECT from_type, to_type,
+                     n * 1000000 // sum(n) OVER (PARTITION BY from_type)
+                       AS q_ppm
+              FROM c)
+        SELECT to_type AS event_type,
+               CAST(sum(q_ppm) AS BIGINT) AS inflow_kppm,
+               CAST(count(*) AS BIGINT) AS n_sources
+        FROM q GROUP BY 1
+        ORDER BY inflow_kppm DESC, event_type"""))
   )
 }

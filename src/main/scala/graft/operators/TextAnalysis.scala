@@ -56,6 +56,11 @@ object TextAnalysis {
     */
   private val srcTokCache = HotCache.slot()
 
+  /** t27's TRAIN-split bigram counts: four consumers (prefix marginals,
+    * surprisal join, both vocab legs) of one train-half tokenize pass.
+    */
+  private val heldoutCache = HotCache.slot()
+
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -1318,6 +1323,90 @@ object TextAnalysis {
           FROM terms)
         SELECT source, max(tsrc) AS n_tokens,
                round(CAST(sum(term) AS DOUBLE), 4) AS jsd
-        FROM rterms GROUP BY source ORDER BY source"""))
+        FROM rterms GROUP BY source ORDER BY source""")),
+
+    // ---------------------------------------------------------------- t27
+    // HELD-OUT perplexity: t08's bigram LM trained on the EVEN-doc_id
+    // half and scored on the ODD half — the train/eval hygiene t08
+    // cannot give (self-scoring flatters the model; the held-out number
+    // is the one a data-quality gate should threshold on). Unseen eval
+    // bigrams back off to the uniform unigram model, −ln(1/V) = ln V,
+    // with V read off the CACHED train bigram table itself (every token
+    // of a ≥2-token doc borders a bigram, so distinct w1 ∪ w2 IS the
+    // train vocab — no third corpus pass; the whole query tokenizes the
+    // corpus exactly twice, train and eval). Per-term surprisals round
+    // at 6 dp into DECIMAL(30,6) sums (t08's partition-order-free
+    // scheme); a corpus with no trainable half scores nothing on both
+    // engines (v > 0 gate). Output per eval doc: bigram count, OOV
+    // count, average NLL.
+    "t27_heldout_perplexity" -> QueryDef(
+      build = (s, d) => {
+        val docs = t(s, d, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+        val cb = heldoutCache.register(docs
+          .filter(col("doc_id") % 2 === 0)
+          .select(explode(TextFns.shingles(col("tk"), 2)).as("bg"))
+          .groupBy("bg").agg(count(lit(1)).as("cb")))
+        val v = cb.select(substring_index(col("bg"), " ", 1).as("w"))
+          .unionByName(
+            cb.select(substring_index(col("bg"), " ", -1).as("w")))
+          .agg(countDistinct("w").as("v"))
+        val cp = cb.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum("cb").as("cp"))
+        val ll = cb
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(cp, "w1")
+          .select(col("bg"),
+            log(col("cp").cast("double") / col("cb"))
+              .cast("decimal(30,6)").as("l"))
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"),
+            explode(TextFns.shingles(col("tk"), 2)).as("bg"))
+          .join(ll, Seq("bg"), "left")
+          .crossJoin(broadcast(v))
+          .filter(col("v") > 0)
+          .withColumn("oov", when(col("l").isNull, 1L).otherwise(0L))
+          .withColumn("term", coalesce(col("l"),
+            log(col("v").cast("double")).cast("decimal(30,6)")))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum("oov").as("n_oov"),
+            sum("term").as("sl"))
+          .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+            round(col("sl").cast("double") / col("n_bigrams"), 4)
+              .as("avg_nll"))
+          .orderBy("doc_id")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t
+          FROM documents),
+        inst AS (
+          SELECT doc_id, array_to_string(t[i+1:i+2], ' ') AS bg
+          FROM tk, unnest(range(len(t) - 1)) AS u(i)
+          WHERE len(t) >= 2),
+        cb AS (SELECT bg, count(*) AS cb FROM inst
+               WHERE doc_id % 2 = 0 GROUP BY bg),
+        v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM (
+                SELECT string_split(bg, ' ')[1] AS w FROM cb
+                UNION ALL
+                SELECT string_split(bg, ' ')[2] FROM cb)),
+        cp AS (SELECT string_split(bg, ' ')[1] AS w1,
+                      CAST(sum(cb) AS BIGINT) AS cp
+               FROM cb GROUP BY 1),
+        ll AS (SELECT bg, CAST(round(ln(CAST(cp AS DOUBLE) / cb), 6)
+                          AS DECIMAL(30,6)) AS l
+               FROM cb JOIN cp ON string_split(cb.bg, ' ')[1] = cp.w1),
+        ev AS (
+          SELECT i.doc_id,
+                 CASE WHEN l IS NULL THEN 1 ELSE 0 END AS oov,
+                 coalesce(l, CAST(round(ln(CAST(v AS DOUBLE)), 6)
+                   AS DECIMAL(30,6))) AS term
+          FROM inst i LEFT JOIN ll USING (bg) CROSS JOIN v
+          WHERE i.doc_id % 2 = 1 AND v > 0)
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               round(CAST(sum(term) AS DOUBLE) / count(*), 4) AS avg_nll
+        FROM ev GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

@@ -500,6 +500,20 @@ class PlanShapeSpec extends SparkSpecBase {
       !p.contains("ShuffledHashJoin"), p)
   }
 
+  test("t27 train counts cache once; vocab reads the cache, not the corpus") {
+    val p = plan("t27_heldout_perplexity")
+    // surprisal base + prefix marginal + both vocab legs = 4 cache reads
+    assert(countOf(p, "InMemoryTableScan") == 4, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("e34 touches events once: user window + matrix window, no join") {
+    val p = plan("e34_stationary_step")
+    assert(countOf(p, "FileScan parquet") == 1, p)
+    assert(countOf(p, "Window [") == 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("e33 endpoint sweep never single-tasks the corpus: day-keyed windows") {
     val p = plan("e33_peak_concurrency")
     // the endpoint running sum is PARTITIONED by day — the t-ordered

@@ -1421,6 +1421,75 @@ class TextAndEventsSpec extends SparkSpecBase {
     }
   }
 
+  test("t27 held-out NLL replays exactly; OOV backs off to ln V") {
+    import spark.implicits._
+    def r6(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(6,
+        java.math.RoundingMode.HALF_UP)
+    // mirror the engine exactly: decimal sum → double → /n → round 4
+    def avg(sl: java.math.BigDecimal, n: Long): Double =
+      java.math.BigDecimal.valueOf(sl.doubleValue / n)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    val d = java.nio.file.Files.createTempDirectory("t27").toString
+    // train (even ids): "a b", "a b", "a c" → cb{a b:2, a c:1},
+    // cp{a:3}, V = |{a,b,c}| = 3; eval doc1 "a b x": seen ln(3/2) +
+    // OOV ln 3; eval doc3 "z z": OOV ln 3
+    Seq((0L, "a b"), (2L, "a b"), (4L, "a c"),
+        (1L, "a b x"), (3L, "z z"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = run("t27_heldout_perplexity", d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("avg_nll")))).toMap
+    val ln15 = r6(math.log(3.0 / 2.0)); val ln3 = r6(math.log(3.0))
+    assert(got == Map(
+      1L -> ((2L, 1L, avg(ln15.add(ln3), 2L))),
+      3L -> ((1L, 1L, avg(ln3, 1L)))), got)
+    // no trainable half → no scores at all (v > 0 gate)
+    val d2 = java.nio.file.Files.createTempDirectory("t27b").toString
+    Seq((1L, "a b"), (3L, "c d")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    assert(run("t27_heldout_perplexity", d2).collect().isEmpty)
+    // sf: only odd docs scored, OOV never exceeds the bigram count
+    run("t27_heldout_perplexity").collect().foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 2 == 1, r)
+      assert(r.getAs[Long]("n_oov") <= r.getAs[Long]("n_bigrams"), r)
+    }
+  }
+
+  test("e34 one exact-ppm power step replays on a planted matrix") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("e34").toString
+    // u1: A→B→B; u2: A→C ⇒ q_ppm: A→B 500000, A→C 500000, B→B 1000000
+    val evs = Seq((0L, "2024-01-01 10:00:00", 1L, "A"),
+      (1L, "2024-01-01 10:01:00", 1L, "B"),
+      (2L, "2024-01-01 10:02:00", 1L, "B"),
+      (3L, "2024-01-01 10:00:00", 2L, "A"),
+      (4L, "2024-01-01 10:01:00", 2L, "C"))
+    evs.toDF("event_id", "tss", "user_id", "event_type")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = run("e34_stationary_step", d).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        r.getAs[Long]("inflow_kppm"), r.getAs[Long]("n_sources"))).toSeq
+    assert(got == Seq(("B", 1500000L, 2L), ("C", 500000L, 1L)), got)
+    // sf: each row's inflow is ≤ k·10⁶ and the floor quantization only
+    // ever loses mass: total ≤ (#from-types)·10⁶
+    val sfRows = run("e34_stationary_step").collect()
+    assert(sfRows.nonEmpty)
+    val k = sfRows.length.toLong
+    sfRows.foreach(r =>
+      assert(r.getAs[Long]("n_sources") <= k + 1, r))
+    assert(sfRows.map(_.getAs[Long]("inflow_kppm")).sum <= (k + 1) * 1000000L)
+  }
+
   test("e33 peak concurrency: overlap + touching sessions pin the sweep order") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("e33").toString
