@@ -18,6 +18,10 @@ object Multimodal {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  // m10's (format, chunk-digest) table: one chunk pass, three consumers
+  // (global share counts, per-format totals, the shared join-back).
+  private val fmtChunkCache = HotCache.slot()
+
   /** STUB decode: a real deployment would decode image/audio bytes here
     * (e.g. JPEG → pixels). Deterministic fake: 8 byte-histogram moments.
     * The signature (bytes → fixed-size float feature vector) is the real
@@ -420,6 +424,75 @@ object Multimodal {
                quantile_cont(nb, 0.5) AS med_bytes,
                CAST(sum(nb) * 100 // count(*) AS BIGINT) AS mean_cbytes,
                max(nb) AS max_bytes
-        FROM f GROUP BY format ORDER BY format"""))
+        FROM f GROUP BY format ORDER BY format""")),
+
+    // ---------------------------------------------------------------- m10
+    // Per-FORMAT chunk-dedup profile: m07's magic-byte sniff crossed
+    // with m05's 64-byte chunk digests, rolled up per format — "which
+    // payload format pays for content-addressed storage" is the
+    // planning question behind enabling chunk dedup on a 100 TB blob
+    // store. A chunk counts as shared when its digest occurs in ≥2
+    // payloads ANYWHERE in the corpus (cross-format sharing counts for
+    // both formats — that is what a content-addressed store would
+    // deduplicate). The (format, digest) table materializes once
+    // (cached, three consumers); sharing is a digest-keyed linear join;
+    // savings reported in floor-bp exact integers. ≤|formats| output
+    // rows.
+    "m10_format_dedup_profile" -> QueryDef(
+      build = (s, d) => {
+        val p = coalesce(col("text"), lit(""))
+        val fmt = when(p.startsWith("%PDF"), "pdf")
+          .when(p.startsWith("PK"), "zip")
+          .when(p.startsWith("GIF8"), "gif")
+          .when(p.startsWith("RIFF"), "riff")
+          .when(p.startsWith("ID3"), "mp3")
+          .when(p.startsWith("{"), "json")
+          .when(p.startsWith("<"), "markup")
+          .otherwise("text")
+        val ck = fmtChunkCache.register(t(s, d, "documents")
+          .withColumn("format", fmt)
+          .withColumn("ch", expr(
+            "transform(sequence(0, greatest(cast(floor((length(text)-1)/64) as int), 0))," +
+              " i -> md5(cast(substring(text, i*64+1, 64) AS binary)))"))
+          .select(col("format"),
+            explode(array_distinct(col("ch"))).as("h")))
+        val shared = ck.groupBy("h")
+          .agg(count(lit(1)).as("nd")).filter(col("nd") >= 2).select("h")
+        val tot = ck.groupBy("format").agg(count(lit(1)).as("n_chunks"))
+        val shr = ck.join(shared, "h")
+          .groupBy("format").agg(count(lit(1)).as("n_shared"))
+        tot.join(shr, Seq("format"), "left")
+          .select(col("format"), col("n_chunks"),
+            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+            expr("coalesce(n_shared, 0L) * 10000 div n_chunks")
+              .as("dup_bp"))
+          .orderBy("format")
+      },
+      oracle = Some("""
+        WITH ch AS (
+          SELECT DISTINCT doc_id,
+                 CASE
+                   WHEN starts_with(coalesce(text, ''), '%PDF') THEN 'pdf'
+                   WHEN starts_with(coalesce(text, ''), 'PK')   THEN 'zip'
+                   WHEN starts_with(coalesce(text, ''), 'GIF8') THEN 'gif'
+                   WHEN starts_with(coalesce(text, ''), 'RIFF') THEN 'riff'
+                   WHEN starts_with(coalesce(text, ''), 'ID3')  THEN 'mp3'
+                   WHEN starts_with(coalesce(text, ''), '{')    THEN 'json'
+                   WHEN starts_with(coalesce(text, ''), '<')    THEN 'markup'
+                   ELSE 'text' END AS format,
+                 md5(substr(text, CAST(i*64+1 AS INT), 64)) AS h
+          FROM documents,
+               unnest(range(greatest(CAST(floor((length(text)-1)/64) AS INT), 0)
+                 + 1)) AS u(i)),
+        shared AS (SELECT h FROM ch GROUP BY h HAVING count(*) >= 2),
+        tot AS (SELECT format, count(*) AS n_chunks FROM ch GROUP BY 1),
+        shr AS (SELECT format, CAST(count(*) AS BIGINT) AS n_shared
+                FROM ch JOIN shared USING (h) GROUP BY 1)
+        SELECT t.format, t.n_chunks,
+               coalesce(s.n_shared, 0) AS n_shared,
+               CAST(coalesce(s.n_shared, 0) * 10000 // t.n_chunks
+                 AS BIGINT) AS dup_bp
+        FROM tot t LEFT JOIN shr s USING (format)
+        ORDER BY t.format"""))
   )
 }

@@ -734,4 +734,39 @@ class DedupSpec extends SparkSpecBase {
     sfRows.filter(_.getAs[Long]("tok_kept") > 0)
       .foreach(r => assert(r.getAs[Long]("inflation_bp") >= 10000L, r))
   }
+
+  test("m10 per-format dedup profile counts cross-format sharing for both") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{length, lit, col}
+    def block(c: Char): String = c.toString * 64
+    val dir = java.nio.file.Files.createTempDirectory("m10").toString
+    Seq(
+      // json: two docs sharing a tail block → 4 chunks, 2 shared
+      (0L, "{" + block('j').drop(1) + block('s')),
+      (1L, "{" + block('j').drop(1) + block('t')),
+      // the 's' block ALSO opens doc 2 (text format): cross-format
+      // sharing counts on both sides
+      (2L, block('s') + block('u')),
+      // pdf: lone doc, nothing shared
+      (3L, "%PDF" + block('p').drop(4)))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = run("m10_format_dedup_profile", dir).collect()
+      .map(r => r.getAs[String]("format") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_shared"),
+          r.getAs[Long]("dup_bp")))).toMap
+    // json: chunks {j,s},{j,t} → 4, shared j(2 docs) + s(cross) = 3
+    // text: {s,u} → 2, shared s = 1 → 5000 bp; pdf: 1, 0
+    assert(got == Map(
+      "json" -> ((4L, 3L, 7500L)),
+      "text" -> ((2L, 1L, 5000L)),
+      "pdf" -> ((1L, 0L, 0L))), got)
+    // sf: shared never exceeds total, bp bounded
+    run("m10_format_dedup_profile").collect().foreach { r =>
+      assert(r.getAs[Long]("n_shared") <= r.getAs[Long]("n_chunks"), r)
+      assert(r.getAs[Long]("dup_bp") <= 10000L, r)
+    }
+  }
 }

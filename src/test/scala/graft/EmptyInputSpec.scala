@@ -52,7 +52,8 @@ class EmptyInputSpec extends SparkSpecBase {
     "d22_dup_inflation", "p26_stratified_sample", "x21_lineage_card",
     "p27_dedup_mix", "t23_casing_profile", "x22_redaction_audit",
     "t24_burstiness", "x23_equidepth_bins", "t25_pmi_collocations",
-    "t26_source_divergence", "p28_ipf_reweight", "t27_heldout_perplexity")
+    "t26_source_divergence", "p28_ipf_reweight", "t27_heldout_perplexity",
+    "m10_format_dedup_profile")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>
