@@ -702,6 +702,56 @@ object ScaleProbe {
       row(n, "e33")(force(qe("e33_peak_concurrency")))
       graft.operators.HotCache.releaseAll()
     }
+    // r9l: the eleventh-sitting operators — held-out perplexity, IPF
+    // reweight and the per-format chunk profile on the word-salad docs;
+    // the histogram median on synthetic lineitem; the stationary step
+    // on the generated events.
+    for (n <- sizes if legs("r9l")) {
+      def force(df: org.apache.spark.sql.DataFrame): Long =
+        df.collect().length.toLong
+      val dir = s"/tmp/graft-probe-$n"
+      gen(spark, n, dir)
+      def q(name: String) = graft.SparkEntry.queries(name)(spark, dir)
+      // release between ops: at 200k t27's resident train cache (~10M
+      // rows) otherwise bleeds memory pressure into p28/m10's cpu_s —
+      // the same-JVM attribution lesson from the r9 d13 probe
+      row(n, "t27")(force(q("t27_heldout_perplexity")))
+      graft.operators.HotCache.releaseAll()
+      row(n, "p28")(force(q("p28_ipf_reweight")))
+      graft.operators.HotCache.releaseAll()
+      row(n, "m10")(force(q("m10_format_dedup_profile")))
+      graft.operators.HotCache.releaseAll()
+      val tdir = s"/tmp/graft-probe-tpc-$n"
+      spark.range(n).select(
+        col("id").as("l_orderkey"),
+        element_at(array(lit("A"), lit("N"), lit("R")),
+          (pmod(xxhash64(col("id"), lit(5)), lit(3)) + 1).cast("int"))
+          .as("l_returnflag"),
+        ((pmod(xxhash64(col("id")), lit(50)) + 1).cast("double"))
+          .as("l_quantity"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$tdir/lineitem.parquet")
+      row(n, "q58")(force(
+        graft.SparkEntry.queries("q58_group_median")(spark, tdir)))
+      val edir = s"/tmp/graft-probe-ev-$n"
+      spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 1000000L)
+          .as("ts"),
+        pmod(col("id"), lit(math.max(n / 100, 1L))).as("user_id"),
+        element_at(
+          array(lit("view"), lit("click"), lit("purchase"), lit("scroll")),
+          (pmod(xxhash64(col("id")), lit(4)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(xxhash64(col("id"), lit(1)), lit(1000)) / 100.0).as("value"),
+        concat(lit("{\"k\": "), pmod(col("id"), lit(7)), lit("}"))
+          .as("props"))
+        .repartition(32).write.mode("overwrite")
+        .parquet(s"$edir/events.parquet")
+      row(n, "e34")(force(
+        graft.SparkEntry.queries("e34_stationary_step")(spark, edir)))
+      graft.operators.HotCache.releaseAll()
+    }
     // t07 skew leg: a corpus where ONE token carries half of all volume
     // (the stopword-skew shape the hot/cold split join exists for) —
     // time must stay ~linear in docs, because hot instances take the
