@@ -1663,6 +1663,74 @@ object EventsOps {
                CAST(sum(q_ppm) AS BIGINT) AS inflow_kppm,
                CAST(count(*) AS BIGINT) AS n_sources
         FROM q GROUP BY 1
-        ORDER BY inflow_kppm DESC, event_type"""))
+        ORDER BY inflow_kppm DESC, event_type""")),
+
+    // ---------------------------------------------------------------- e35
+    // BOUNCE RATE by entry type: the share of e03-sessions that contain
+    // exactly one event, keyed by the session's FIRST event type — the
+    // engagement metric behind "which landing surface loses users".
+    // The session's entry event resolves as min(struct(micros,
+    // event_id, event_type)) — a deterministic argmin computed inside
+    // the same hash aggregate that counts the session's length, so the
+    // whole query is the sessionize window plus two aggregates, all
+    // user- or type-keyed (never a global shuffle). Rate in floor-bp
+    // exact integers; ≤|types| output rows.
+    "e35_bounce_rate" -> QueryDef(
+      build = (s, d) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t(s, d, "events")
+          .withColumn("m", expr("unix_micros(cast(ts as timestamp))"))
+          .withColumn("prev_m", lag("m", 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_m").isNull ||
+              col("m") - col("prev_m") > 1800000000L, lit(1L))
+              .otherwise(lit(0L)))
+          .withColumn("session_id", sum("new_session").over(byUser))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("len"),
+            min(struct(col("m"), col("event_id"), col("event_type")))
+              .as("fst"))
+          .select(col("fst").getField("event_type").as("entry_type"),
+            col("len"))
+          .groupBy("entry_type")
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(when(col("len") === 1, 1L).otherwise(0L)).as("n_bounce"))
+          .withColumn("bounce_bp",
+            expr("n_bounce * 10000 div n_sessions"))
+          .orderBy("entry_type")
+      },
+      oracle = Some("""
+        WITH flagged AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS m,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(CAST(ts AS TIMESTAMP))
+                         - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+          SELECT user_id, event_id, event_type, m,
+                 sum(new_session) OVER (PARTITION BY user_id
+                   ORDER BY m, event_id ROWS UNBOUNDED PRECEDING)
+                   AS session_id
+          FROM flagged),
+        firsts AS (
+          SELECT user_id, session_id, event_type FROM (
+            SELECT user_id, session_id, event_type,
+                   row_number() OVER (PARTITION BY user_id, session_id
+                     ORDER BY m, event_id) AS rn
+            FROM sess) z WHERE rn = 1),
+        lens AS (SELECT user_id, session_id, count(*) AS len
+                 FROM sess GROUP BY 1, 2)
+        SELECT f.event_type AS entry_type,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounce,
+               CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) * 10000
+                 // count(*) AS BIGINT) AS bounce_bp
+        FROM lens l JOIN firsts f USING (user_id, session_id)
+        GROUP BY 1 ORDER BY 1"""))
   )
 }

@@ -1729,6 +1729,114 @@ object Similarity {
         JOIN cv o ON o.label = e.label AND e.half = 0 AND o.half = 1
         JOIN ct ce ON ce.label = e.label AND ce.half = 0
         JOIN ct co ON co.label = e.label AND co.half = 1
-        ORDER BY e.label"""))
+        ORDER BY e.label""")),
+
+    // ---------------------------------------------------------------- a25
+    // RETRIEVE-THEN-RERANK, the production two-stage shape: stage 1
+    // shortlists 50 candidates per query with a06's INT8 integer dot
+    // (4 bytes/dim → 1, exact integer scores, no floats in the scan);
+    // stage 2 rescores ONLY the 50-row shortlist with the exact float
+    // cosine and cuts to top-10; the output row per query is the
+    // recall of that pipeline against a01's exact top-10 — the number
+    // that tells you whether int8 recall loss is acceptable BEFORE you
+    // ship the cheap scan to 100 TB (where stage 1 is the only pass
+    // that touches every vector and stage 2 touches 50·|queries| rows).
+    // Everything rides the bounded-heap window idiom of a01/a06.
+    "a25_two_stage_rerank" -> QueryDef(
+      build = (s, d) => {
+        val e = t(s, d, "embeddings")
+        val shortDepth = 50
+        val codes = quantizedCodes(e).select(col("vec_id"), col("qv"))
+        val qc = codes.filter(col("vec_id") < QUERY_IDS_BELOW)
+          .select(col("vec_id").as("q_id"), col("qv").as("qa"))
+        val cc = codes.filter(col("vec_id") >= QUERY_IDS_BELOW)
+        val wI = Window.partitionBy("q_id")
+          .orderBy(desc("iscore"), asc("vec_id"))
+        val short = cc.crossJoin(broadcast(qc))
+          .select(col("q_id"), col("vec_id"),
+            aggregate(zip_with(col("qa"), col("qv"), _ * _),
+              lit(0L), _ + _).as("iscore"))
+          .withColumn("srk", row_number().over(wI))
+          .filter(col("srk") <= shortDepth)
+          .select("q_id", "vec_id")
+        val wX = Window.partitionBy("q_id")
+          .orderBy(desc("score"), asc("vec_id"))
+        val rer = short
+          .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(queriesDf(e)), "q_id")
+          .select(col("q_id"), col("vec_id"),
+            VectorFns.cosine(col("qv"), col("embedding")).as("score"))
+          .withColumn("rk", row_number().over(wX))
+          .filter(col("rk") <= TOPK)
+          .select(col("q_id"), col("vec_id"))
+        val exact = bruteTopK(e)
+          .select(col("q_id").as("eq"), col("vec_id").as("ev"))
+        val hits = rer.join(exact,
+            col("q_id") === col("eq") && col("vec_id") === col("ev"))
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        queriesDf(e).select(col("q_id"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)).cast("double") / TOPK)
+              .as("recall_at_k"))
+          .orderBy("q_id")
+      },
+      oracle = Some(s"""
+        WITH x AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        sc0 AS (
+          SELECT vec_id, e,
+                 list_max(list_transform(e, v -> abs(v))) / 127.0 AS scale
+          FROM x),
+        qz AS (
+          SELECT vec_id, list_transform(e, v -> CAST(
+                   CASE WHEN scale = 0 THEN 0
+                        WHEN v >= 0 THEN floor(v / scale + 0.5)
+                        ELSE -floor(-v / scale + 0.5) END AS BIGINT)) AS qv
+          FROM sc0),
+        qs AS (SELECT vec_id AS q_id, qv AS qa FROM qz
+               WHERE vec_id < $QUERY_IDS_BELOW),
+        cs AS (SELECT vec_id, qv FROM qz WHERE vec_id >= $QUERY_IDS_BELOW),
+        short AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id ORDER BY
+                     CAST(coalesce(list_sum(list_transform(range(len(qa)),
+                       i -> qa[i+1] * qv[i+1])), 0) AS BIGINT) DESC,
+                     vec_id) AS srk
+            FROM qs CROSS JOIN cs) z
+          WHERE srk <= 50),
+        q AS (SELECT vec_id AS q_id, embedding AS qe
+              FROM embeddings WHERE vec_id < $QUERY_IDS_BELOW),
+        rer AS (
+          SELECT q_id, vec_id FROM (
+            SELECT s.q_id, s.vec_id,
+                   row_number() OVER (PARTITION BY s.q_id ORDER BY
+                     list_cosine_similarity(q.qe::DOUBLE[],
+                       em.embedding::DOUBLE[]) DESC, s.vec_id) AS rk
+            FROM short s
+            JOIN embeddings em ON em.vec_id = s.vec_id
+            JOIN q ON q.q_id = s.q_id) z
+          WHERE rk <= $TOPK),
+        c AS (SELECT vec_id, embedding FROM embeddings
+              WHERE vec_id >= $QUERY_IDS_BELOW),
+        exact AS (
+          SELECT q_id, vec_id FROM (
+            SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY list_cosine_similarity(qe::DOUBLE[],
+                                embedding::DOUBLE[]) DESC, vec_id) AS rk
+            FROM q CROSS JOIN c) z
+          WHERE rk <= $TOPK),
+        hits AS (
+          SELECT r.q_id, count(*) AS h
+          FROM rer r JOIN exact e
+            ON e.q_id = r.q_id AND e.vec_id = r.vec_id
+          GROUP BY r.q_id)
+        SELECT q.q_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.h, 0) AS DOUBLE) / $TOPK AS recall_at_k
+        FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+        ORDER BY q.q_id"""))
   )
 }

@@ -43,7 +43,7 @@ class DegenerateEventsSpec extends SparkSpecBase {
     "e23_daily_anomaly", "e24_activity_gini", "x17_freshness_audit",
     "e25_funnel_timing", "e26_interarrival", "e27_state_dwell",
     "e28_error_cascade", "e29_stickiness", "e30_lifecycle", "e31_cusum",
-    "e32_autocorr", "e33_peak_concurrency", "e34_stationary_step")
+    "e32_autocorr", "e33_peak_concurrency", "e34_stationary_step", "e35_bounce_rate")
 
   test("every events operator materializes and reruns identically on degenerate events") {
     val failures = eventOps.flatMap { name =>

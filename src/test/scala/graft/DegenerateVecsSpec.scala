@@ -43,7 +43,7 @@ class DegenerateVecsSpec extends SparkSpecBase {
     "d06b_dedup_embedding_lsh", "d12_semantic_dedup", "a10_range_search",
     "a11_nn_join", "a12_knn_classify", "a13_cell_quality",
     "a20_diverse_topk", "a21_silhouette", "a22_hard_negatives",
-    "a23_cell_rebalance", "a24_embedding_drift")
+    "a23_cell_rebalance", "a24_embedding_drift", "a25_two_stage_rerank")
 
   test("every embeddings operator materializes and reruns identically on degenerate vectors") {
     val failures = vecOps.flatMap { name =>

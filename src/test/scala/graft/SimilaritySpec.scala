@@ -676,4 +676,18 @@ class SimilaritySpec extends SparkSpecBase {
       assert(r.getAs[Boolean]("drifting") == (c < 0.999), r)
     }
   }
+
+  test("a25 two-stage rerank: recall ≥ the shortlist can't lose what it keeps") {
+    // every query scored; with a 50-deep int8 shortlist over the
+    // clustered sf embeddings the exact top-10 survives quantization
+    val got = run("a25_two_stage_rerank").collect()
+      .map(r => r.getAs[Long]("q_id") ->
+        ((r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_k")))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L), got.keySet)
+    got.foreach { case (q, (hits, recall)) =>
+      assert(hits >= 0L && hits <= 10L, s"q$q hits=$hits")
+      assert(recall == hits.toDouble / 10, s"q$q recall mismatches hits")
+      assert(recall >= 0.9, s"q$q: int8@50 shortlist lost the top-10")
+    }
+  }
 }

@@ -1490,6 +1490,37 @@ class TextAndEventsSpec extends SparkSpecBase {
     assert(sfRows.map(_.getAs[Long]("inflow_kppm")).sum <= (k + 1) * 1000000L)
   }
 
+  test("e35 bounce rate keys on the session's FIRST event type") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("e35").toString
+    // u1: lone view → bounce(view). u2: click→view 60s apart, one
+    // session → entry click, no bounce. u3: view, then purchase 2h
+    // later → TWO single-event sessions, bounce(view) + bounce(purchase)
+    val evs = Seq((0L, "2024-01-01 09:00:00", 1L, "view"),
+      (1L, "2024-01-01 09:00:00", 2L, "click"),
+      (2L, "2024-01-01 09:01:00", 2L, "view"),
+      (3L, "2024-01-01 09:00:00", 3L, "view"),
+      (4L, "2024-01-01 11:00:00", 3L, "purchase"))
+    evs.toDF("event_id", "tss", "user_id", "event_type")
+      .select(col("event_id"), to_timestamp(col("tss")).as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = run("e35_bounce_rate", d).collect()
+      .map(r => r.getAs[String]("entry_type") ->
+        ((r.getAs[Long]("n_sessions"), r.getAs[Long]("n_bounce"),
+          r.getAs[Long]("bounce_bp")))).toMap
+    assert(got == Map(
+      "view" -> ((2L, 2L, 10000L)),
+      "click" -> ((1L, 0L, 0L)),
+      "purchase" -> ((1L, 1L, 10000L))), got)
+    // sf: bounces never exceed sessions; bp bounded
+    run("e35_bounce_rate").collect().foreach { r =>
+      assert(r.getAs[Long]("n_bounce") <= r.getAs[Long]("n_sessions"), r)
+      assert(r.getAs[Long]("bounce_bp") <= 10000L, r)
+    }
+  }
+
   test("e33 peak concurrency: overlap + touching sessions pin the sweep order") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("e33").toString
