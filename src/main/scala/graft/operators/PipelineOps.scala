@@ -982,6 +982,59 @@ object PipelineOps {
                min(v) AS lo, max(v) AS hi,
                CAST(sum(cnt) AS BIGINT) AS n_docs
         FROM c CROSS JOIN t
-        GROUP BY 1 ORDER BY band"""))
+        GROUP BY 1 ORDER BY band""")),
+
+    // ---------------------------------------------------------------- x24
+    // SAMPLING-BIAS audit: does x01's 1/16 hash sample preserve the
+    // per-source composition of the corpus? Both the corpus shares and
+    // the sample shares are exact-bp integers (count·10000 div total —
+    // no float, engine/partition-exact), compared per source with a
+    // |Δ| > 200 bp flag. ONE pass over the corpus: the sample counts
+    // are conditional aggregates of the same scan (sum of CASE), not a
+    // second read — the audit costs exactly what a count(*) costs. A
+    // deterministic hash sample has no sampling distribution to argue
+    // about: a flagged source means the hash is correlated with that
+    // source's doc_id allocation, which is precisely the bug this
+    // audit exists to catch. ≤|sources| rows.
+    "x24_sample_bias" -> QueryDef(
+      build = (s, d) => {
+        val inS = substring(md5(col("doc_id").cast("string")
+          .cast("binary")), 1, 1) === "0"
+        val per = t(s, d, "documents")
+          .select(coalesce(col("source"), lit("")).as("source"),
+            when(inS, 1L).otherwise(0L).as("ins"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("ins").as("n_sample"))
+        per
+          .withColumn("tot", sum("n_docs").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .withColumn("stot", sum("n_sample").over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .filter(col("stot") > 0)
+          .select(col("source"), col("n_docs"), col("n_sample"),
+            expr("n_docs * 10000 div tot").as("corpus_bp"),
+            expr("n_sample * 10000 div stot").as("sample_bp"),
+            (abs(expr("n_docs * 10000 div tot") -
+              expr("n_sample * 10000 div stot")) > 200).as("biased"))
+          .orderBy("source")
+      },
+      oracle = Some("""
+        WITH per AS (
+          SELECT coalesce(source, '') AS source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)),
+                   1, 1) = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n_sample
+          FROM documents GROUP BY 1),
+        t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot,
+                     CAST(sum(n_sample) AS BIGINT) AS stot FROM per)
+        SELECT source, n_docs, n_sample,
+               CAST(n_docs * 10000 // tot AS BIGINT) AS corpus_bp,
+               CAST(n_sample * 10000 // stot AS BIGINT) AS sample_bp,
+               abs(n_docs * 10000 // tot - n_sample * 10000 // stot) > 200
+                 AS biased
+        FROM per CROSS JOIN t
+        WHERE stot > 0
+        ORDER BY source"""))
   )
 }

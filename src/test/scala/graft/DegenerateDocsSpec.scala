@@ -70,7 +70,7 @@ class DegenerateDocsSpec extends SparkSpecBase {
     "p27_dedup_mix", "t23_casing_profile", "x22_redaction_audit",
     "t24_burstiness", "x23_equidepth_bins", "t25_pmi_collocations",
     "t26_source_divergence", "p28_ipf_reweight", "t27_heldout_perplexity",
-    "m10_format_dedup_profile")
+    "m10_format_dedup_profile", "x24_sample_bias")
 
   test("every documents operator materializes and reruns identically on degenerate rows") {
     val failures = docOps.flatMap { name =>

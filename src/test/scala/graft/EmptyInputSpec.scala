@@ -53,7 +53,7 @@ class EmptyInputSpec extends SparkSpecBase {
     "p27_dedup_mix", "t23_casing_profile", "x22_redaction_audit",
     "t24_burstiness", "x23_equidepth_bins", "t25_pmi_collocations",
     "t26_source_divergence", "p28_ipf_reweight", "t27_heldout_perplexity",
-    "m10_format_dedup_profile")
+    "m10_format_dedup_profile", "x24_sample_bias")
 
   test("every documents-table operator returns empty (not throws) on a zero-row corpus") {
     docOps.foreach { name =>

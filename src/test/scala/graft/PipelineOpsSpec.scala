@@ -466,4 +466,51 @@ class PipelineOpsSpec extends SparkSpecBase {
       case _ =>
     }
   }
+
+  test("x24 flags a source whose ids correlate with the sample hash") {
+    import spark.implicits._
+    def sampled(id: Long): Boolean = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      "%02x".format(h(0)).charAt(0) == '0'
+    }
+    val d = java.nio.file.Files.createTempDirectory("x24").toString
+    // adversarial allocation: every sampled id goes to 'hot' — the
+    // sample is then 100% hot while the corpus is ~1/16 hot
+    val ids = (0L until 200L)
+    ids.map(i => (i, if (sampled(i)) "hot" else "cold"))
+      .toDF("doc_id", "source")
+      .withColumn("text", lit("a b")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", lit(3L))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val nHot = ids.count(sampled)
+    val got = run("x24_sample_bias", d).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_sample"),
+          r.getAs[Long]("corpus_bp"), r.getAs[Long]("sample_bp"),
+          r.getAs[Boolean]("biased")))).toMap
+    assert(got("hot") ==
+      ((nHot.toLong, nHot.toLong, nHot * 10000L / 200L, 10000L, true)),
+      got)
+    assert(got("cold") ==
+      (((200L - nHot), 0L, (200L - nHot) * 10000L / 200L, 0L, true)),
+      got)
+    // sf: the engine's exact-bp arithmetic and the flag must replay
+    // driver-side (at sf0.001 the 200 bp threshold CAN legitimately
+    // trip from small-sample noise — ~25 docs per source — so the spec
+    // pins the arithmetic, not an unbiased verdict the sample size
+    // cannot support)
+    val sfRows = run("x24_sample_bias").collect()
+    assert(sfRows.nonEmpty)
+    val tot = sfRows.map(_.getAs[Long]("n_docs")).sum
+    val stot = sfRows.map(_.getAs[Long]("n_sample")).sum
+    sfRows.foreach { r =>
+      assert(r.getAs[Long]("n_sample") <= r.getAs[Long]("n_docs"), r)
+      val cbp = r.getAs[Long]("n_docs") * 10000L / tot
+      val sbp = r.getAs[Long]("n_sample") * 10000L / stot
+      assert(r.getAs[Long]("corpus_bp") == cbp, r)
+      assert(r.getAs[Long]("sample_bp") == sbp, r)
+      assert(r.getAs[Boolean]("biased") == (math.abs(cbp - sbp) > 200L), r)
+    }
+  }
 }

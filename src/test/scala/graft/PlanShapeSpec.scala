@@ -514,6 +514,12 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("x24 bias audit costs one scan: conditional aggs, no join") {
+    val p = plan("x24_sample_bias")
+    assert(countOf(p, "FileScan parquet") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("e33 endpoint sweep never single-tasks the corpus: day-keyed windows") {
     val p = plan("e33_peak_concurrency")
     // the endpoint running sum is PARTITIONED by day — the t-ordered
