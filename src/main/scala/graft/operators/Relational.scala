@@ -1860,7 +1860,49 @@ object Relational {
                CAST(min(CASE WHEN (n + 1) // 2 <= cum THEN v END)
                     + min(CASE WHEN (n + 2) // 2 <= cum THEN v END)
                     AS DOUBLE) / 2.0 AS median
-        FROM cum GROUP BY flag ORDER BY flag"""))
+        FROM cum GROUP BY flag ORDER BY flag""")),
+
+    // ---------------------------------------------------------------- q59
+    // LATEST-ROW-PER-KEY as an AGGREGATE, not a window: each customer's
+    // most recent order via max_by over an exact integer order key
+    // (epoch-day·10¹⁰ + orderkey — total order, orderkey breaks date
+    // ties). The ubiquitous row_number()-over-key-order-desc
+    // formulation shuffles EVERY row to its key's partition and sorts;
+    // the argmax AGGREGATE keeps one struct per key in the map-side
+    // partial, so the shuffle carries |keys| rows, not |orders| — at
+    // 100 TB that is the difference between moving the fact table and
+    // moving the answer. Tripwired: no Window, partial+final
+    // HashAggregate pair. (The 10¹⁰ packing holds to ~9·10⁸ keys; a
+    // larger keyspace would widen to DECIMAL(38,0) — same shape.)
+    "q59_latest_order" -> QueryDef(
+      build = (s, d) => {
+        val day =
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        val ordKey = day * lit(10000000000L) + col("o_orderkey")
+        t(s, d, "orders")
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            max_by(struct(col("o_orderkey").as("k"), day.as("day"),
+              col("o_totalprice").as("p")), ordKey).as("last"))
+          .select(col("custkey"), col("n_orders"),
+            col("last").getField("k").as("last_orderkey"),
+            col("last").getField("day").as("last_day"),
+            col("last").getField("p").as("last_price"))
+          .orderBy("custkey")
+      },
+      oracle = Some("""
+        WITH o AS (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                   // 86400000000 AS day,
+                 epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                   // 86400000000 * 10000000000 + o_orderkey AS ord
+          FROM orders)
+        SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               arg_max(o_orderkey, ord) AS last_orderkey,
+               CAST(arg_max(day, ord) AS BIGINT) AS last_day,
+               arg_max(o_totalprice, ord) AS last_price
+        FROM o GROUP BY 1 ORDER BY 1"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

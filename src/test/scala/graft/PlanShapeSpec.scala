@@ -514,6 +514,15 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("Join"), p)
   }
 
+  test("q59 latest-per-key is an aggregate argmax: no window, partial agg") {
+    val p = plan("q59_latest_order")
+    assert(!p.contains("Window"), p)
+    // map-side partial: the shuffle carries |keys| structs, not |orders|
+    assert(p.contains("partial_max_by") || p.contains("partial_maxby") ||
+      countOf(p, "HashAggregate") >= 2, p)
+    assert(countOf(p, "FileScan parquet") == 1, p)
+  }
+
   test("x24 bias audit costs one scan: conditional aggs, no join") {
     val p = plan("x24_sample_bias")
     assert(countOf(p, "FileScan parquet") == 1, p)

@@ -528,4 +528,32 @@ class RelationalExtSpec extends SparkSpecBase {
         ((r.getAs[Long]("n"), r.getAs[Double]("median")))).toMap
     assert(sfGot == vals, s"histogram median differs from sorted replay")
   }
+
+  test("q59 latest-per-key: date wins, orderkey breaks same-day ties") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("q59").toString
+    Seq((10L, 1L, "2024-01-05", 5.0), (20L, 1L, "2024-03-01", 7.0),
+        (30L, 2L, "2024-02-02", 9.0), (31L, 2L, "2024-02-02", 3.0))
+      .toDF("o_orderkey", "o_custkey", "ds", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_timestamp(col("ds")).as("o_orderdate"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = run("q59_latest_order", d).collect()
+      .map(r => (r.getAs[Long]("custkey"), r.getAs[Long]("n_orders"),
+        r.getAs[Long]("last_orderkey"), r.getAs[Double]("last_price")))
+      .toSeq
+    assert(got == Seq((1L, 2L, 20L, 7.0), (2L, 2L, 31L, 3.0)), got)
+    // sf: the aggregate argmax must equal a driver-side sort-per-key
+    val rows = Tables(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (c, os) =>
+      c -> os.maxBy(o => (o._3, o._2))._2 }
+    val sfGot = run("q59_latest_order").collect()
+      .map(r => r.getAs[Long]("custkey") -> r.getAs[Long]("last_orderkey"))
+      .toMap
+    assert(sfGot == want, "aggregate argmax differs from sorted replay")
+  }
 }
