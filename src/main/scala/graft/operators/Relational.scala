@@ -1872,13 +1872,20 @@ object Relational {
     // partial, so the shuffle carries |keys| rows, not |orders| — at
     // 100 TB that is the difference between moving the fact table and
     // moving the answer. Tripwired: no Window, partial+final
-    // HashAggregate pair. (The 10¹⁰ packing holds to ~9·10⁸ keys; a
-    // larger keyspace would widen to DECIMAL(38,0) — same shape.)
+    // HashAggregate pair. The packed key is DECIMAL: day·10¹⁹ +
+    // orderkey, injective for EVERY int64 orderkey (0 ≤ key ≤ 2⁶³−1 <
+    // 10¹⁹, so the orderkey can never bleed into the day component at
+    // any scale — the r9 BIGINT·10¹⁰ packing inverted past ~10¹⁰ keys);
+    // DuckDB runs the identical packing in HUGEINT. Boundary-pinned in
+    // RelationalExtSpec (orderkey at Long.MaxValue).
     "q59_latest_order" -> QueryDef(
       build = (s, d) => {
         val day =
           expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
-        val ordKey = day * lit(10000000000L) + col("o_orderkey")
+        val ordKey =
+          day.cast("decimal(10,0)") *
+            expr("CAST(10000000000000000000 AS DECIMAL(20,0))") +
+            col("o_orderkey")
         t(s, d, "orders")
           .groupBy(col("o_custkey").as("custkey"))
           .agg(count(lit(1)).as("n_orders"),
@@ -1895,8 +1902,9 @@ object Relational {
           SELECT o_custkey, o_orderkey, o_totalprice,
                  epoch_us(CAST(o_orderdate AS TIMESTAMP))
                    // 86400000000 AS day,
-                 epoch_us(CAST(o_orderdate AS TIMESTAMP))
-                   // 86400000000 * 10000000000 + o_orderkey AS ord
+                 CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP))
+                   // 86400000000 AS HUGEINT)
+                   * 10000000000000000000 + o_orderkey AS ord
           FROM orders)
         SELECT o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders,
                arg_max(o_orderkey, ord) AS last_orderkey,

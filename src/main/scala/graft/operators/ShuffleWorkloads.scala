@@ -299,13 +299,24 @@ object ShuffleWorkloads {
     // segment rollup and the output sort. PlanShapeSpec pins all of it
     // (SelectedBucketsCount, no exchange/sort under the join).
     "s09_bucketed_join" -> QueryDef(
-      build = (s, d) => {
+      build = (s0, d) => {
         import graft.functions.AggFns
-        // copies are keyed by the source dir, so planted-dir sweeps and
-        // sf runs never collide; same dir + same session reuses the
-        // catalog entry (and a fresh session just rewrites the copy)
+        // copies are keyed by the source dir AND its content listing
+        // (file names + sizes + mtimes of both inputs): a regenerated
+        // dataset at the same path gets fresh bucketed copies instead of
+        // silently reading a stale catalog entry, while same-content
+        // re-runs still reuse the pay-once write (r10 ADVICE fix)
+        def ls(p: String): String = {
+          val f = new java.io.File(p)
+          val files = if (f.isDirectory) f.listFiles().sortBy(_.getName)
+                      else Array(f)
+          files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
+            .mkString(",")
+        }
         val tag = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+          .digest(s"$d|${ls(s"$d/orders.parquet")}|${ls(s"$d/customer.parquet")}"
+            .getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(12)
         val base =
           s"${System.getProperty("java.io.tmpdir")}/graft_buckets/$tag"
         val ordT = s"graft_bkt_orders_$tag"
@@ -314,7 +325,13 @@ object ShuffleWorkloads {
         // re-enable sorted-bucket-scan reporting (off by default since
         // Spark 3.0, SPARK-28632) — the SMJ then consumes the scans with
         // no Sort at all; the flag only lets the scan DECLARE its order,
-        // it never changes results
+        // it never changes results. The flag is session-global and must
+        // still be live when the returned plan is PHYSICALLY planned
+        // (lazily, at action time) — so it is set on a CLONED session
+        // (shared SparkContext + shared catalog, copied runtime SQLConf)
+        // and the query is built against the clone: the caller's session
+        // never sees the legacy flag (r10 ADVICE fix)
+        val s = org.apache.spark.sql.GraftShim.cloneSession(s0)
         s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering",
           "true")
         if (!s.catalog.tableExists(ordT)) {

@@ -1493,8 +1493,12 @@ object TrainingPipeline {
         val cell = ipfCache.register(t(s, d, "documents")
           .select(coalesce(col("source"), lit("")).as("source"),
             coalesce(col("lang"), lit("")).as("lang"),
-            size(split(trim(col("text")), "\\s+")).cast("long")
-              .as("ntok"))
+            // text coalesced like source/lang: size(split(NULL)) is -1 in
+            // non-ANSI Spark (deflating the token mass) while the DuckDB
+            // sum would skip the row — coalescing on BOTH sides makes a
+            // NULL-text doc count 1 token on both engines (same as '')
+            size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+              .cast("long").as("ntok"))
           .groupBy("source", "lang")
           .agg(coalesce(sum("ntok"), lit(0L)).as("tc")))
         val gt = cell.agg(sum("tc").as("tt"),
@@ -1525,7 +1529,8 @@ object TrainingPipeline {
         WITH cell AS (
           SELECT coalesce(source, '') AS source,
                  coalesce(lang, '') AS lang,
-                 CAST(coalesce(sum(len(string_split_regex(trim(text),
+                 CAST(coalesce(sum(len(string_split_regex(
+                   trim(coalesce(text, '')),
                    '\s+'))), 0) AS BIGINT) AS tc
           FROM documents GROUP BY 1, 2),
         g AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,

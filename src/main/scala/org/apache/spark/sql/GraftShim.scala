@@ -43,4 +43,15 @@ object GraftShim {
   def scalarSubquery(df: DataFrame): Column =
     column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
       df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed))
+
+  /** Full session clone — shared SparkContext/catalog, COPIED runtime
+    * SQLConf (newSession() would reset runtime overrides to builder
+    * defaults). Used to scope a session-global flag to one query: set it
+    * on the clone, build the plan against the clone, and the caller's
+    * session never sees the flag even though lazy physical planning
+    * happens long after the build returns. cloneSession() is
+    * private[sql], hence the shim.
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }

@@ -556,4 +556,63 @@ class RelationalExtSpec extends SparkSpecBase {
       .toMap
     assert(sfGot == want, "aggregate argmax differs from sorted replay")
   }
+
+  test("q59 packing boundary: Long.MaxValue orderkey cannot outrank a " +
+       "later day (the r9 BIGINT·10¹⁰ packing inverted here)") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("q59b").toString
+    // Under the old packing day·10¹⁰ + key in BIGINT, key=2⁶³−1 on
+    // Jan 1 packs LARGER than key=1 on Jan 2 (the key bleeds 9 digits
+    // into the day component); the DECIMAL day·10¹⁹ packing is
+    // injective for every int64 key, so the later day must win.
+    Seq((Long.MaxValue, 1L, "2024-01-01", 5.0),
+        (1L, 1L, "2024-01-02", 7.0),
+        // and within one day the bigger key still wins
+        (Long.MaxValue, 2L, "2024-01-01", 2.0),
+        (7L, 2L, "2024-01-01", 3.0))
+      .toDF("o_orderkey", "o_custkey", "ds", "o_totalprice")
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_timestamp(col("ds")).as("o_orderdate"), col("o_totalprice"))
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val got = run("q59_latest_order", d).collect()
+      .map(r => r.getAs[Long]("custkey") ->
+        (r.getAs[Long]("last_orderkey"), r.getAs[Double]("last_price")))
+      .toMap
+    assert(got == Map(1L -> (1L, 7.0), 2L -> (Long.MaxValue, 2.0)), got)
+  }
+
+  test("q56 band boundary: edge-exact prices and a wide price range " +
+       "replay the brute-force frontier") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("q56b").toString
+    // Prices straddling the 8192¢ band edge (8191 / 8192 / 16384) plus
+    // a far-out band (10⁷¢ → band 1220): the band prefix must carry
+    // dominance ACROSS the edge (8191 dominates 8192 here), a band's
+    // first price has an empty in-band frame, and a sparse band table
+    // (most bands empty) must not confuse the prefix combine.
+    val parts = Seq(
+      (1L, 81.91, 50.0),   // band 0 edge-1: frontier (cheapest)
+      (2L, 81.92, 40.0),   // band 1 first price: dominated by 1 across edge
+      (3L, 81.92, 60.0),   // band 1 same price: frontier (more demand)
+      (4L, 163.84, 60.0),  // band 2 first price: dominated by 3 (ties
+                           //   on demand, strictly pricier)
+      (5L, 163.84, 70.0),  // band 2: frontier
+      (6L, 100000.00, 70.0), // band 1220: dominated by 5 (same demand)
+      (7L, 100000.00, 99.0)) // band 1220: frontier (max demand)
+    parts.map(p => (p._1, p._2)).toDF("p_partkey", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$d/part.parquet")
+    parts.map(p => (p._1, p._3)).toDF("l_partkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val got = run("q56_skyline", d).collect()
+      .map(r => (r.getAs[Long]("p_partkey"), r.getAs[Long]("price_c"),
+        r.getAs[Long]("demand"))).toSeq
+    val pts = parts.map(p =>
+      (p._1, math.round(p._2 * 100), math.round(p._3)))
+    val brute = pts.filter { case (_, pc, dem) =>
+      !pts.exists { case (_, qc, qd) =>
+        qc <= pc && qd >= dem && (qc < pc || qd > dem) }
+    }.sortBy(p => (p._2, p._1))
+    assert(got == brute, s"got $got, brute $brute")
+    assert(got.map(_._1) == Seq(1L, 3L, 5L, 7L), got)
+  }
 }
