@@ -19,11 +19,73 @@ object EventsOps {
   // every consumer reads the ≤|days|-row cache instead of re-scanning.
   private val dailyCache = HotCache.slot()
 
-  // e33's session-interval table: one sessionize pass feeds the start
-  // endpoints, the end endpoints, and the session count — and the ranked
-  // endpoint table on top of it feeds both the max and the argmax filter.
+  // THE session-interval table (r10, VERDICT item 1): ONE user-keyed
+  // sessionize pass (30-min gap, exact integer micros) aggregated to the
+  // per-(user, session) row every session consumer reads — e03 (counts),
+  // e15 (length/duration buckets), e33 (interval endpoints), e35 (entry
+  // type + bounce). One slot, so in a shared session the events table is
+  // scanned and windowed ONCE for the whole family (e21's session_window
+  // keys stay separate by semantics). The fill is EAGER (count() at
+  // build): e33's consumers reach the table through concurrent broadcast
+  // subquery jobs, and lazy persist dedupes storage but NOT concurrent
+  // computation — r9's e33 measured 3–5 racing sessionize executions
+  // (20s+ task-cpu on a 2s pass) before the eager fill.
   private val sessCache = HotCache.slot()
   private val runsCache = HotCache.slot()
+
+  /** Per-(user_id, session_id) intervals: len, s_m/e_m (first/last event
+    * micros) and fst = argmin struct (m, event_id, event_type) — the
+    * session's entry event, deterministic because event_id is unique.
+    * `eager` forces materialization at build: only e33 needs it (its
+    * consumers are concurrent broadcast-subquery jobs that would race to
+    * fill the cache); the linear consumers (e03/e15/e35) fill it lazily
+    * as a side effect of their single pass.
+    */
+  private def sessionIntervals(s: SparkSession, d: String,
+                               eager: Boolean = false): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val df = t(s, d, "events")
+      .withColumn("m", expr("unix_micros(cast(ts as timestamp))"))
+      .withColumn("prev_m", lag("m", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_m").isNull ||
+          col("m") - col("prev_m") > 1800000000L, lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("session_id", sum("new_session").over(byUser))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("len"),
+        min("m").as("s_m"), max("m").as("e_m"),
+        min(struct(col("m"), col("event_id"), col("event_type")))
+          .as("fst"))
+    val cached = sessCache.register(df)
+    if (eager) cached.count() // see the slot comment
+    cached
+  }
+
+  /** The shared DuckDB CTE prefix producing the same interval table. */
+  private val sqlSessionIntervals = """
+    flagged AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS m,
+             CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w IS NULL
+                  OR epoch_us(CAST(ts AS TIMESTAMP))
+                     - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                     > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessed AS (
+      SELECT user_id, event_id, event_type, m,
+             sum(new_session) OVER (PARTITION BY user_id
+               ORDER BY m, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    iv AS (
+      SELECT user_id, session_id, count(*) AS len,
+             min(m) AS s_m, max(m) AS e_m,
+             arg_min(event_type,
+               CAST(m AS HUGEINT) * 10000000000000000000 + event_id)
+               AS entry_type
+      FROM sessed GROUP BY 1, 2)"""
 
   val defs: Seq[(String, QueryDef)] = Seq(
 
@@ -65,43 +127,24 @@ object EventsOps {
                count(*) AS cnt, round(sum(value), 2) AS total
         FROM events GROUP BY 1 ORDER BY kbucket""")),
 
-    // Gap-based sessionization (30-min inactivity gap) per user, fully
-    // window-functional: new-session flag via lag, session id via running
-    // sum — partitioned by user_id, so it scales with user cardinality.
+    // Gap-based sessionization (30-min inactivity gap) per user — reads
+    // the family's shared [[sessionIntervals]] table: session_id is
+    // 1-based consecutive per user, so sessions-per-user = count of
+    // interval rows and n_events = Σ len. The gap compare is exact
+    // integer micros (identical to the r9 epochSec double path on any
+    // real timestamp — micros are exact, only the representation moved).
     "e03_sessionize" -> QueryDef(
-      build = (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        t(s, d, "events")
-          .withColumn("prev_ts", lag("ts", 1).over(byUser))
-          .withColumn("new_session",
-            when(col("prev_ts").isNull ||
-              graft.Timestamps.epochSec(col("ts")) -
-                graft.Timestamps.epochSec(col("prev_ts")) > 1800,
-              lit(1L)).otherwise(lit(0L)))
-          .withColumn("session_id", sum("new_session").over(byUser))
+      build = (s, d) =>
+        sessionIntervals(s, d)
           .groupBy("user_id")
-          .agg(max("session_id").as("n_sessions"),
-               count(lit(1)).as("n_events"))
-          .orderBy("user_id")
-      },
-      oracle = Some("""
-        WITH flagged AS (
-          SELECT user_id, event_id, ts,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                        OR epoch(CAST(ts AS TIMESTAMP))
-                           - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
-                      THEN 1 ELSE 0 END AS new_session
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        sess AS (
-          SELECT user_id,
-                 sum(new_session) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
-          FROM flagged)
-        SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
-               count(*) AS n_events
-        FROM sess GROUP BY user_id ORDER BY user_id""")),
+          .agg(count(lit(1)).as("n_sessions"),
+               sum("len").as("n_events"))
+          .orderBy("user_id"),
+      oracle = Some(s"""
+        WITH $sqlSessionIntervals
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(sum(len) AS BIGINT) AS n_events
+        FROM iv GROUP BY user_id ORDER BY user_id""")),
 
     // ---------------------------------------------------------------- e04
     // Funnel analysis: users who view → then click → then purchase, in
@@ -558,72 +601,38 @@ object EventsOps {
         ORDER BY grain, bucket""")),
 
     // ---------------------------------------------------------------- e15
-    // Session statistics: e03's sessions rolled into a length-bucket
-    // report — how long and how deep sessions run, the engagement shape
-    // product analytics reads daily. Per-session length + duration come
-    // out of e03's user-keyed window machinery (the only heavy shuffle;
-    // duration in exact int64 micros); the bucket rollup is a constant
-    // ≤4-row aggregate with map-side partials. Bucket edges are integer
-    // compares on event counts; avg duration is one rounded IEEE
-    // division of an exact micros sum by an exact integer denominator.
+    // Session statistics: the shared [[sessionIntervals]] table rolled
+    // into a length-bucket report — how long and how deep sessions run.
+    // The bucket rollup is a constant ≤4-row aggregate with map-side
+    // partials over the interval table; duration is exact int64 micros
+    // (e_m − s_m); avg duration is one rounded IEEE division of an
+    // exact micros sum by an exact integer denominator.
     "e15_session_stats" -> QueryDef(
-      build = (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val us = unix_micros(col("ts").cast("timestamp"))
-        val sess = t(s, d, "events")
-          .withColumn("prev_ts", lag("ts", 1).over(byUser))
-          .withColumn("new_session",
-            when(col("prev_ts").isNull ||
-              graft.Timestamps.epochSec(col("ts")) -
-                graft.Timestamps.epochSec(col("prev_ts")) > 1800,
-              lit(1L)).otherwise(lit(0L)))
-          .withColumn("session_id", sum("new_session").over(byUser))
-          .groupBy("user_id", "session_id")
-          .agg(count(lit(1)).as("n_events"),
-            (max(us) - min(us)).as("dur_us"))
-        sess
+      build = (s, d) =>
+        sessionIntervals(s, d)
           .select(
-            when(col("n_events") === 1, lit(1L))
-              .when(col("n_events") <= 3, lit(2L))
-              .when(col("n_events") <= 7, lit(3L))
+            when(col("len") === 1, lit(1L))
+              .when(col("len") <= 3, lit(2L))
+              .when(col("len") <= 7, lit(3L))
               .otherwise(lit(4L)).as("bucket"),
-            col("n_events"), col("dur_us"))
+            col("len"), (col("e_m") - col("s_m")).as("dur_us"))
           .groupBy("bucket")
           .agg(count(lit(1)).as("n_sessions"),
-            sum("n_events").as("n_events_total"),
+            sum("len").as("n_events_total"),
             round(sum("dur_us").cast("double") /
               (count(lit(1)) * 1000000L), 2).as("avg_dur_sec"))
-          .orderBy("bucket")
-      },
-      oracle = Some("""
-        WITH flagged AS (
-          SELECT user_id, event_id, ts,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                        OR epoch(CAST(ts AS TIMESTAMP))
-                           - epoch(CAST(lag(ts) OVER w AS TIMESTAMP)) > 1800
-                      THEN 1 ELSE 0 END AS new_session
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        se AS (
-          SELECT user_id, ts,
-                 sum(new_session) OVER (PARTITION BY user_id
-                   ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS session_id
-          FROM flagged),
-        sess AS (
-          SELECT user_id, session_id, count(*) AS n_events,
-                 max(epoch_us(CAST(ts AS TIMESTAMP)))
-                   - min(epoch_us(CAST(ts AS TIMESTAMP))) AS dur_us
-          FROM se GROUP BY user_id, session_id),
+          .orderBy("bucket"),
+      oracle = Some(s"""
+        WITH $sqlSessionIntervals,
         b AS (
-          SELECT CAST(CASE WHEN n_events = 1 THEN 1
-                           WHEN n_events <= 3 THEN 2
-                           WHEN n_events <= 7 THEN 3
+          SELECT CAST(CASE WHEN len = 1 THEN 1
+                           WHEN len <= 3 THEN 2
+                           WHEN len <= 7 THEN 3
                            ELSE 4 END AS BIGINT) AS bucket,
-                 n_events, dur_us
-          FROM sess)
+                 len, e_m - s_m AS dur_us
+          FROM iv)
         SELECT bucket, count(*) AS n_sessions,
-               CAST(sum(n_events) AS BIGINT) AS n_events_total,
+               CAST(sum(len) AS BIGINT) AS n_events_total,
                round(CAST(sum(dur_us) AS DOUBLE) / (count(*) * 1000000), 2)
                  AS avg_dur_sec
         FROM b GROUP BY bucket ORDER BY bucket""")),
@@ -1549,17 +1558,7 @@ object EventsOps {
     // are deterministic without a per-row tie-break.
     "e33_peak_concurrency" -> QueryDef(
       build = (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        val sess = sessCache.register(t(s, d, "events")
-          .withColumn("m", expr("unix_micros(cast(ts as timestamp))"))
-          .withColumn("prev_m", lag("m", 1).over(byUser))
-          .withColumn("new_session",
-            when(col("prev_m").isNull ||
-              col("m") - col("prev_m") > 1800000000L, lit(1L))
-              .otherwise(lit(0L)))
-          .withColumn("session_id", sum("new_session").over(byUser))
-          .groupBy("user_id", "session_id")
-          .agg(min("m").as("s_m"), max("m").as("e_m")))
+        val sess = sessionIntervals(s, d, eager = true)
         val pts = sess.select(col("s_m").as("t"), lit(1L).as("delta"))
           .unionByName(sess.select(col("e_m").as("t"),
             lit(-1L).as("delta")))
@@ -1582,27 +1581,8 @@ object EventsOps {
             count(lit(1)).as("n_sessions"))))
           .select(col("peak"), col("at_micros"), col("n_sessions"))
       },
-      oracle = Some("""
-        WITH flagged AS (
-          SELECT user_id, event_id,
-                 epoch_us(CAST(ts AS TIMESTAMP)) AS m,
-                 CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                        IS NULL
-                      OR epoch_us(CAST(ts AS TIMESTAMP))
-                         - lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                         > 1800000000
-                      THEN 1 ELSE 0 END AS new_session
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        sess AS (
-          SELECT user_id,
-                 sum(new_session) OVER (PARTITION BY user_id
-                   ORDER BY m, event_id ROWS UNBOUNDED PRECEDING)
-                   AS session_id, m
-          FROM flagged),
-        iv AS (
-          SELECT user_id, session_id, min(m) AS s_m, max(m) AS e_m
-          FROM sess GROUP BY 1, 2),
+      oracle = Some(s"""
+        WITH $sqlSessionIntervals,
         pts AS (
           SELECT s_m AS t, 1 AS delta FROM iv
           UNION ALL
@@ -1676,20 +1656,8 @@ object EventsOps {
     // user- or type-keyed (never a global shuffle). Rate in floor-bp
     // exact integers; ≤|types| output rows.
     "e35_bounce_rate" -> QueryDef(
-      build = (s, d) => {
-        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        t(s, d, "events")
-          .withColumn("m", expr("unix_micros(cast(ts as timestamp))"))
-          .withColumn("prev_m", lag("m", 1).over(byUser))
-          .withColumn("new_session",
-            when(col("prev_m").isNull ||
-              col("m") - col("prev_m") > 1800000000L, lit(1L))
-              .otherwise(lit(0L)))
-          .withColumn("session_id", sum("new_session").over(byUser))
-          .groupBy("user_id", "session_id")
-          .agg(count(lit(1)).as("len"),
-            min(struct(col("m"), col("event_id"), col("event_type")))
-              .as("fst"))
+      build = (s, d) =>
+        sessionIntervals(s, d)
           .select(col("fst").getField("event_type").as("entry_type"),
             col("len"))
           .groupBy("entry_type")
@@ -1697,40 +1665,15 @@ object EventsOps {
             sum(when(col("len") === 1, 1L).otherwise(0L)).as("n_bounce"))
           .withColumn("bounce_bp",
             expr("n_bounce * 10000 div n_sessions"))
-          .orderBy("entry_type")
-      },
-      oracle = Some("""
-        WITH flagged AS (
-          SELECT user_id, event_id, event_type,
-                 epoch_us(CAST(ts AS TIMESTAMP)) AS m,
-                 CASE WHEN lag(ts) OVER w IS NULL
-                      OR epoch_us(CAST(ts AS TIMESTAMP))
-                         - epoch_us(CAST(lag(ts) OVER w AS TIMESTAMP))
-                         > 1800000000
-                      THEN 1 ELSE 0 END AS new_session
-          FROM events
-          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        sess AS (
-          SELECT user_id, event_id, event_type, m,
-                 sum(new_session) OVER (PARTITION BY user_id
-                   ORDER BY m, event_id ROWS UNBOUNDED PRECEDING)
-                   AS session_id
-          FROM flagged),
-        firsts AS (
-          SELECT user_id, session_id, event_type FROM (
-            SELECT user_id, session_id, event_type,
-                   row_number() OVER (PARTITION BY user_id, session_id
-                     ORDER BY m, event_id) AS rn
-            FROM sess) z WHERE rn = 1),
-        lens AS (SELECT user_id, session_id, count(*) AS len
-                 FROM sess GROUP BY 1, 2)
-        SELECT f.event_type AS entry_type,
+          .orderBy("entry_type"),
+      oracle = Some(s"""
+        WITH $sqlSessionIntervals
+        SELECT entry_type,
                CAST(count(*) AS BIGINT) AS n_sessions,
                CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_bounce,
                CAST(sum(CASE WHEN len = 1 THEN 1 ELSE 0 END) * 10000
                  // count(*) AS BIGINT) AS bounce_bp
-        FROM lens l JOIN firsts f USING (user_id, session_id)
-        GROUP BY 1 ORDER BY 1"""))
+        FROM iv GROUP BY 1 ORDER BY 1"""))
   )
 }

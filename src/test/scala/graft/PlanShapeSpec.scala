@@ -541,4 +541,48 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("InMemoryTableScan"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("e03/e15/e33/e35 share ONE sessionize pass: every family member " +
+       "reads the session-interval cache; events is scanned once") {
+    graft.operators.HotCache.releaseAll()
+    val family = Seq("e03_sessionize", "e15_session_stats",
+      "e33_peak_concurrency", "e35_bounce_rate")
+    // every member's plan consumes the cached interval table, and all
+    // four cache the SAME subtree (the slot evicts on plan change, so a
+    // divergent sessionize pass would fork the cache)
+    val plans = family.map(k => k -> plan(k))
+    plans.foreach { case (k, p) =>
+      assert(p.contains("InMemoryTableScan"), s"$k misses the cache:\n$p")
+    }
+    // each member reads an InMemoryRelation with the interval-table
+    // schema (e33 additionally caches its runs table on top of it)
+    val ivSig = ("InMemoryRelation \\[user_id#\\d+L, session_id#\\d+L, " +
+      "len#\\d+L, s_m#\\d+L, e_m#\\d+L, fst#\\d+\\]").r
+    plans.foreach { case (k, p) =>
+      assert(ivSig.findFirstIn(p).isDefined,
+        s"$k does not read the shared interval table:\n$p")
+    }
+    // runtime pin for "events is scanned once": fill the cache by
+    // executing e03, then the REST of the family must read ~zero file
+    // bytes — every events access is a cache hit
+    graft.operators.HotCache.releaseAll()
+    run("e03_sessionize").collect()
+    val inBytes = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          inBytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    org.apache.spark.GraftCoreShim.drainListenerBus(spark.sparkContext)
+    spark.sparkContext.addSparkListener(l)
+    try {
+      family.drop(1).foreach(k => run(k).collect())
+      org.apache.spark.GraftCoreShim.drainListenerBus(spark.sparkContext)
+      val mb = inBytes.get / 1e6
+      assert(inBytes.get < 1000000L,
+        f"family re-read $mb%.1f MB from files after the cache was filled")
+    } finally spark.sparkContext.removeSparkListener(l)
+    graft.operators.HotCache.releaseAll()
+  }
 }
