@@ -1572,19 +1572,34 @@ object Relational {
             .as("p"),
           expr("CAST(round(l_discount * 100, 0) AS DECIMAL(38,0))")
             .as("di"))
-        def pair(name: String, x: String, y: String) =
-          li.agg(count(lit(1)).as("n"),
-            sum(col(x)).as("sx"), sum(col(y)).as("sy"),
-            sum(col(x) * col(y)).as("sxy"),
-            sum(col(x) * col(x)).as("sxx"),
-            sum(col(y) * col(y)).as("syy"))
-            .select(lit(name).as("pair"), col("n"),
-              (expr("CAST(n * sxy - sx * sy AS DOUBLE)") /
-                sqrt(expr("CAST(n * sxx - sx * sx AS DOUBLE)") *
-                  expr("CAST(n * syy - sy * sy AS DOUBLE)"))).as("r"))
-        pair("price_discount", "p", "di")
-          .unionByName(pair("qty_discount", "q", "di"))
-          .unionByName(pair("qty_price", "q", "p"))
+        // ONE pass computes every moment (3 sums, 3 squares, 3 cross
+        // products); the 3 report rows then explode out of the single
+        // aggregate row. The r9 shape union'd three per-pair aggregates
+        // — three full fact scans for one answer (and 3× the decimal
+        // work); at 100 TB that is the whole cost of the query.
+        val sums = li.agg(count(lit(1)).as("n"),
+          sum(col("q")).as("sq"), sum(col("p")).as("sp"),
+          sum(col("di")).as("sdi"),
+          sum(col("q") * col("p")).as("sqp"),
+          sum(col("q") * col("di")).as("sqdi"),
+          sum(col("p") * col("di")).as("spdi"),
+          sum(col("q") * col("q")).as("sqq"),
+          sum(col("p") * col("p")).as("spp"),
+          sum(col("di") * col("di")).as("sdidi"))
+        def r(sx: String, sy: String, sxy: String, sxx: String,
+              syy: String) =
+          (expr(s"CAST(n * $sxy - $sx * $sy AS DOUBLE)") /
+            sqrt(expr(s"CAST(n * $sxx - $sx * $sx AS DOUBLE)") *
+              expr(s"CAST(n * $syy - $sy * $sy AS DOUBLE)")))
+        sums.select(explode(array(
+            struct(lit("price_discount").as("pair"), col("n"),
+              r("sp", "sdi", "spdi", "spp", "sdidi").as("r")),
+            struct(lit("qty_discount").as("pair"), col("n"),
+              r("sq", "sdi", "sqdi", "sqq", "sdidi").as("r")),
+            struct(lit("qty_price").as("pair"), col("n"),
+              r("sq", "sp", "sqp", "sqq", "spp").as("r")))).as("row"))
+          .select(col("row.pair").as("pair"), col("row.n").as("n"),
+            col("row.r").as("r"))
           .orderBy("pair")
       },
       oracle = Some("""
