@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2 extension — whole-graph analytics over the purchase graph
@@ -29,10 +29,11 @@ import org.apache.spark.sql.functions._
   * HotCache'd across the 6 iterations. At 100 TB the same plan holds:
   * the edge list is the big table, every round is one hash shuffle of
   * it, and rank state is |nodes| rows. For the 1e9-node regime the
-  * BIGINT rank mass (N * 10^12) approaches the int64 range — move the
-  * accumulator to DECIMAL(38,0) (same semantics, exact) before the
-  * contribution sums; documented rather than done because the int64
-  * path is ~2× faster and safe through N ≈ 10^6.
+  * BIGINT rank mass (N * 10^12) approaches the int64 range — past 10^6
+  * nodes the accumulator switches automatically to DECIMAL(38,0)
+  * (identical recurrence, exact floor divisions), pinned bit-equal to
+  * the int64 path in GraphSpec; the int64 path stays the default below
+  * the threshold because it is ~2× faster and provably safe there.
   */
 object GraphOps {
 
@@ -94,9 +95,15 @@ object GraphOps {
     "g01_pagerank" -> QueryDef(
       build = (s, d) => {
         val edges = purchaseEdges(s, d)
-        val deg = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-        val ewd = edges.join(deg, "u") // (u, v, deg of u)
+        val deg0 = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        val ewd = edges.join(deg0, "u") // (u, v, deg of u)
         HotCache.withCached(ewd.localCheckpoint()) { e =>
+          // node+degree table derived from the CACHE and checkpointed
+          // once — the r9 loop referenced the un-cached deg aggregate
+          // inside every iteration, silently re-deriving it from the
+          // base orders⋈lineitem join 6 extra times
+          val deg = e.select(col("u"), col("deg")).dropDuplicates("u")
+            .localCheckpoint()
           // Size-aware rank-state join (the d10 guard pattern): the rank
           // table is |nodes| rows — broadcasting it keeps the (much
           // bigger) edge list un-shuffled across all 6 iterations, the
@@ -106,18 +113,44 @@ object GraphOps {
           // 1e9 nodes.
           val maxBc = s.conf.getOption("graft.g01.maxBroadcastNodes")
             .map(_.toLong).getOrElse(5000000L)
-          val bcRanks = deg.limit((maxBc + 1).toInt).count() <= maxBc
+          val nCapped = deg.limit((maxBc + 1).toInt).count()
+          val bcRanks = nCapped <= maxBc
           def hint(df: DataFrame) = if (bcRanks) broadcast(df) else df
-          var ranks = deg.select(col("u").as("node"), lit(R0).as("rank"))
+          // Accumulator type: BIGINT rank mass (N·10¹²) is safe through
+          // N ≈ 10⁶ nodes but a hub's contribution sum approaches int64
+          // past that — switch to DECIMAL(38,0) automatically (or via
+          // conf for testing). Both paths run the IDENTICAL recurrence:
+          // dfloor is exact floor division (subtract the modulus, then
+          // an exactly-representable decimal divide — quotients here are
+          // < 10³² so the (38,6) divide result is the exact integer),
+          // pinned bit-equal to the int64 path in GraphSpec.
+          val useDec = s.conf.getOption("graft.g01.decimalRanks")
+            .map(_.toBoolean).getOrElse(nCapped > 1000000L)
+          def dfloor(a: Column, b: Column): Column =
+            ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+          val dec = (v: Long) => lit(v).cast("decimal(38,0)")
+          var ranks = deg.select(col("u").as("node"),
+              (if (useDec) dec(R0) else lit(R0)).as("rank"))
             .localCheckpoint()
           for (_ <- 1 to Iters) {
-            val contrib = e.join(hint(ranks), e("u") === ranks("node"))
-              .selectExpr("v AS node", "rank div deg AS c")
+            // per-NODE contribution first (|nodes| divisions), then the
+            // broadcast onto edges — the r9 shape divided per EDGE row
+            val cs = ranks.join(deg, ranks("node") === deg("u"))
+              .select(ranks("node"),
+                (if (useDec) dfloor(col("rank"), col("deg").cast("decimal(38,0)"))
+                 else expr("rank div deg")).as("c"))
+            val contrib = e.join(hint(cs), e("u") === cs("node"))
+              .select(col("v").as("node"), col("c"))
               .groupBy("node").agg(sum("c").as("sc"))
             ranks = deg.select(col("u").as("node"))
               .join(contrib, Seq("node"), "left")
-              .selectExpr("node",
-                s"${R0 * 15 / 100}L + (85 * coalesce(sc, 0L)) div 100 AS rank")
+              .select(col("node"),
+                (if (useDec)
+                  (dec(R0 * 15 / 100) +
+                    dfloor(dec(85) * coalesce(col("sc"), dec(0)), dec(100)))
+                 else
+                  expr(s"${R0 * 15 / 100}L + (85 * coalesce(sc, 0L)) div 100"))
+                  .as("rank"))
               .localCheckpoint()
           }
           ranks.selectExpr(

@@ -64,6 +64,26 @@ class GraphSpec extends SparkSpecBase {
     assert(a.toSet == b.toSet)
   }
 
+  test("g01 DECIMAL(38,0) accumulator is bit-equal to the int64 path " +
+       "(planted graph AND sf)") {
+    // the decimal path is the >10^6-node accumulator (int64 rank mass
+    // overflows there); same damped integer recurrence, so every rank
+    // must agree exactly — compare as BigDecimal to bridge the output
+    // type (LONG vs DECIMAL(38,0))
+    def ranksOf(dir: String) = run("g01_pagerank", dir).collect().map { r =>
+      (r.getAs[String]("node_type"), r.getAs[Long]("node_key"),
+        BigDecimal(r.get(2).toString))
+    }.toSeq
+    for (dir <- Seq(plantedDir, sf)) {
+      val int64 = ranksOf(dir)
+      spark.conf.set("graft.g01.decimalRanks", "true")
+      try {
+        val dec = ranksOf(dir)
+        assert(dec == int64, s"decimal path diverged on $dir")
+      } finally spark.conf.unset("graft.g01.decimalRanks")
+    }
+  }
+
   test("g01 shuffle fallback (ranks over the broadcast cap) is identical") {
     // the size-aware hint is an optimization, never a semantic: with the
     // cap forced below |nodes|, every iteration runs the shuffled join
