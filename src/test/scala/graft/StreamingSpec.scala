@@ -547,4 +547,42 @@ class StreamingSpec extends SparkSpecBase {
       assert(got == Seq(("view", 10000000L), ("click", 10000000L)), got)
     } finally q.stop()
   }
+
+  test("CdcApply: streaming MERGE upserts/deletes into parquet; a " +
+       "replayed batch is idempotent") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val target = java.nio.file.Files.createTempDirectory("cdc_t").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc_c").toString
+    val input = MemoryStream[(Long, Double, Long, String)]
+    val changes = input.toDF().toDF("k", "p", "seq", "op")
+    val q = graft.streaming.CdcApply(changes, target, ckpt)
+    def state() = graft.streaming.CdcApply.current(spark, target)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("p")).toMap
+    try {
+      // batch 0: three inserts, with an in-batch overwrite of k=1
+      input.addData((1L, 10.0, 1L, "U"), (2L, 20.0, 2L, "U"),
+        (1L, 11.0, 3L, "U"))
+      q.processAllAvailable()
+      assert(state() == Map(1L -> 11.0, 2L -> 20.0), state())
+      // batch 1: update k=2, delete k=1, insert k=3
+      input.addData((2L, 25.0, 4L, "U"), (1L, 0.0, 5L, "D"),
+        (3L, 30.0, 6L, "U"))
+      q.processAllAvailable()
+      assert(state() == Map(2L -> 25.0, 3L -> 30.0), state())
+    } finally q.stop()
+    // REPLAY batch 1 exactly as checkpoint recovery would (same data,
+    // same batch id): the copy-on-write snapshot must be unchanged —
+    // the replay reads the same predecessor snapshot and overwrites
+    // only its own directory
+    val replay = Seq((2L, 25.0, 4L, "U"), (1L, 0.0, 5L, "D"),
+      (3L, 30.0, 6L, "U")).toDF("k", "p", "seq", "op")
+    graft.streaming.CdcApply.applyBatch(replay, target, 1L)
+    assert(state() == Map(2L -> 25.0, 3L -> 30.0), state())
+    // and a same-seq U/D tie resolves to the delete, deterministically
+    val tie = Seq((2L, 99.0, 7L, "U"), (2L, 0.0, 7L, "D"))
+      .toDF("k", "p", "seq", "op")
+    graft.streaming.CdcApply.applyBatch(tie, target, 2L)
+    assert(state() == Map(3L -> 30.0), state())
+  }
 }
