@@ -43,6 +43,16 @@ object Bench {
     // overwrite the committed bench_full.json; the gate runs unfiltered.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Repetitions per query (default 2): the same tree benched 275-444 s
+    // across five rc=0 runs on ambient load in r9 — wall-only comparison
+    // cannot detect a real 1.5x regression. Each query runs `reps` times
+    // cold-cache (HotCache released between reps); the reported row is
+    // the rep with MEDIAN cpu_ms (lower-middle for even counts, i.e. the
+    // min of 2 — the steady-state JIT-warm measure), making per-key
+    // cpu_ms the load- and warmup-invariant regression gate, with wall
+    // seconds advisory alongside.
+    val reps = sys.env.get("SPARK_GRAFT_REPS")
+      .map(_.trim.toInt).getOrElse(2).max(1)
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       if (only.isDefined) "/tmp/bench_only.json" else "bench_full.json")
     val spark = SparkSession.builder()
@@ -87,11 +97,12 @@ object Bench {
     // Force FULL computation of every operator via the noop sink — a bare
     // count() would let Catalyst prune projections and skip the real work.
     final case class R(name: String, sec: Double, rdB: Long, wrB: Long,
-                       cpuMs: Long, runMs: Long)
+                       cpuMs: Long, runMs: Long,
+                       cpuAll: Seq[Long] = Nil, secAll: Seq[Double] = Nil)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    def once(name: String,
+             fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : R = {
       GraftCoreShim.drainListenerBus(spark.sparkContext)
       val r0 = shufRead.get; val w0 = shufWrite.get
       val c0 = cpuNs.get; val e0 = runMs.get
@@ -111,6 +122,16 @@ object Bench {
       R(name, sec, shufRead.get - r0, shufWrite.get - w0,
         (cpuNs.get - c0) / 1000000, runMs.get - e0)
     }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val rs = (1 to reps).map(_ => once(name, fn))
+        if (failed.contains(name)) rs.head
+        else {
+          val med = rs.sortBy(_.cpuMs).apply((rs.length - 1) / 2)
+          med.copy(cpuAll = rs.map(_.cpuMs), secAll = rs.map(_.sec))
+        }
+      }
 
     def f(v: Double, dp: Int): String =
       s"%.${dp}f".formatLocal(Locale.ROOT, v)
@@ -122,12 +143,18 @@ object Bench {
     val fullQs = results.map(r => jStr(r.name) + ":" + f(r.sec, 3))
       .mkString("{", ",", "}")
     val fullShuf = results
-      .map(r => jStr(r.name) + ":{\"r\":" + r.rdB + ",\"w\":" + r.wrB +
-        ",\"cpu_ms\":" + r.cpuMs + ",\"run_ms\":" + r.runMs + "}")
+      .map { r =>
+        val per = if (r.cpuAll.length > 1)
+          ",\"cpu_ms_all\":" + r.cpuAll.mkString("[", ",", "]") +
+            ",\"sec_all\":" + r.secAll.map(f(_, 3)).mkString("[", ",", "]")
+        else ""
+        jStr(r.name) + ":{\"r\":" + r.rdB + ",\"w\":" + r.wrB +
+          ",\"cpu_ms\":" + r.cpuMs + ",\"run_ms\":" + r.runMs + per + "}"
+      }
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${f(total, 3)},"unit":"sec",
-         |"failed":$failedJson,"sf":"$sfDir","cpus":$cpus,
+         |"failed":$failedJson,"sf":"$sfDir","cpus":$cpus,"reps":$reps,
          |"queries":$fullQs,
          |"shuffle_bytes":$fullShuf}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
