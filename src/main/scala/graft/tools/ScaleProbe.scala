@@ -372,6 +372,43 @@ object ScaleProbe {
       row(n, "x11")(qe("x11_dp_count").count())
       graft.operators.HotCache.releaseAll()
     }
+    // r10 leg: g01's DECIMAL(38,0) rank accumulator at 2× the r9d node
+    // count (pass 400000): the widened path must (a) return ranks
+    // bit-equal to the int64 path on the same graph and (b) keep the
+    // linear edge-shuffle scaling. GraphSpec pins equality at spec
+    // scale; this leg is the large-corpus evidence.
+    println(f"${"rows"}%9s ${"op"}%8s ${"wall_s"}%8s ${"cpu_s"}%8s " +
+      f"${"shuf_MB"}%9s ${"rows"}%10s")
+    for (n <- sizes if legs("r10")) {
+      val gdir = s"/tmp/graft-probe-graph-$n"
+      spark.range(n / 4).select(
+        col("id").as("o_orderkey"),
+        pmod(xxhash64(col("id")), lit(math.max(n / 400, 4)))
+          .as("o_custkey"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$gdir/orders.parquet")
+      spark.range(n).select(
+        pmod(col("id"), lit(n / 4)).as("l_orderkey"),
+        pmod(xxhash64(col("id"), lit(2)), lit(math.max(n / 2000, 10)))
+          .as("l_suppkey"))
+        .repartition(16).write.mode("overwrite")
+        .parquet(s"$gdir/lineitem.parquet")
+      def ranks(): Seq[(String, Long, BigDecimal)] =
+        graft.SparkEntry.queries("g01_pagerank")(spark, gdir).collect()
+          .map(r => (r.getAs[String]("node_type"),
+            r.getAs[Long]("node_key"), BigDecimal(r.get(2).toString)))
+          .toSeq
+      var i64: Seq[(String, Long, BigDecimal)] = Nil
+      var dec: Seq[(String, Long, BigDecimal)] = Nil
+      spark.conf.set("graft.g01.decimalRanks", "false")
+      row(n, "g01i64") { i64 = ranks(); i64.length.toLong }
+      spark.conf.set("graft.g01.decimalRanks", "true")
+      row(n, "g01dec") { dec = ranks(); dec.length.toLong }
+      spark.conf.unset("graft.g01.decimalRanks")
+      println(if (i64 == dec) s"$n g01 decimal == int64 (top-20 bit-equal)"
+              else s"$n g01 DIVERGED: $i64 vs $dec")
+      graft.operators.HotCache.releaseAll()
+    }
     // r9e leg: the remaining fifth-sitting operators. d18 runs the d04
     // pigeonhole-block + d05 inverted-index shapes back to back (both
     // individually probed linear; the eval adds one bounded count join);
