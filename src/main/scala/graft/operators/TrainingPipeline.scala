@@ -1493,11 +1493,13 @@ object TrainingPipeline {
         val cell = ipfCache.register(t(s, d, "documents")
           .select(coalesce(col("source"), lit("")).as("source"),
             coalesce(col("lang"), lit("")).as("lang"),
-            // text coalesced like source/lang: size(split(NULL)) is -1 in
-            // non-ANSI Spark (deflating the token mass) while the DuckDB
-            // sum would skip the row — coalescing on BOTH sides makes a
-            // NULL-text doc count 1 token on both engines (same as '')
-            size(split(trim(coalesce(col("text"), lit(""))), "\\s+"))
+            // greatest(…, 0): size(split(NULL)) is -1 in non-ANSI Spark,
+            // which would DEFLATE the summed token mass; clamping to 0
+            // gives a NULL-text doc zero mass — exactly what DuckDB's
+            // NULL-skipping sum computes, and what the zero-mass source
+            // exclusion in the spec relies on ('' still counts 1 token
+            // on both engines; only NULL is massless)
+            greatest(size(split(trim(col("text")), "\\s+")), lit(0))
               .cast("long").as("ntok"))
           .groupBy("source", "lang")
           .agg(coalesce(sum("ntok"), lit(0L)).as("tc")))
@@ -1529,8 +1531,7 @@ object TrainingPipeline {
         WITH cell AS (
           SELECT coalesce(source, '') AS source,
                  coalesce(lang, '') AS lang,
-                 CAST(coalesce(sum(len(string_split_regex(
-                   trim(coalesce(text, '')),
+                 CAST(coalesce(sum(len(string_split_regex(trim(text),
                    '\s+'))), 0) AS BIGINT) AS tc
           FROM documents GROUP BY 1, 2),
         g AS (SELECT CAST(sum(tc) AS BIGINT) AS tt,
