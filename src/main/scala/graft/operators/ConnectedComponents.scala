@@ -24,14 +24,19 @@ object ConnectedComponents {
     *         that appears in `edges`, rounds actually run)
     */
   def run(edges: DataFrame, maxRounds: Int = 32): (DataFrame, Int) = {
+    // materialize the INPUT once: both the canonical edge set and the
+    // node universe derive from it, and the caller's edge plan is
+    // typically an expensive join (g03: orders⋈lineitem distinct) that
+    // would otherwise execute twice
+    val base = edges.localCheckpoint()
     // canonical directed form: u > v (edge points at the smaller id)
-    var e = edges
+    var e = base
       .filter(col("a_id") =!= col("b_id"))
       .select(greatest(col("a_id"), col("b_id")).as("u"),
         least(col("a_id"), col("b_id")).as("v"))
       .distinct()
       .localCheckpoint()
-    val nodes = edges
+    val nodes = base
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
       .localCheckpoint()
