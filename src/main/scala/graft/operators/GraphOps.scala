@@ -457,6 +457,9 @@ object GraphOps {
             .groupBy("s1", "s2").agg(count(lit(1)).as("cc"))
             .filter(col("cc") === 2)
             .select("s1", "s2"))
+        // (an EAGER fill was measured here in r10 and rejected: +13%
+        // cpu — unlike e33, the scalar consumers barely race, and the
+        // materializing count costs more than the overlap it removes)
         val deg = e.select(col("s1").as("node"))
           .unionAll(e.select(col("s2").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))

@@ -15,6 +15,22 @@ import org.apache.spark.storage.StorageLevel
   * intermediate — every downstream query then reads an
   * InMemoryTableScan instead of recomputing the scan + join + shuffle.
   * CacheSpec pins that mechanically; CacheDemo measures it.
+  *
+  * WHEN TO CACHE — the decision rule, distilled from five r10 A/B
+  * measurements (e33 ✓, d20 signatures ✓, d18 pair table ✗, g08
+  * projection ✗, t11 TF table ✗):
+  *
+  *  - Cache only when the table is NARROW relative to its recompute
+  *    (dim-bounded aggregates, fixed-width signatures) AND the
+  *    consumers either RACE concurrently — broadcast-subquery jobs
+  *    compute an uncached subtree once EACH; lazy persist dedupes
+  *    storage, not racing computation — or re-read it many times.
+  *  - Never cache an intermediate whose consumers are aggregates:
+  *    streaming partial aggregation prunes and combines map-side,
+  *    and beats materializing the full row set even at 2× execution
+  *    (d18: persist+count 3.9 s vs 0.7 s streamed at sf0.1).
+  *  - Eager fill (count() at build) ONLY for racing consumers; it
+  *    costs a full extra action and measurably hurts linear plans.
   */
 object HotCache {
 
