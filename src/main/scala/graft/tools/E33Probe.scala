@@ -38,14 +38,22 @@ object E33Probe {
     })
     graft.Tables.all.foreach(n =>
       graft.Tables(spark, sfDir, n).limit(1).collect())
-    val df = graft.SparkEntry.queries(key)(spark, sfDir)
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    val wall = (System.nanoTime() - t0) / 1e9
-    org.apache.spark.GraftCoreShim.drainListenerBus(spark.sparkContext)
-    println(f"WALL $wall%.2f s")
-    stages.toSeq.sortBy(-_._2.cpu.get).foreach { case (id, s) =>
-      println(f"stage $id%4d tasks=${s.tasks}%4d cpu=${s.cpu.get / 1000.0}%8.2fs run=${s.run.get / 1000.0}%8.2fs  ${s.name}")
+    // two cold-cache runs: the second run's stages are JIT-warm, so its
+    // per-stage cpu is the steady-state attribution (run 1 carries the
+    // one-time codegen/JIT cost)
+    val runsN = sys.env.get("SPARK_GRAFT_PROBE_RUNS").map(_.toInt).getOrElse(2)
+    for (i <- 1 to runsN) {
+      stages.synchronized(stages.clear())
+      val df = graft.SparkEntry.queries(key)(spark, sfDir)
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      graft.operators.HotCache.releaseAll()
+      org.apache.spark.GraftCoreShim.drainListenerBus(spark.sparkContext)
+      println(f"RUN $i WALL $wall%.2f s")
+      stages.toSeq.sortBy(-_._2.cpu.get).take(8).foreach { case (id, s) =>
+        println(f"stage $id%4d tasks=${s.tasks}%4d cpu=${s.cpu.get / 1000.0}%8.2fs run=${s.run.get / 1000.0}%8.2fs  ${s.name}")
+      }
     }
     spark.stop()
   }
