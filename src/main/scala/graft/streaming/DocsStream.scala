@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.functions.TextFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Streaming document-pipeline transforms — the streaming twins of the
   * batch training-prep operators (TrainingPipeline.scala), for corpora
@@ -42,4 +43,66 @@ object DocsStream {
       .join(benchHashes, "h")
       .dropDuplicatesWithinWatermark(Seq("doc_id"))
       .select("doc_id", "ts")
+
+  /** A near-dup candidate: `docId` arrived after `dupOf` and their
+    * SimHash signatures differ by `hamming` ≤ the threshold.
+    */
+  final case class NearDup(docId: Long, dupOf: Long, hamming: Int)
+
+  /** Streaming NEAR-dup detection — the streaming twin of batch
+    * d04_dedup_simhash, for corpora that arrive continuously. Each doc
+    * computes its 64-bit SimHash map-side (the native expression) and
+    * explodes to 4 pigeonhole chunk buckets (d04's blocking: hamming ≤ 3
+    * GUARANTEES a shared chunk; looser pairs are found iff they share
+    * one). Per-bucket flatMapGroupsWithState keeps the last `bucketCap`
+    * (doc_id, sig) pairs — TOTAL state is bounded by construction at
+    * 4·2¹⁶ buckets × cap entries regardless of stream length, and a hub
+    * bucket (boilerplate chunk) degrades to "matches the cap most
+    * recent" rather than growing without bound (the d10/g05 cap
+    * reasoning). Each arriving doc emits a [[NearDup]] per in-bucket
+    * state entry within `maxHamming`; a pair sharing several chunks
+    * emits once per shared bucket — dedupe downstream on (docId, dupOf)
+    * exactly as batch d04 ends in distinct() (the spec does; a
+    * production sink would dropDuplicatesWithinWatermark).
+    */
+  def nearDupStream(docs: DataFrame, maxHamming: Int = 8,
+                    bucketCap: Int = 64): Dataset[NearDup] = {
+    import org.apache.spark.sql.GraftShim
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"),
+      GraftShim.column(graft.plans.SimHashExpr(
+        GraftShim.expression(TextFns.tokens(col("text"))))).as("sim"))
+    val chunkStructs = (0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("chv")))
+    sigs
+      .select(col("doc_id"), col("sim"),
+        explode(array(chunkStructs: _*)).as("cd"))
+      .select((col("cd.chunk") * 65536L + col("cd.chv")).as("bucket"),
+        col("doc_id"), col("sim"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[(Long, Long)], NearDup](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDup]
+          // doc_id order inside the batch: deterministic emission, and
+          // the earlier id is always the dupOf side (matching d04's
+          // a_id < b_id orientation for same-batch pairs)
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, sim) =>
+            seen.foreach { case (oid, osim) =>
+              if (oid != id) {
+                val h = java.lang.Long.bitCount(osim ^ sim)
+                if (h <= maxHamming) out += NearDup(id, oid, h)
+              }
+            }
+            if (!seen.exists(_._1 == id))
+              seen = ((id, sim) :: seen).take(bucketCap)
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
 }

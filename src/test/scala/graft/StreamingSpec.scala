@@ -585,4 +585,36 @@ class StreamingSpec extends SparkSpecBase {
     graft.streaming.CdcApply.applyBatch(tie, target, 2L)
     assert(state() == Map(3L -> 30.0), state())
   }
+
+  test("nearDupStream flags simhash near-dups across micro-batches; " +
+       "disjoint docs stay silent") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocsStream.nearDupStream(docs)
+      .writeStream.format("memory").queryName("near_dups")
+      .outputMode("update").start()
+    val copy = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely unrelated text about shuffle services and parquet"
+    try {
+      // batch 1: two exact copies (same signature -> 4 shared buckets)
+      // and one disjoint doc
+      input.addData((1L, copy), (2L, copy), (10L, other))
+      q.processAllAvailable()
+      // batch 2: a third copy arrives later -> pairs against BOTH
+      // earlier copies (state carried across batches); another disjoint
+      input.addData((3L, copy), (11L, other + " more words entirely"))
+      q.processAllAvailable()
+      val got = spark.table("near_dups")
+        .as[graft.streaming.DocsStream.NearDup].collect()
+      // dedupe multi-bucket emissions exactly as batch d04's distinct()
+      val pairs = got.map(n => (n.docId, n.dupOf)).distinct.toSet
+      assert(pairs == Set((2L, 1L), (3L, 1L), (3L, 2L)), got.toSeq)
+      // exact copies have identical signatures
+      assert(got.forall(_.hamming == 0), got.toSeq)
+      // each same-signature pair shares all 4 chunk buckets -> 4 emits
+      assert(got.count(n => n.docId == 2L && n.dupOf == 1L) == 4, got.toSeq)
+    } finally q.stop()
+  }
 }
