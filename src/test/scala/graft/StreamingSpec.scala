@@ -584,6 +584,12 @@ class StreamingSpec extends SparkSpecBase {
       .toDF("k", "p", "seq", "op")
     graft.streaming.CdcApply.applyBatch(tie, target, 2L)
     assert(state() == Map(3L -> 30.0), state())
+    // an EMPTY batch (possible under foreachBatch) carries the state
+    // forward unchanged — no key lost, no crash on the empty merge side
+    val empty = Seq.empty[(Long, Double, Long, String)]
+      .toDF("k", "p", "seq", "op")
+    graft.streaming.CdcApply.applyBatch(empty, target, 3L)
+    assert(state() == Map(3L -> 30.0), state())
   }
 
   test("nearDupStream flags simhash near-dups across micro-batches; " +
@@ -615,6 +621,33 @@ class StreamingSpec extends SparkSpecBase {
       assert(got.forall(_.hamming == 0), got.toSeq)
       // each same-signature pair shares all 4 chunk buckets -> 4 emits
       assert(got.count(n => n.docId == 2L && n.dupOf == 1L) == 4, got.toSeq)
+    } finally q.stop()
+  }
+
+  test("nearDupStream bucket cap: a full bucket evicts oldest, newest " +
+       "still matches (graceful hub degradation)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    // cap 1: each bucket remembers only the most recent doc
+    val q = graft.streaming.DocsStream.nearDupStream(docs, bucketCap = 1)
+      .writeStream.format("memory").queryName("near_dups_cap")
+      .outputMode("update").start()
+    val copy = "the quick brown fox jumps over the lazy dog again and again"
+    try {
+      input.addData((1L, copy))
+      q.processAllAvailable()
+      input.addData((2L, copy))
+      q.processAllAvailable()
+      // doc 1 has been evicted by doc 2 in every bucket: doc 3 pairs
+      // against 2 only — capped recall, never an error or state blowup
+      input.addData((3L, copy))
+      q.processAllAvailable()
+      val pairs = spark.table("near_dups_cap")
+        .as[graft.streaming.DocsStream.NearDup].collect()
+        .map(n => (n.docId, n.dupOf)).distinct.toSet
+      assert(pairs == Set((2L, 1L), (3L, 2L)), pairs)
     } finally q.stop()
   }
 }
