@@ -1503,6 +1503,11 @@ object TrainingPipeline {
               .cast("long").as("ntok"))
           .groupBy("source", "lang")
           .agg(coalesce(sum("ntok"), lit(0L)).as("tc")))
+        // eager: gt/r/c reach the grid through CONCURRENT broadcast
+        // jobs that would race to compute the uncached tokenize subtree
+        // (the e33 rule: narrow table + racing consumers); measured
+        // run_ms 13.5 s at 3.3 s cpu before the fill
+        cell.count()
         val gt = cell.agg(sum("tc").as("tt"),
           countDistinct("source").as("ns"),
           countDistinct("lang").as("nl"))
