@@ -98,20 +98,26 @@ object Bench {
     // count() would let Catalyst prune projections and skip the real work.
     final case class R(name: String, sec: Double, rdB: Long, wrB: Long,
                        cpuMs: Long, runMs: Long,
-                       cpuAll: Seq[Long] = Nil, secAll: Seq[Double] = Nil)
+                       cpuAll: Seq[Long] = Nil, secAll: Seq[Double] = Nil,
+                       unstable: Boolean = false)
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // once() reports success explicitly: with reps > 1, the old shape
+    // appended to `failed` once PER failing rep, and a key that passed
+    // rep 1 but failed rep 2 reported a successful timing row while also
+    // appearing in failed[] — contradictory artifact state (r10 ADVICE).
     def once(name: String,
              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : R = {
+        : (R, Boolean) = {
       GraftCoreShim.drainListenerBus(spark.sparkContext)
       val r0 = shufRead.get; val w0 = shufWrite.get
       val c0 = cpuNs.get; val e0 = runMs.get
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
       val sec = (System.nanoTime() - t0) / 1e9
       // Release cached intermediates (d09, p06b, t07) AFTER each timed
       // save, not once post-loop: every query is timed cold, and the
@@ -119,17 +125,41 @@ object Bench {
       // subtree into a later sameResult plan regardless of name order.
       graft.operators.HotCache.releaseAll()
       GraftCoreShim.drainListenerBus(spark.sparkContext)
-      R(name, sec, shufRead.get - r0, shufWrite.get - w0,
-        (cpuNs.get - c0) / 1000000, runMs.get - e0)
+      (R(name, sec, shufRead.get - r0, shufWrite.get - w0,
+        (cpuNs.get - c0) / 1000000, runMs.get - e0), ok)
+    }
+    // A key is UNSTABLE when its reps disagree > 2x on cpu_ms — the r10
+    // driver run proved executorCpuTime itself inflates ~26x under
+    // sustained box load (s06 cpu_ms_all [15943,16377] vs 607 on the
+    // same tree, shuffle bytes byte-identical), so rep disagreement is
+    // measurement noise, not a plan change. An unstable key gets ONE
+    // automatic extra rep (the load episode may have passed); if the
+    // spread still exceeds 2x it is flagged in the artifact so a
+    // round-over-round comparison can mechanically separate real
+    // regressions from contention noise.
+    def spreadOver2x(rs: Seq[R]): Boolean = {
+      val cs = rs.map(_.cpuMs.max(1L))
+      cs.max.toDouble / cs.min.toDouble > 2.0
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-        val rs = (1 to reps).map(_ => once(name, fn))
-        if (failed.contains(name)) rs.head
+        val rs = scala.collection.mutable.ArrayBuffer.empty[R]
+        var ok = true
+        var i = 0
+        while (i < reps && ok) { // stop repeating after the first failure
+          val (r, o) = once(name, fn); rs += r; ok = o; i += 1
+        }
+        if (ok && rs.length > 1 && spreadOver2x(rs.toSeq)) {
+          val (r, o) = once(name, fn)
+          if (o) rs += r else ok = false
+        }
+        if (!ok) { failed += name; rs.head }
         else {
           val med = rs.sortBy(_.cpuMs).apply((rs.length - 1) / 2)
-          med.copy(cpuAll = rs.map(_.cpuMs), secAll = rs.map(_.sec))
+          med.copy(cpuAll = rs.map(_.cpuMs).toSeq,
+            secAll = rs.map(_.sec).toSeq,
+            unstable = rs.length > 1 && spreadOver2x(rs.toSeq))
         }
       }
 
@@ -137,24 +167,27 @@ object Bench {
       s"%.${dp}f".formatLocal(Locale.ROOT, v)
     def jStr(s: String): String = "\"" + s + "\""
     val total = results.map(_.sec).sum
-    val failedJson = failed.map(jStr).mkString("[", ",", "]")
+    val failedJson = failed.distinct.map(jStr).mkString("[", ",", "]")
+    val unstableJson = results.filter(_.unstable).map(r => jStr(r.name))
+      .mkString("[", ",", "]")
 
     // Full artifact: 3-dp timings + shuffle read/write bytes per query.
     val fullQs = results.map(r => jStr(r.name) + ":" + f(r.sec, 3))
       .mkString("{", ",", "}")
     val fullShuf = results
       .map { r =>
-        val per = if (r.cpuAll.length > 1)
+        val per = (if (r.cpuAll.length > 1)
           ",\"cpu_ms_all\":" + r.cpuAll.mkString("[", ",", "]") +
             ",\"sec_all\":" + r.secAll.map(f(_, 3)).mkString("[", ",", "]")
-        else ""
+        else "") + (if (r.unstable) ",\"unstable\":true" else "")
         jStr(r.name) + ":{\"r\":" + r.rdB + ",\"w\":" + r.wrB +
           ",\"cpu_ms\":" + r.cpuMs + ",\"run_ms\":" + r.runMs + per + "}"
       }
       .mkString("{", ",", "}")
     val fullJson =
       s"""{"metric":"total","value":${f(total, 3)},"unit":"sec",
-         |"failed":$failedJson,"sf":"$sfDir","cpus":$cpus,"reps":$reps,
+         |"failed":$failedJson,"unstable":$unstableJson,
+         |"sf":"$sfDir","cpus":$cpus,"reps":$reps,
          |"queries":$fullQs,
          |"shuffle_bytes":$fullShuf}""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
@@ -167,7 +200,7 @@ object Bench {
       else results.map(_.name) // collision safety: fall back to full keys
     val qs = keys.zip(results).map { case (k, r) => jStr(k) + ":" + f(r.sec, 2) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","failed":$failedJson,"full":"$fullPath","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f(total, 2)},"unit":"sec","failed":$failedJson,"unstable":$unstableJson,"full":"$fullPath","queries":$qs,"sf":"$sfDir"}""")
     System.out.flush()
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -113,7 +113,16 @@ object GraphOps {
           // 1e9 nodes.
           val maxBc = s.conf.getOption("graft.g01.maxBroadcastNodes")
             .map(_.toLong).getOrElse(5000000L)
-          val nCapped = deg.limit((maxBc + 1).toInt).count()
+          // One capped count probes BOTH thresholds. The probe limit is
+          // max(broadcast cap, decimal threshold)+1 so the overflow
+          // guard stays live even when the broadcast cap is configured
+          // below 10⁶: with limit(maxBc+1) alone, a small cap would clamp
+          // nCapped under the decimal threshold and the int64 rank mass
+          // could overflow silently on a >10⁶-node graph (r10 ADVICE).
+          val decThreshold = 1000000L
+          val probeLim = (math.max(maxBc, decThreshold) + 1)
+            .min(Int.MaxValue.toLong).toInt
+          val nCapped = deg.limit(probeLim).count()
           val bcRanks = nCapped <= maxBc
           def hint(df: DataFrame) = if (bcRanks) broadcast(df) else df
           // Accumulator type: BIGINT rank mass (N·10¹²) is safe through
@@ -125,7 +134,7 @@ object GraphOps {
           // < 10³² so the (38,6) divide result is the exact integer),
           // pinned bit-equal to the int64 path in GraphSpec.
           val useDec = s.conf.getOption("graft.g01.decimalRanks")
-            .map(_.toBoolean).getOrElse(nCapped > 1000000L)
+            .map(_.toBoolean).getOrElse(nCapped > decThreshold)
           def dfloor(a: Column, b: Column): Column =
             ((a - pmod(a, b)) / b).cast("decimal(38,0)")
           val dec = (v: Long) => lit(v).cast("decimal(38,0)")
@@ -425,17 +434,29 @@ object GraphOps {
     // engines.
     "g08_triangles" -> QueryDef(
       build = (s, d) => {
-        val cs = t(s, d, "orders")
+        // Pair generation, r11 shape: distinct → groupBy(c).collect_list
+        // → in-row pair explosion replaces the r10 degree-join +
+        // self-join chain. size(arr) IS the customer's supplier degree
+        // (the old cd aggregate + its join), and the sorted array emits
+        // each unordered pair exactly once via a nested transform — the
+        // old self-join materialized deg² ordered rows per customer and
+        // filtered half away, so the pair shuffle drops ~5× (127→26 MB
+        // at sf0.1). Map-side partial collect_set is kept (an explicit
+        // repartition(c) with post-exchange set-building was measured:
+        // +46% cpu from shuffling 600k raw rows — partial sets dedupe
+        // well here because a customer's rows cluster in the scan).
+        // Semantics identical — the oracle keeps its join formulation.
+        val p = t(s, d, "orders")
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-          .distinct()
-        val small = cs.join(
-          cs.groupBy("c").agg(count(lit(1)).as("cd")).filter(col("cd") <= 64)
-            .select("c"),
-          "c")
-        val p = small.select(col("c"), col("sk").as("s1"))
-          .join(small.select(col("c"), col("sk").as("s2")), Seq("c"))
-          .filter(col("s1") < col("s2"))
+          .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
+          .filter(size(col("arr")) <= 64) // the g05 hub cap, now free
+          .select(explode(expr(
+            """flatten(transform(arr, (x, i) ->
+              |  transform(slice(arr, i + 2, size(arr) - i - 1),
+              |            y -> struct(x AS s1, y AS s2))))""".stripMargin))
+            .as("pr"))
+          .select(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
           .filter(col("shared") >= 2)
         val sym = p.select(col("s1").as("node"), col("s2").as("nbr"),
@@ -457,9 +478,10 @@ object GraphOps {
             .groupBy("s1", "s2").agg(count(lit(1)).as("cc"))
             .filter(col("cc") === 2)
             .select("s1", "s2"))
-        // (an EAGER fill was measured here in r10 and rejected: +13%
-        // cpu — unlike e33, the scalar consumers barely race, and the
-        // materializing count costs more than the overlap it removes)
+        // (EAGER fill re-measured in r11 on the rewritten subtree and
+        // rejected AGAIN: lazy 20.4 s cpu vs 26.7 s with the fill — the
+        // scalar consumers still barely race, and the fill pays the
+        // full subtree + cache serialization up front)
         val deg = e.select(col("s1").as("node"))
           .unionAll(e.select(col("s2").as("node")))
           .groupBy("node").agg(count(lit(1)).as("deg"))

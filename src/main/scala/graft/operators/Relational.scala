@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.AggFns.{dsum, dsumRaw}
+import graft.functions.AggFns.{dsum, dsumRaw, sqlDsum}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1925,7 +1925,173 @@ object Relational {
                arg_max(o_orderkey, ord) AS last_orderkey,
                CAST(arg_max(day, ord) AS BIGINT) AS last_day,
                arg_max(o_totalprice, ord) AS last_price
-        FROM o GROUP BY 1 ORDER BY 1"""))
+        FROM o GROUP BY 1 ORDER BY 1""")),
+
+    // ---------------------------------------------------------------- q60
+    // TPC-DS Q2, literally: the reference driver runs the verbatim Q2
+    // text (reference README.md:125-126; tpc-ds-gen/TPCDSPreparation
+    // .scala prepares its tables). Same query shape on the graft schema:
+    // two sales channels UNION ALL'd into one stream (Q2's web_sales ∪
+    // catalog_sales → here lineitem ∪ orders), pivoted to per-week
+    // day-of-week sums, then the week table self-joined one year apart
+    // (wk vs wk+52, Q2's d_week_seq1 = d_week_seq2 - 53) to report each
+    // 2000-week's day-by-day YoY sales ratio. Weeks are epoch-aligned
+    // (days since Monday 1970-01-05, div 7) so both engines derive the
+    // identical calendar without a date_dim table. Determinism: sums are
+    // exact DECIMAL micros (dsumRaw · 10⁶), ratios exact integer basis
+    // points via decimal floor-division (the g01 dfloor pattern —
+    // BIGINT·10⁴ would overflow past ~$9·10⁸/week-day, real at 100 TB).
+    // Physically: one shuffle to the |weeks|-row pivot, then a self-join
+    // of that tiny table — the fact tables are never joined to anything.
+    "q60_tpcds_q2_yoy_weekly" -> QueryDef(
+      build = (s, d) => {
+        val wscs = t(s, d, "lineitem")
+          .select(col("l_shipdate").cast("date").as("sd"),
+            col("l_extendedprice").as("price"))
+          .unionAll(t(s, d, "orders")
+            .select(col("o_orderdate").cast("date").as("sd"),
+              col("o_totalprice").as("price")))
+        val w = wscs.select(
+          expr("datediff(sd, date '1970-01-05') div 7").as("wk"),
+          expr("datediff(sd, date '1970-01-05') % 7").as("dow"),
+          col("price"))
+        val dayNames = Seq("mon", "tue", "wed", "thu", "fri", "sat", "sun")
+        def dayMicros(i: Int, nm: String) =
+          (dsumRaw(when(col("dow") === i, col("price"))) * lit(1000000))
+            .cast("decimal(38,0)").as(nm)
+        val aggs = dayNames.zipWithIndex.map { case (nm, i) => dayMicros(i, nm) }
+        val ws = w.groupBy("wk").agg(aggs.head, aggs.tail: _*)
+        val y = ws.filter(
+          expr("year(date_add(date '1970-01-05', cast(wk * 7 as int))) = 2000"))
+        val z = ws.select(
+          (col("wk").as("wk2") +: dayNames.map(n => col(n).as(n + "2"))): _*)
+        def dfloor(a: Column, b: Column): Column =
+          ((a - pmod(a, b)) / b).cast("decimal(38,0)")
+        def ratio(n: String) =
+          when(col(n).isNotNull && col(n + "2").isNotNull && col(n + "2") > 0,
+            dfloor(col(n) * lit(10000), col(n + "2")).cast("long"))
+            .as(n + "_bp")
+        y.join(z, col("wk") + 52 === col("wk2"))
+          .select((col("wk") +: dayNames.map(ratio)): _*)
+          .orderBy("wk")
+      },
+      oracle = Some {
+        val dayNames = Seq("mon", "tue", "wed", "thu", "fri", "sat", "sun")
+        val pivots = dayNames.zipWithIndex.map { case (nm, i) =>
+          s"""CAST(sum(CASE WHEN dow = $i
+             |  THEN CAST(round(price, 6) AS DECIMAL(30,6)) END)
+             |  * 1000000 AS HUGEINT) AS $nm""".stripMargin
+        }.mkString(",\n")
+        val ratios = dayNames.map { n =>
+          s"""CASE WHEN y.$n IS NOT NULL AND z.$n IS NOT NULL AND z.$n > 0
+             |  THEN CAST(y.$n * 10000 // z.$n AS BIGINT) END AS ${n}_bp"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH wscs AS (
+           |  SELECT CAST(l_shipdate AS DATE) AS sd, l_extendedprice AS price
+           |  FROM lineitem
+           |  UNION ALL
+           |  SELECT CAST(o_orderdate AS DATE), o_totalprice FROM orders),
+           |w AS (
+           |  SELECT CAST(datediff('day', DATE '1970-01-05', sd) // 7
+           |           AS BIGINT) AS wk,
+           |         datediff('day', DATE '1970-01-05', sd) % 7 AS dow,
+           |         price
+           |  FROM wscs),
+           |ws AS (SELECT wk, $pivots FROM w GROUP BY wk),
+           |y AS (SELECT * FROM ws
+           |      WHERE year(DATE '1970-01-05' + CAST(wk * 7 AS INTEGER)) = 2000)
+           |SELECT y.wk, $ratios
+           |FROM y JOIN ws z ON z.wk = y.wk + 52
+           |ORDER BY y.wk""".stripMargin
+      }),
+
+    // ---------------------------------------------------------------- q61
+    // TPC-DS Q5, literally: the reference driver's other verbatim query
+    // (reference README.md:125-126) — per-channel sales/returns/profit
+    // rolled up with ROLLUP(channel, id). Graft schema: the three
+    // channels are order-priority classes (express/standard/economy —
+    // Q5's store/catalog/web), the in-channel id is the customer market
+    // segment, sales rows carry (sales_price, profit), return rows
+    // (l_returnflag = 'R') carry (return_amt, -net_loss) — Q5's exact
+    // signed-union shape, where one summed `profit` column nets sales
+    // profit against return losses. Money sums are order-independent
+    // dsum; the rollup's NULL superaggregate keys are labeled
+    // 'TOTAL'/'ALL' so the ORDER BY is byte-identical on both engines.
+    // Physically the union is a GENERATOR, not a second scan: each fact
+    // row explodes to its sales leg plus (iff returned) its return leg —
+    // ONE pass over the joined fact where the literal UNION ALL would
+    // read it twice. The ROLLUP itself is a MANUAL expand (each row
+    // explodes to its 3 grouping levels, then one hash aggregate):
+    // exactly the Expand+Aggregate plan Dataset.rollup compiles to —
+    // map-side partial aggregation collapses the 3× rows before the
+    // single shuffle — but built explicitly because Spark 4.1's
+    // DetectAmbiguousSelfJoin false-positives on rollup-above-join
+    // (the Expand's duplicated grouping attrs look like a self-join).
+    "q61_tpcds_q5_channel_rollup" -> QueryDef(
+      build = (s, d) => {
+        val fact = t(s, d, "lineitem")
+          .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .select(
+            expr("""CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2')
+                    THEN 'express'
+                    WHEN substring(o_orderpriority, 1, 1) = '3'
+                    THEN 'standard'
+                    ELSE 'economy' END""").as("channel"),
+            col("c_mktsegment").as("seg"),
+            col("l_extendedprice").as("ep"), col("l_discount").as("disc"),
+            col("l_tax").as("tax"), col("l_returnflag").as("rf"))
+        val legs = array(
+          struct(col("ep").as("sales_price"), lit(0.0).as("return_amt"),
+            (col("ep") * (lit(1.0) - col("disc")) - col("ep") * col("tax"))
+              .as("profit"),
+            lit(true).as("keep")),
+          struct(lit(0.0).as("sales_price"), col("ep").as("return_amt"),
+            (-(col("ep") * col("tax"))).as("profit"),
+            (col("rf") === "R").as("keep")))
+        val lvls = array(
+          struct(col("channel").as("ch"), col("seg").as("sg")),
+          struct(col("channel").as("ch"), lit("ALL").as("sg")),
+          struct(lit("TOTAL").as("ch"), lit("ALL").as("sg")))
+        fact.select(col("channel"), col("seg"), explode(legs).as("x"))
+          .filter(col("x.keep"))
+          .select(explode(lvls).as("g"),
+            col("x.sales_price").as("sales_price"),
+            col("x.return_amt").as("return_amt"),
+            col("x.profit").as("profit"))
+          .groupBy(col("g.ch").as("channel"), col("g.sg").as("segment"))
+          .agg(dsum(col("sales_price")).as("sales"),
+            dsum(col("return_amt")).as("returns_amt"),
+            dsum(col("profit")).as("profit"))
+          .orderBy("channel", "segment")
+      },
+      oracle = Some(s"""
+        WITH fact AS (
+          SELECT CASE WHEN substring(o_orderpriority, 1, 1) IN ('1', '2')
+                      THEN 'express'
+                      WHEN substring(o_orderpriority, 1, 1) = '3'
+                      THEN 'standard'
+                      ELSE 'economy' END AS channel,
+                 c_mktsegment AS seg, l_extendedprice AS ep,
+                 l_discount AS disc, l_tax AS tax, l_returnflag AS rf
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey),
+        sr AS (
+          SELECT channel, seg, ep AS sales_price, 0.0 AS return_amt,
+                 ep * (1.0 - disc) - ep * tax AS profit
+          FROM fact
+          UNION ALL
+          SELECT channel, seg, 0.0, ep, -(ep * tax)
+          FROM fact WHERE rf = 'R')
+        SELECT coalesce(channel, 'TOTAL') AS channel,
+               coalesce(seg, 'ALL') AS segment,
+               ${sqlDsum("sales_price")} AS sales,
+               ${sqlDsum("return_amt")} AS returns_amt,
+               ${sqlDsum("profit")} AS profit
+        FROM sr GROUP BY ROLLUP(channel, seg)
+        ORDER BY channel, segment"""))
   )
 
   private def lateralTopSql(nation: String, customer: String): String = s"""

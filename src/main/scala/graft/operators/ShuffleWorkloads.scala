@@ -306,12 +306,25 @@ object ShuffleWorkloads {
         // dataset at the same path gets fresh bucketed copies instead of
         // silently reading a stale catalog entry, while same-content
         // re-runs still reuse the pay-once write (r10 ADVICE fix)
+        // recursive listing via the Hadoop FileSystem API so nested
+        // partition layouts and non-local paths fingerprint correctly —
+        // the flat java.io.File listing silently degraded to an empty
+        // tag (path-only keying, the stale-reuse hazard) for any layout
+        // it couldn't see (r10 ADVICE)
         def ls(p: String): String = {
-          val f = new java.io.File(p)
-          val files = if (f.isDirectory) f.listFiles().sortBy(_.getName)
-                      else Array(f)
-          files.map(x => s"${x.getName}:${x.length}:${x.lastModified}")
-            .mkString(",")
+          val path = new org.apache.hadoop.fs.Path(p)
+          val fs = path.getFileSystem(
+            s0.sparkContext.hadoopConfiguration)
+          if (!fs.exists(path)) ""
+          else {
+            val it = fs.listFiles(path, /* recursive = */ true)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            while (it.hasNext) {
+              val st = it.next()
+              buf += s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+            }
+            buf.sorted.mkString(",")
+          }
         }
         val tag = java.security.MessageDigest.getInstance("MD5")
           .digest(s"$d|${ls(s"$d/orders.parquet")}|${ls(s"$d/customer.parquet")}"

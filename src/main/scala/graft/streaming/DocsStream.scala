@@ -77,6 +77,11 @@ object DocsStream {
       struct(lit(c).as("chunk"),
         shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("chv")))
     sigs
+      // a NULL text yields a NULL signature; decoding null into a
+      // primitive Long would fail the streaming query at runtime.
+      // Batch d04 drops such docs implicitly (a null signature never
+      // joins) — the stream skips them explicitly (r10 ADVICE).
+      .filter(col("sim").isNotNull)
       .select(col("doc_id"), col("sim"),
         explode(array(chunkStructs: _*)).as("cd"))
       .select((col("cd.chunk") * 65536L + col("cd.chv")).as("bucket"),

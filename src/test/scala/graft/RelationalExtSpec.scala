@@ -615,4 +615,89 @@ class RelationalExtSpec extends SparkSpecBase {
     assert(got == brute, s"got $got, brute $brute")
     assert(got.map(_._1) == Seq(1L, 3L, 5L, 7L), got)
   }
+
+  test("q60 TPC-DS Q2 shape: every ratio replays from brute-force weekly " +
+       "micros; weeks are year-2000 Mondays") {
+    import java.time.LocalDate
+    import java.time.temporal.ChronoUnit
+    val rows = run("q60_tpcds_q2_yoy_weekly").collect()
+    assert(rows.nonEmpty)
+    // brute-force (wk, dow) -> exact micros, replaying dsumRaw's per-row
+    // rounding (BigDecimal.valueOf = shortest repr, HALF_UP at 6 dp —
+    // the same path Spark's double->DECIMAL(30,6) cast takes)
+    def stream(tbl: String, dc: String, pc: String) =
+      Tables(spark, sf, tbl)
+        .select(col(dc).cast("date").as("sd"), col(pc).as("price"))
+        .collect()
+        .map(r => (r.getAs[java.sql.Date]("sd").toLocalDate,
+          r.getAs[Double]("price")))
+    val all = stream("lineitem", "l_shipdate", "l_extendedprice") ++
+      stream("orders", "o_orderdate", "o_totalprice")
+    val epoch = LocalDate.parse("1970-01-05") // a Monday
+    val micros: Map[(Long, Long), BigInt] = all
+      .groupBy { case (d, _) =>
+        val days = ChronoUnit.DAYS.between(epoch, d)
+        (days / 7, days % 7)
+      }
+      .map { case (k, xs) =>
+        k -> xs.map { case (_, p) =>
+          BigInt(java.math.BigDecimal.valueOf(p)
+            .setScale(6, java.math.RoundingMode.HALF_UP)
+            .movePointRight(6).toBigIntegerExact)
+        }.sum
+      }
+    val dayNames = Seq("mon", "tue", "wed", "thu", "fri", "sat", "sun")
+    rows.foreach { r =>
+      val wk = r.getAs[Long]("wk")
+      // the week's Monday lies in 2000 (the Q2 d_year filter)
+      assert(epoch.plusDays(wk * 7).getYear == 2000, s"wk $wk")
+      dayNames.zipWithIndex.foreach { case (nm, i) =>
+        val y = micros.get((wk, i.toLong))
+        val z = micros.get((wk + 52, i.toLong))
+        val expected: Option[Long] = (y, z) match {
+          case (Some(a), Some(b)) if b > 0 => Some(((a * 10000) / b).toLong)
+          case _ => None
+        }
+        val got = Option(r.getAs[Any](s"${nm}_bp")).map(_.asInstanceOf[Long])
+        assert(got == expected, s"wk $wk $nm: got $got expected $expected")
+      }
+    }
+  }
+
+  test("q61 TPC-DS Q5 shape: grand total replays from one conditional " +
+       "pass; channel partition is complete; returns never exceed sales") {
+    import graft.functions.AggFns.dsumRaw
+    val rows = run("q61_tpcds_q5_channel_rollup").collect()
+    val total = rows.filter(_.getAs[String]("channel") == "TOTAL")
+    assert(total.length == 1 &&
+      total.head.getAs[String]("segment") == "ALL")
+    val chanAll = rows.filter(r => r.getAs[String]("segment") == "ALL" &&
+      r.getAs[String]("channel") != "TOTAL")
+    assert(chanAll.map(_.getAs[String]("channel")).sorted.toSeq ==
+      Seq("economy", "express", "standard"), chanAll.toSeq)
+    // returned rows are a subset of sales rows, so per group returns<=sales
+    rows.foreach { r =>
+      assert(r.getAs[Double]("returns_amt") <= r.getAs[Double]("sales") + 1e-6)
+    }
+    // grand total from an INDEPENDENT single-pass conditional aggregate
+    // (no explode, no rollup): each leg dsumRaw'd separately because the
+    // query rounds the sales leg and the return leg as separate rows
+    val f = Tables(spark, sf, "lineitem")
+      .join(Tables(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+    val ep = col("l_extendedprice")
+    val exp = f.agg(
+      round(dsumRaw(ep), 2).cast("double").as("sales"),
+      round(dsumRaw(when(col("l_returnflag") === "R", ep)), 2)
+        .cast("double").as("returns_amt"),
+      round(dsumRaw(ep * (lit(1.0) - col("l_discount")) - ep * col("l_tax")) +
+          dsumRaw(when(col("l_returnflag") === "R",
+            -(ep * col("l_tax")))), 2)
+        .cast("double").as("profit")).collect()(0)
+    val got = total.head
+    Seq("sales", "returns_amt", "profit").foreach { c =>
+      assert(got.getAs[Double](c) == exp.getAs[Double](c),
+        s"$c: ${got.getAs[Double](c)} vs ${exp.getAs[Double](c)}")
+    }
+  }
 }

@@ -650,4 +650,102 @@ class StreamingSpec extends SparkSpecBase {
       assert(pairs == Set((2L, 1L), (3L, 2L)), pairs)
     } finally q.stop()
   }
+
+  test("nearDupStream skips null-text docs instead of failing the query") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // String is nullable in the tuple encoder, so a null text row flows
+    // through exactly as a malformed upstream record would
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.DocsStream.nearDupStream(docs)
+      .writeStream.format("memory").queryName("near_dups_null")
+      .outputMode("update").start()
+    val copy = "the quick brown fox jumps over the lazy dog again and again"
+    try {
+      input.addData((1L, copy), (2L, null: String), (3L, copy))
+      q.processAllAvailable() // would throw here before the fix
+      val pairs = spark.table("near_dups_null")
+        .as[graft.streaming.DocsStream.NearDup].collect()
+        .map(n => (n.docId, n.dupOf)).distinct.toSet
+      assert(pairs == Set((3L, 1L)), pairs)
+    } finally q.stop()
+  }
+
+  test("CdcApply GC bounds snapshot storage: older-than-predecessor " +
+       "dirs are deleted and a replayed batch still finds its base") {
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("cdc_gc").toString
+    def snaps() = new java.io.File(target).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    def state() = graft.streaming.CdcApply.current(spark, target)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("p")).toMap
+    def batch(rows: (Long, Double, Long, String)*) =
+      rows.toDF("k", "p", "seq", "op")
+    graft.streaming.CdcApply.applyBatch(batch((1L, 10.0, 1L, "U")), target, 0L)
+    graft.streaming.CdcApply.applyBatch(batch((2L, 20.0, 2L, "U")), target, 1L)
+    graft.streaming.CdcApply.applyBatch(batch((3L, 30.0, 3L, "U")), target, 2L)
+    graft.streaming.CdcApply.applyBatch(batch((1L, 0.0, 4L, "D")), target, 3L)
+    // retention = the new snapshot + its replay base, nothing older
+    assert(snaps() == Seq("snap_2", "snap_3"), snaps())
+    assert(state() == Map(2L -> 20.0, 3L -> 30.0), state())
+    // a stray non-snapshot dir under the target never crashes the sink
+    new java.io.File(s"$target/snap_tmp_junk").mkdirs()
+    new java.io.File(s"$target/_metadata_dir").mkdirs()
+    // checkpoint replay of batch 3 reads the kept snap_2 base:
+    // bit-identical state, and GC stays within the same retention rule
+    graft.streaming.CdcApply.applyBatch(batch((1L, 0.0, 4L, "D")), target, 3L)
+    assert(state() == Map(2L -> 20.0, 3L -> 30.0), state())
+    assert(snaps().filter(_.matches("snap_\\d+")) == Seq("snap_2", "snap_3"),
+      snaps())
+  }
+
+  test("CdcApply partitioned layout rewrites ONLY touched partitions; " +
+       "a fully-deleted partition does not resurrect") {
+    import spark.implicits._
+    val target = java.nio.file.Files.createTempDirectory("cdc_pt").toString
+    val nB = 4
+    def batch(rows: (Long, Double, Long, String)*) =
+      rows.toDF("k", "p", "seq", "op")
+    def state() = graft.streaming.CdcApply.currentPartitioned(spark, target)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("p")).toMap
+    def pksIn(id: Long) = {
+      val d = new java.io.File(s"$target/snap_$id")
+      if (!d.isDirectory) Seq.empty[String]
+      else d.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    }
+    // batch 0 seeds keys across all 4 partitions (pk = k % 4)
+    graft.streaming.CdcApply.applyBatchPartitioned(
+      batch((0L, 1.0, 1L, "U"), (1L, 2.0, 2L, "U"), (2L, 3.0, 3L, "U"),
+        (3L, 4.0, 4L, "U"), (6L, 6.0, 5L, "U")), target, 0L, nB)
+    assert(state() == Map(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0,
+      6L -> 6.0), state())
+    // batch 1 touches ONLY pk=1: snap_1 must contain exactly that
+    // partition — the untouched 3 partitions are never rewritten
+    graft.streaming.CdcApply.applyBatchPartitioned(
+      batch((5L, 50.0, 6L, "U")), target, 1L, nB)
+    assert(pksIn(1L) == Seq("pk=1"), pksIn(1L))
+    assert(state() == Map(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0,
+      5L -> 50.0, 6L -> 6.0), state())
+    // replaying batch 1 (checkpoint recovery) is idempotent: it re-reads
+    // pk=1's version below id 1 (snap_0) and overwrites only snap_1
+    graft.streaming.CdcApply.applyBatchPartitioned(
+      batch((5L, 50.0, 6L, "U")), target, 1L, nB)
+    assert(state() == Map(0L -> 1.0, 1L -> 2.0, 2L -> 3.0, 3L -> 4.0,
+      5L -> 50.0, 6L -> 6.0), state())
+    // batch 2 deletes EVERY key of pk=2 (2 and 6): the marker dir must
+    // version the now-empty partition — without it the stale snap_0
+    // copy would stay newest and resurrect both keys
+    graft.streaming.CdcApply.applyBatchPartitioned(
+      batch((2L, 0.0, 7L, "D"), (6L, 0.0, 8L, "D")), target, 2L, nB)
+    assert(pksIn(2L) == Seq("pk=2"), pksIn(2L))
+    assert(state() == Map(0L -> 1.0, 1L -> 2.0, 3L -> 4.0, 5L -> 50.0),
+      state())
+    // and re-inserting into the emptied partition works on top of the
+    // marker (its base reads as empty, not as the pre-delete rows)
+    graft.streaming.CdcApply.applyBatchPartitioned(
+      batch((2L, 99.0, 9L, "U")), target, 3L, nB)
+    assert(state() == Map(0L -> 1.0, 1L -> 2.0, 2L -> 99.0, 3L -> 4.0,
+      5L -> 50.0), state())
+  }
 }
