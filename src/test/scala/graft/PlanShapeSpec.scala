@@ -585,4 +585,44 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(l)
     graft.operators.HotCache.releaseAll()
   }
+
+  test("q09/q17 part join flips to a shuffled join past the broadcast threshold") {
+    // SURVEY §5's prediction, pinned: `part` is SF-proportional (unlike
+    // region/nation), so neither q09 nor q17 may HINT it broadcast — past
+    // autoBroadcastJoinThreshold the planner must be free to pick
+    // SortMergeJoin. Simulate the sf≥1 size relation by lowering the
+    // threshold instead of shipping a 10 MB fixture; the sf1 probe
+    // (PROBE_r11) confirms the same flip on real 10x data.
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val q09Expected = run("q09_product_profit").collect()
+    val q17Expected = run("q17_small_qty_avg").collect()
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE plan strings carry BOTH the final and the initial plan; only
+    // the final section is the shape that actually ran
+    def finalPlan(p: String): String = {
+      val cut = p.indexOf("== Initial Plan ==")
+      if (cut >= 0) p.substring(0, cut) else p
+    }
+    try {
+      val q9 = run("q09_product_profit")
+      assert(q9.collect().sameElements(q09Expected))
+      val p9 = finalPlan(q9.queryExecution.executedPlan.toString)
+      // the two bounded dims (supplier, nation) are explicitly hinted and
+      // must STAY broadcast; part and orders flip to shuffled joins
+      assert(countOf(p9, "BroadcastHashJoin") == 2, p9)
+      assert(p9.contains("SortMergeJoin") || p9.contains("ShuffledHashJoin"), p9)
+
+      val q17 = run("q17_small_qty_avg")
+      assert(q17.collect().sameElements(q17Expected))
+      val p17 = finalPlan(q17.queryExecution.executedPlan.toString)
+      // q17 carries no hint at all: nothing may broadcast past the
+      // threshold, and no driver-side fallback may appear
+      assert(!p17.contains("BroadcastHashJoin"), p17)
+      assert(p17.contains("SortMergeJoin") || p17.contains("ShuffledHashJoin"), p17)
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -9,9 +9,13 @@ import duckdb, pandas as pd, numpy as np
 
 sfdir, vout = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+import os
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = f.split("/")[-1].removesuffix(".parquet")
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # driver layout = single .parquet file; ScaleUp (sf1 leg) layout =
+    # Spark-written directory of part files — glob inside in that case
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{vout}/oracle_sql.json"))
 # Optional argv[3]: comma-list of keys — iteration aid matching Verify's
