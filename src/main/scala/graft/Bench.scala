@@ -133,13 +133,23 @@ object Bench {
     // sustained box load (s06 cpu_ms_all [15943,16377] vs 607 on the
     // same tree, shuffle bytes byte-identical), so rep disagreement is
     // measurement noise, not a plan change. An unstable key gets ONE
-    // automatic extra rep (the load episode may have passed); if the
-    // spread still exceeds 2x it is flagged in the artifact so a
-    // round-over-round comparison can mechanically separate real
-    // regressions from contention noise.
+    // automatic extra rep (the load episode may have passed).
     def spreadOver2x(rs: Seq[R]): Boolean = {
       val cs = rs.map(_.cpuMs.max(1L))
       cs.max.toDouble / cs.min.toDouble > 2.0
+    }
+    // The VERDICT flag, r11-calibrated: rep 1 carries this query's
+    // one-time JIT/codegen cost and runs 2-4x the warm reps on ~every
+    // sub-second key (the first full run flagged 66 keys, all with the
+    // [heavy, warm, warm] signature). So the any-rep spread only
+    // TRIGGERS the extra rep; the flag itself is judged on the
+    // JIT-warm reps (2+). Sustained load that inflates every rep
+    // equally is invisible to any in-run spread check — that case is
+    // benchdiff's round-over-round cpu-vs-shuffle tripwire, not this
+    // flag's job.
+    def warmSpreadOver2x(rs: Seq[R]): Boolean = {
+      val warm = rs.drop(1).map(_.cpuMs.max(1L))
+      warm.length > 1 && warm.max.toDouble / warm.min.toDouble > 2.0
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -159,7 +169,7 @@ object Bench {
           val med = rs.sortBy(_.cpuMs).apply((rs.length - 1) / 2)
           med.copy(cpuAll = rs.map(_.cpuMs).toSeq,
             secAll = rs.map(_.sec).toSeq,
-            unstable = rs.length > 1 && spreadOver2x(rs.toSeq))
+            unstable = warmSpreadOver2x(rs.toSeq))
         }
       }
 

@@ -32,19 +32,36 @@ def main():
     flags = 0
     for k in sorted(set(oq) & set(nq)):
         t0, t1 = oq[k], nq[k]
-        if t1 > 1.5 * t0 and t1 - t0 > 0.5:
-            print(f"TIME    {k}: {t0:.2f}s -> {t1:.2f}s ({t1 / t0:.1f}x)")
-            flags += 1
+        shuffle_same = None
         if k in osh and k in nsh:
             b0 = osh[k]["r"] + osh[k]["w"]
             b1 = nsh[k]["r"] + nsh[k]["w"]
+            shuffle_same = b1 <= 1.3 * b0 and b1 >= b0 / 1.3
             # gate on EITHER side being >1 MiB: a query that used to
             # shuffle ~nothing (broadcast plan) and now shuffles MBs is
             # exactly the regression to catch, and vice versa
-            if max(b0, b1) > 1 << 20 and (b1 > 1.3 * b0 or b1 < b0 / 1.3):
+            if max(b0, b1) > 1 << 20 and not shuffle_same:
                 print(f"SHUFFLE {k}: {b0 / (1 << 20):.1f}MiB -> "
                       f"{b1 / (1 << 20):.1f}MiB (plan shape changed?)")
                 flags += 1
+        # cpu_ms is the load-calibrated gate (r10/r11): a cpu jump with
+        # BYTE-IDENTICAL shuffle is contention noise (executorCpuTime
+        # inflates up to ~26x under sustained box load) — adjudicated as
+        # UNSTABLE, not flagged as a regression. A cpu jump WITH a
+        # shuffle change is the real thing.
+        c0 = osh.get(k, {}).get("cpu_ms")
+        c1 = nsh.get(k, {}).get("cpu_ms")
+        if c0 and c1 and c1 > 2 * c0 and c1 - c0 > 500:
+            if shuffle_same:
+                print(f"UNSTABLE {k}: cpu {c0}ms -> {c1}ms with unchanged "
+                      f"shuffle — contention, not a plan regression")
+            else:
+                print(f"CPU     {k}: {c0}ms -> {c1}ms ({c1 / c0:.1f}x)")
+                flags += 1
+        elif t1 > 1.5 * t0 and t1 - t0 > 0.5 and not (c0 and c1):
+            # wall fallback only when either artifact predates cpu_ms
+            print(f"TIME    {k}: {t0:.2f}s -> {t1:.2f}s ({t1 / t0:.1f}x)")
+            flags += 1
     print(f"total   : {old['value']}s -> {new['value']}s; {flags} flag(s)")
     sys.exit(1 if flags else 0)
 
