@@ -1512,6 +1512,106 @@ object Dedup {
     // exact integer bp of the source's own raw mass (10000 = no dup
     // burden; a source whose canonical copies live elsewhere shows
     // tok_kept = 0 and inflation against the corpus-wide keeper set).
+    // ---------------------------------------------------------------- d23
+    // BLOCKING-WIDTH SWEEP: the operating curve behind the r11 scale
+    // finding that fixed 16-bit simhash chunk blocking grows its
+    // candidate volume ~n²/2^bits (PROBE_r11: ×20 candidates at ×10
+    // corpus). Before a 100 TB rollout picks a width, this key measures
+    // the cost/yield trade for k ∈ {2, 4, 8} chunks of 64/k bits over
+    // the SAME 64-bit signature: fewer, wider chunks = fewer random
+    // collisions (cost ~n²/2^(64/k) per chunk) but a weaker pigeonhole
+    // guarantee (hamming ≤ k−1 certain; beyond that, luck). The detected
+    // sets are NESTED by construction — a 16-bit chunk match implies
+    // both its 8-bit halves match — so the sweep is a true monotone
+    // curve (pinned in DedupSpec). One signature pass feeds all three
+    // schemes: a single explode to (k, chunk, value), one
+    // co-partitioned self-join, one distinct, one aggregate — the
+    // sweep costs one d04, not three (d19's pattern at the blocking
+    // layer instead of the threshold layer).
+    "d23_blocking_width" -> QueryDef(
+      build = (s, d) => {
+        import org.apache.spark.sql.GraftShim
+        val sigs = t(s, d, "documents")
+          .select(col("doc_id"), GraftShim.column(graft.plans.SimHashExpr(
+            GraftShim.expression(TextFns.tokens(col("text"))))).as("sim"))
+        val schemes = Seq(2, 4, 8)
+        val chunkStructs = schemes.flatMap { k =>
+          val bits = 64 / k
+          val mask = (1L << bits) - 1
+          (0 until k).map(c => struct(lit(k).as("k"),
+            lit(c).as("chunk"),
+            shiftright(col("sim"), c * bits).bitwiseAND(lit(mask))
+              .as("ch")))
+        }
+        val chunks = sigs
+          .select(col("doc_id"), col("sim"),
+            explode(array(chunkStructs: _*)).as("cd"))
+          .select(col("doc_id"), col("sim"), col("cd.k").as("k"),
+            col("cd.chunk").as("chunk"), col("cd.ch").as("ch"))
+          .repartition(col("k"), col("chunk"), col("ch"))
+        chunks.alias("x")
+          .join(chunks.alias("y"),
+            col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
+              col("x.ch") === col("y.ch") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.k").as("k"), col("x.doc_id").as("a_id"),
+            col("y.doc_id").as("b_id"),
+            bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
+              .as("hamming"))
+          .distinct()
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(when(col("hamming") <= 8, 1L).otherwise(0L)),
+              lit(0L)).as("n_detected"))
+          .select(col("k").cast("long").as("n_chunks"),
+            expr("CAST(64 div k AS BIGINT)").as("chunk_bits"),
+            col("n_candidates"), col("n_detected"),
+            when(col("n_candidates") === 0, lit(0L)).otherwise(
+              expr("(n_detected * 20000 + n_candidates) div (n_candidates * 2)"))
+              .as("yield_bp"))
+          .orderBy("n_chunks")
+      },
+      oracle = Some("""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+          FROM documents),
+        hh AS (
+          SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+          FROM tk),
+        bits AS (
+          SELECT doc_id, u.b,
+                 sum(CASE WHEN (h >> u.b) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM hh, unnest(generate_series(0, 63)) AS u(b)
+          GROUP BY doc_id, u.b),
+        sig AS (
+          SELECT doc_id,
+                 bit_or(CASE WHEN vote > 0 THEN (1::UBIGINT << b)
+                             ELSE 0::UBIGINT END) AS sim
+          FROM bits GROUP BY doc_id),
+        sch AS (SELECT * FROM (VALUES (2, 32), (4, 16), (8, 8)) v(k, bits)),
+        ch AS (
+          SELECT s.doc_id, s.sim, sch.k, u.c AS chunk,
+                 (s.sim >> (u.c * sch.bits)) &
+                   ((1::UBIGINT << sch.bits) - 1) AS chv
+          FROM sig s, sch, unnest(generate_series(0, sch.k - 1)) AS u(c)),
+        cand AS (
+          SELECT DISTINCT x.k, x.doc_id AS a_id, y.doc_id AS b_id,
+                 bit_count(xor(x.sim, y.sim)) AS hamming
+          FROM ch x JOIN ch y
+            ON x.k = y.k AND x.chunk = y.chunk AND x.chv = y.chv
+            AND x.doc_id < y.doc_id)
+        SELECT CAST(k AS BIGINT) AS n_chunks,
+               CAST(64 // k AS BIGINT) AS chunk_bits,
+               CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(coalesce(sum(CASE WHEN hamming <= 8 THEN 1 ELSE 0 END),
+                 0) AS BIGINT) AS n_detected,
+               CASE WHEN count(*) = 0 THEN CAST(0 AS BIGINT) ELSE
+                 CAST((coalesce(sum(CASE WHEN hamming <= 8 THEN 1 ELSE 0
+                   END), 0) * 20000 + count(*)) // (count(*) * 2)
+                   AS BIGINT) END AS yield_bp
+        FROM cand GROUP BY k ORDER BY n_chunks""")),
+
     "d22_dup_inflation" -> QueryDef(
       build = (s, d) => {
         val docs = t(s, d, "documents")

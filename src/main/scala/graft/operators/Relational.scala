@@ -2018,16 +2018,20 @@ object Relational {
     // profit against return losses. Money sums are order-independent
     // dsum; the rollup's NULL superaggregate keys are labeled
     // 'TOTAL'/'ALL' so the ORDER BY is byte-identical on both engines.
-    // Physically the union is a GENERATOR, not a second scan: each fact
-    // row explodes to its sales leg plus (iff returned) its return leg —
-    // ONE pass over the joined fact where the literal UNION ALL would
-    // read it twice. The ROLLUP itself is a MANUAL expand (each row
-    // explodes to its 3 grouping levels, then one hash aggregate):
-    // exactly the Expand+Aggregate plan Dataset.rollup compiles to —
-    // map-side partial aggregation collapses the 3× rows before the
-    // single shuffle — but built explicitly because Spark 4.1's
-    // DetectAmbiguousSelfJoin false-positives on rollup-above-join
-    // (the Expand's duplicated grouping attrs look like a self-join).
+    // Physically (r11 shape): the signed union is CONDITIONAL AGGREGATES
+    // and the rollup is RE-AGGREGATION OF PARTIALS — the fact is read
+    // once and never amplified. One hash aggregate takes the joined fact
+    // straight to the |channels|×|segments| grid carrying RAW
+    // DECIMAL(30,6) leg sums (each leg's per-row round-to-6 addends are
+    // identical to the literal UNION ALL's, summed into separate
+    // buckets; zeros are exact so the `keep` filter is just WHEN).
+    // The 3 grouping levels then explode over the ~15-ROW grid — not
+    // over 600k fact rows — and re-sum, which is exact for decimal
+    // partials. The r10 shape (explode legs × explode levels ≈ 6 rows
+    // per fact row before map-side collapse) measured 5.0 s cpu at
+    // sf0.1 — all generator row churn; the rollup-above-join
+    // DetectAmbiguousSelfJoin false-positive that forced a manual
+    // expand is sidestepped the same way here (no Dataset.rollup).
     "q61_tpcds_q5_channel_rollup" -> QueryDef(
       build = (s, d) => {
         val fact = t(s, d, "lineitem")
@@ -2042,28 +2046,24 @@ object Relational {
             col("c_mktsegment").as("seg"),
             col("l_extendedprice").as("ep"), col("l_discount").as("disc"),
             col("l_tax").as("tax"), col("l_returnflag").as("rf"))
-        val legs = array(
-          struct(col("ep").as("sales_price"), lit(0.0).as("return_amt"),
-            (col("ep") * (lit(1.0) - col("disc")) - col("ep") * col("tax"))
-              .as("profit"),
-            lit(true).as("keep")),
-          struct(lit(0.0).as("sales_price"), col("ep").as("return_amt"),
-            (-(col("ep") * col("tax"))).as("profit"),
-            (col("rf") === "R").as("keep")))
+        val base = fact.groupBy(col("channel"), col("seg")).agg(
+          dsumRaw(col("ep")).as("s_raw"),
+          dsumRaw(when(col("rf") === "R", col("ep")).otherwise(lit(0.0)))
+            .as("r_raw"),
+          (dsumRaw(col("ep") * (lit(1.0) - col("disc")) -
+              col("ep") * col("tax")) +
+            dsumRaw(when(col("rf") === "R", -(col("ep") * col("tax")))
+              .otherwise(lit(0.0)))).as("p_raw"))
         val lvls = array(
           struct(col("channel").as("ch"), col("seg").as("sg")),
           struct(col("channel").as("ch"), lit("ALL").as("sg")),
           struct(lit("TOTAL").as("ch"), lit("ALL").as("sg")))
-        fact.select(col("channel"), col("seg"), explode(legs).as("x"))
-          .filter(col("x.keep"))
-          .select(explode(lvls).as("g"),
-            col("x.sales_price").as("sales_price"),
-            col("x.return_amt").as("return_amt"),
-            col("x.profit").as("profit"))
+        base.select(explode(lvls).as("g"),
+            col("s_raw"), col("r_raw"), col("p_raw"))
           .groupBy(col("g.ch").as("channel"), col("g.sg").as("segment"))
-          .agg(dsum(col("sales_price")).as("sales"),
-            dsum(col("return_amt")).as("returns_amt"),
-            dsum(col("profit")).as("profit"))
+          .agg(round(sum(col("s_raw")), 2).cast("double").as("sales"),
+            round(sum(col("r_raw")), 2).cast("double").as("returns_amt"),
+            round(sum(col("p_raw")), 2).cast("double").as("profit"))
           .orderBy("channel", "segment")
       },
       oracle = Some(s"""

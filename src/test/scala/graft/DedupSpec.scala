@@ -735,6 +735,28 @@ class DedupSpec extends SparkSpecBase {
       .foreach(r => assert(r.getAs[Long]("inflation_bp") >= 10000L, r))
   }
 
+  test("d23 blocking sweep is a monotone nested curve with exact widths") {
+    // a 16-bit chunk match implies both its 8-bit halves match, so the
+    // detected/candidate sets are nested as k grows — the counts must be
+    // nondecreasing, detected ⊆ candidates, widths exactly 64/k, and the
+    // k=2 (hamming ≤ 1 guaranteed) scheme must already find the corpus's
+    // exact-duplicate pairs (hamming 0)
+    val rows = run("d23_blocking_width").collect()
+    assert(rows.map(_.getAs[Long]("n_chunks")).toSeq == Seq(2L, 4L, 8L), rows.toSeq)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("chunk_bits") == 64L / r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("n_detected") <= r.getAs[Long]("n_candidates"), r)
+    }
+    val cand = rows.map(_.getAs[Long]("n_candidates")).toSeq
+    val det = rows.map(_.getAs[Long]("n_detected")).toSeq
+    assert(cand == cand.sorted && det == det.sorted, (cand, det))
+    // exact dups have hamming 0 → caught at every width, so even the
+    // narrowest scheme detects at least the d01 dup-pair count
+    val exactPairs = run("d01_dedup_exact").collect()
+      .map(r => { val n = r.getAs[Long]("dup_cnt"); n * (n - 1) / 2 }).sum
+    assert(det.head >= exactPairs, s"k=2 detected ${det.head} < $exactPairs")
+  }
+
   test("m10 per-format dedup profile counts cross-format sharing for both") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{length, lit, col}
