@@ -9,6 +9,10 @@ import duckdb, pandas as pd, numpy as np
 
 sfdir, vout = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
+# own spill dir: concurrent compares sharing the cwd-default
+# .tmp/duckdb_temp_storage clobber each other (r11, sf1 leg)
+import tempfile
+con.sql(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckcmp_')}'")
 import os
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = f.split("/")[-1].removesuffix(".parquet")
