@@ -40,6 +40,18 @@ object ConnectedComponents {
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
       .localCheckpoint()
+    // r11: the per-round star-min tables are |nodes|-bounded, so the
+    // adj⋈mins / ls⋈mins2 joins BROADCAST them while the node set fits
+    // an executor (size-aware, the g01/g06 hint pattern; conf-gated so
+    // tests can pin both shapes) — the edge stream is then never
+    // shuffled inside a round. Past the cap every round degrades to the
+    // shuffled join, the only shape at 1e9 nodes.
+    val maxBc = edges.sparkSession.conf
+      .getOption("graft.cc.maxBroadcastNodes")
+      .map(_.toLong).getOrElse(5000000L)
+    val probeLim = (maxBc + 1).min(Int.MaxValue.toLong).toInt
+    val bcMins = nodes.limit(probeLim).count() <= maxBc
+    def hint(df: DataFrame): DataFrame = if (bcMins) broadcast(df) else df
     // fixpoint = consecutive rounds produce the SAME edge set, checked
     // EXACTLY: equal counts plus an empty one-sided set difference
     // (both sets are distinct canonical (u,v) rows, so count equality +
@@ -60,7 +72,7 @@ object ConnectedComponents {
       val adj = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = adj.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
-      val ls = adj.join(mins, "u")
+      val ls = adj.join(hint(mins), "u")
         .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
@@ -69,7 +81,7 @@ object ConnectedComponents {
       // non-min neighbor AND u itself at m = min(N(u)) — v > m holds
       // for every emitted edge, preserving the orientation invariant
       val mins2 = ls.groupBy("u").agg(min("v").as("m"))
-      e = ls.join(mins2, "u")
+      e = ls.join(hint(mins2), "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(mins2.select(col("u"), col("m").as("v")))

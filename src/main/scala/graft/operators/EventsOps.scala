@@ -31,7 +31,6 @@ object EventsOps {
   // computation — r9's e33 measured 3–5 racing sessionize executions
   // (20s+ task-cpu on a 2s pass) before the eager fill.
   private val sessCache = HotCache.slot()
-  private val runsCache = HotCache.slot()
 
   /** Per-(user_id, session_id) intervals: len, s_m/e_m (first/last event
     * micros) and fst = argmin struct (m, event_id, event_type) — the
@@ -1571,12 +1570,15 @@ object EventsOps {
         val wDay = Window.partitionBy("day")
           .orderBy(col("t"), col("delta").desc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val runs = runsCache.register(pts.join(broadcast(offs), "day")
-          .withColumn("run", col("off") + sum("delta").over(wDay)))
-        val mx = runs.agg(max("run").as("pk"))
-        runs.crossJoin(broadcast(mx))
-          .filter(col("run") === col("pk"))
-          .agg(max("run").as("peak"), min("t").as("at_micros"))
+        val runs = pts.join(broadcast(offs), "day")
+          .withColumn("run", col("off") + sum("delta").over(wDay))
+        // r11: (peak, earliest t) is an ARGMAX — one aggregate over a
+        // lexicographic max(struct(run, -t)) replaces the r10
+        // cache + max-subquery + crossJoin-filter re-scan (three jobs
+        // and a persisted runs table for what one fold computes:
+        // largest run, then smallest t among its carriers).
+        runs.agg(max(struct(col("run"), (-col("t")).as("nt"))).as("b"))
+          .select(col("b.run").as("peak"), (-col("b.nt")).as("at_micros"))
           .crossJoin(broadcast(sess.agg(
             count(lit(1)).as("n_sessions"))))
           .select(col("peak"), col("at_micros"), col("n_sessions"))

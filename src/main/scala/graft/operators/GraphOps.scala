@@ -25,8 +25,9 @@ import org.apache.spark.sql.functions._
   * Scale: the edge list shuffles once per iteration keyed by node —
   * the canonical distributed PageRank. Lineage is truncated per round
   * with localCheckpoint (the iterative-plan idiom shared with
-  * ConnectedComponents.scala); the degree-annotated edge list is
-  * HotCache'd across the 6 iterations. At 100 TB the same plan holds:
+  * ConnectedComponents.scala); the (u, v) edge list is HotCache'd
+  * across the 6 iterations and the rank state carries each node's
+  * degree. At 100 TB the same plan holds:
   * the edge list is the big table, every round is one hash shuffle of
   * it, and rank state is |nodes| rows. For the 1e9-node regime the
   * BIGINT rank mass (N * 10^12) approaches the int64 range — past 10^6
@@ -50,13 +51,21 @@ object GraphOps {
     * node id space covers both without collisions.
     */
   private def purchaseEdges(s: SparkSession, d: String): DataFrame = {
-    val one = t(s, d, "orders")
+    // r11: both directions via ONE in-row generator instead of
+    // one.unionAll(one.swap) — the union duplicated the whole
+    // orders⋈lineitem+distinct subtree in the plan (ReuseExchange never
+    // fired across the swapped projections), so every purchaseEdges
+    // consumer paid the expensive join TWICE. Same (u,v) multiset.
+    t(s, d, "orders")
       .join(t(s, d, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
-      .select((col("o_custkey") * 2).as("u"),
-        (col("l_suppkey") * 2 + 1).as("v"))
+      .select((col("o_custkey") * 2).as("cu"),
+        (col("l_suppkey") * 2 + 1).as("sv"))
       .distinct()
-    one.unionAll(one.select(col("v").as("u"), col("u").as("v")))
+      .select(explode(array(
+        struct(col("cu").as("u"), col("sv").as("v")),
+        struct(col("sv").as("u"), col("cu").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
   }
 
   private val sqlEdges =
@@ -95,14 +104,13 @@ object GraphOps {
     "g01_pagerank" -> QueryDef(
       build = (s, d) => {
         val edges = purchaseEdges(s, d)
-        val deg0 = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-        val ewd = edges.join(deg0, "u") // (u, v, deg of u)
-        HotCache.withCached(ewd.localCheckpoint()) { e =>
-          // node+degree table derived from the CACHE and checkpointed
-          // once — the r9 loop referenced the un-cached deg aggregate
-          // inside every iteration, silently re-deriving it from the
-          // base orders⋈lineitem join 6 extra times
-          val deg = e.select(col("u"), col("deg")).dropDuplicates("u")
+        // r11: cache the bare (u, v) edge list and aggregate the degree
+        // table straight off it — the r10 shape annotated every edge
+        // with its source degree (edges ⋈ deg) just so deg could be
+        // re-derived from the cache, paying a join over |edges| rows
+        // and caching a dead 8-byte column through all 6 iterations.
+        HotCache.withCached(edges.localCheckpoint()) { e =>
+          val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
             .localCheckpoint()
           // Size-aware rank-state join (the d10 guard pattern): the rank
           // table is |nodes| rows — broadcasting it keeps the (much
@@ -138,22 +146,27 @@ object GraphOps {
           def dfloor(a: Column, b: Column): Column =
             ((a - pmod(a, b)) / b).cast("decimal(38,0)")
           val dec = (v: Long) => lit(v).cast("decimal(38,0)")
-          var ranks = deg.select(col("u").as("node"),
+          // r11: the rank state CARRIES the node degree (node, deg,
+          // rank) so each iteration's per-node contribution is a pure
+          // projection — the r10 loop re-joined ranks against the
+          // degree table every round (6 extra |nodes|⋈|nodes| joins)
+          // just to see deg. Identical recurrence, identical output.
+          var ranks = deg.select(col("u").as("node"), col("deg"),
               (if (useDec) dec(R0) else lit(R0)).as("rank"))
             .localCheckpoint()
           for (_ <- 1 to Iters) {
             // per-NODE contribution first (|nodes| divisions), then the
             // broadcast onto edges — the r9 shape divided per EDGE row
-            val cs = ranks.join(deg, ranks("node") === deg("u"))
-              .select(ranks("node"),
+            val cs = ranks
+              .select(col("node"),
                 (if (useDec) dfloor(col("rank"), col("deg").cast("decimal(38,0)"))
                  else expr("rank div deg")).as("c"))
             val contrib = e.join(hint(cs), e("u") === cs("node"))
               .select(col("v").as("node"), col("c"))
               .groupBy("node").agg(sum("c").as("sc"))
-            ranks = deg.select(col("u").as("node"))
+            ranks = ranks.select(col("node"), col("deg"))
               .join(contrib, Seq("node"), "left")
-              .select(col("node"),
+              .select(col("node"), col("deg"),
                 (if (useDec)
                   (dec(R0 * 15 / 100) +
                     dfloor(dec(85) * coalesce(col("sc"), dec(0)), dec(100)))
@@ -217,13 +230,22 @@ object GraphOps {
     // full-key tie-break plans as a bounded TakeOrderedAndProject heap.
     "g04_copurchase" -> QueryDef(
       build = (s, d) => {
-        val li = t(s, d, "lineitem")
+        // r11: in-row pair explosion over the per-order sorted part set
+        // (g08's r11 pair-gen shape) replaces the distinct + self-join —
+        // collect_set IS the distinct, size is bounded by the order's
+        // line count (TPC-H ≤ 7), and each unordered pair is emitted
+        // exactly once, so the order-keyed shuffle of the whole line
+        // stream happens once, not twice. Semantics identical; the
+        // oracle keeps its join formulation.
+        t(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val a = li.select(col("ok"), col("pk").as("p1"))
-        val b = li.select(col("ok"), col("pk").as("p2"))
-        a.join(b, Seq("ok"))
-          .filter(col("p1") < col("p2"))
+          .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("arr"))
+          .select(explode(expr(
+            """flatten(transform(arr, (x, i) ->
+              |  transform(slice(arr, i + 2, size(arr) - i - 1),
+              |            y -> struct(x AS p1, y AS p2))))""".stripMargin))
+            .as("pr"))
+          .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
           .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("p1"), col("p2"))
           .limit(20)
@@ -255,12 +277,26 @@ object GraphOps {
             countDistinct("u").as("n_nodes"),
             (count(lit(1)) / 2).cast("long").as("n_edges"))
         var e = purchaseEdges(s, d).localCheckpoint()
+        // r11: the surviving-node set is |nodes|-bounded, so both
+        // per-round semi-joins BROADCAST it while it fits an executor
+        // (size-aware like g01's rank hint — past the cap each round
+        // degrades to the shuffled semi-join, the only shape at 1e9
+        // nodes). keep is checkpointed once per round: the two
+        // semi-join legs otherwise re-ran the degree aggregate twice
+        // (rename ≠ same canonical plan, so no exchange reuse).
+        val maxBc = s.conf.getOption("graft.g06.maxBroadcastNodes")
+          .map(_.toLong).getOrElse(5000000L)
+        val probeLim = (maxBc + 1).min(Int.MaxValue.toLong).toInt
+        val nCapped = e.select("u").distinct().limit(probeLim).count()
+        def hint(df: DataFrame) =
+          if (nCapped <= maxBc) broadcast(df) else df
         var out = trace(e, 0)
         for (r <- 1 to 4) {
           val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= 3).select("u")
-          e = e.join(keep, Seq("u"), "left_semi")
-            .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi")
+            .filter(col("deg") >= 3).select("u").localCheckpoint()
+          e = e.join(hint(keep), Seq("u"), "left_semi")
+            .join(hint(keep.withColumnRenamed("u", "v")), Seq("v"),
+              "left_semi")
             .select("u", "v").localCheckpoint()
           out = out.unionAll(trace(e, r))
         }
@@ -299,21 +335,30 @@ object GraphOps {
     // One-row output; all counters exact BIGINTs.
     "g07_butterflies" -> QueryDef(
       build = (s, d) => {
-        val cs = t(s, d, "orders")
+        // r11: g08's pair-gen shape — groupBy(c).collect_set replaces
+        // the distinct + degree-join + self-join chain (size(arr) IS
+        // the customer degree; the sorted array emits each unordered
+        // pair once in-row instead of materializing deg² join rows and
+        // filtering half away). grouped is checkpointed because the
+        // pair stream and the excluded-hub count both consume it.
+        val grouped = t(s, d, "orders")
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-          .distinct()
-        val cd = cs.groupBy("c").agg(count(lit(1)).as("cd"))
-        val small = cs.join(cd.filter(col("cd") <= 64).select("c"), "c")
-        val shared = small.select(col("c"), col("sk").as("s1"))
-          .join(small.select(col("c"), col("sk").as("s2")), Seq("c"))
-          .filter(col("s1") < col("s2"))
+          .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
+          .localCheckpoint()
+        val shared = grouped.filter(size(col("arr")) <= 64)
+          .select(explode(expr(
+            """flatten(transform(arr, (x, i) ->
+              |  transform(slice(arr, i + 2, size(arr) - i - 1),
+              |            y -> struct(x AS s1, y AS s2))))""".stripMargin))
+            .as("pr"))
+          .select(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
         val agg = shared.agg(
           coalesce(sum(expr("shared * (shared - 1) div 2")), lit(0L))
             .as("butterflies"),
           count(lit(1)).as("n_supplier_pairs"))
-        val excl = cd.filter(col("cd") > 64)
+        val excl = grouped.filter(size(col("arr")) > 64)
           .agg(count(lit(1)).as("n_hub_customers_excluded"))
         agg.crossJoin(excl) // 1x1 scalar join
       },
@@ -348,17 +393,28 @@ object GraphOps {
     // come from the UNCAPPED table so the Jaccard denominator is honest.
     "g05_supplier_overlap" -> QueryDef(
       build = (s, d) => {
-        val cs = t(s, d, "orders")
+        // r11: g08's pair-gen shape (see g07). The per-customer sorted
+        // supplier set replaces the distinct + cd-join + self-join; the
+        // UNCAPPED per-supplier degree (the honest Jaccard denominator)
+        // comes from exploding the same grouped arrays, so the
+        // orders⋈lineitem join runs once, not four times. grouped and
+        // deg are checkpointed: pair stream + two degree joins consume
+        // them and the rename legs defeat exchange reuse.
+        val grouped = t(s, d, "orders")
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-          .distinct()
-        val deg = cs.groupBy("sk").agg(count(lit(1)).as("deg"))
-        val small = cs.join(
-          cs.groupBy("c").agg(count(lit(1)).as("cd")).filter(col("cd") <= 64),
-          "c")
-        val pairs = small.select(col("c"), col("sk").as("s1"))
-          .join(small.select(col("c"), col("sk").as("s2")), Seq("c"))
-          .filter(col("s1") < col("s2"))
+          .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
+          .localCheckpoint()
+        val deg = grouped.select(explode(col("arr")).as("sk"))
+          .groupBy("sk").agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        val pairs = grouped.filter(size(col("arr")) <= 64)
+          .select(explode(expr(
+            """flatten(transform(arr, (x, i) ->
+              |  transform(slice(arr, i + 2, size(arr) - i - 1),
+              |            y -> struct(x AS s1, y AS s2))))""".stripMargin))
+            .as("pr"))
+          .select(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
         pairs
           .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
@@ -459,10 +515,16 @@ object GraphOps {
           .select(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
           .filter(col("shared") >= 2)
-        val sym = p.select(col("s1").as("node"), col("s2").as("nbr"),
-            col("shared"))
-          .unionAll(p.select(col("s2").as("node"), col("s1").as("nbr"),
-            col("shared")))
+        // r11: both directions via ONE in-row generator — the r10
+        // p.unionAll(p.swap) duplicated the whole pair-generation
+        // subtree (collect_set + explode + aggregate) in the plan; the
+        // swapped projections defeat exchange reuse. Same row multiset.
+        val sym = p.select(explode(array(
+            struct(col("s1").as("node"), col("s2").as("nbr"), col("shared")),
+            struct(col("s2").as("node"), col("s1").as("nbr"), col("shared"))))
+            .as("z"))
+          .select(col("z.node").as("node"), col("z.nbr").as("nbr"),
+            col("z.shared").as("shared"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("node").orderBy(desc("shared"), asc("nbr"))
         // mutual top-8: both directed picks present ⇔ count == 2
@@ -555,16 +617,27 @@ object GraphOps {
     "g09_bfs_reach" -> QueryDef(
       build = (s, d) => {
         val edges = purchaseEdges(s, d).localCheckpoint()
+        // r11: frontier and visited are |nodes|-bounded, so the
+        // per-round semi/anti joins BROADCAST them while they fit
+        // (size-aware like g01/g06) — the edge list is then never
+        // shuffled; past the cap each round degrades to the shuffled
+        // joins, the only shape at 1e9 nodes.
+        val maxBc = s.conf.getOption("graft.g09.maxBroadcastNodes")
+          .map(_.toLong).getOrElse(5000000L)
+        val probeLim = (maxBc + 1).min(Int.MaxValue.toLong).toInt
+        val nCapped = edges.select("u").distinct().limit(probeLim).count()
+        def hint(df: DataFrame) =
+          if (nCapped <= maxBc) broadcast(df) else df
         var visited = edges.select(col("u").as("node"))
           .filter(col("node") === 3L).distinct()
           .withColumn("dist", lit(0L)).localCheckpoint()
         var frontier = visited.select("node")
         for (r <- 1 to 4) {
           val next = edges
-            .join(frontier.withColumnRenamed("node", "u"), Seq("u"),
+            .join(hint(frontier.withColumnRenamed("node", "u")), Seq("u"),
               "left_semi")
             .select(col("v").as("node")).distinct()
-            .join(visited.select("node"), Seq("node"), "left_anti")
+            .join(hint(visited.select("node")), Seq("node"), "left_anti")
             .withColumn("dist", lit(r.toLong)).localCheckpoint()
           visited = visited.unionAll(next).localCheckpoint()
           frontier = next.select("node")
@@ -598,9 +671,13 @@ object GraphOps {
     // edge pair, so the shuffle is edge-linear at any scale.
     "g10_assortativity" -> QueryDef(
       build = (s, d) => {
-        val edges = purchaseEdges(s, d)
+        // r11: edges and the |nodes|-row degree table are checkpointed —
+        // the r10 plan re-derived purchaseEdges (orders⋈lineitem +
+        // distinct) FOUR times (edge stream + two degree legs + the
+        // bucket census; the renamed join legs defeat exchange reuse).
+        val edges = purchaseEdges(s, d).localCheckpoint()
         val deg = edges.groupBy(col("u").as("node"))
-          .agg(count(lit(1)).as("deg"))
+          .agg(count(lit(1)).as("deg")).localCheckpoint()
         val bucketOf = (c: org.apache.spark.sql.Column) =>
           when(c < 4, 0L).when(c < 16, 1L).when(c < 64, 2L)
             .when(c < 256, 3L).otherwise(4L)
@@ -664,18 +741,27 @@ object GraphOps {
     // (score, s1, s2) tie-break — deterministic on any engine.
     "g11_link_prediction" -> QueryDef(
       build = (s, d) => {
-        val cs = t(s, d, "orders")
+        // r11: g08's pair-gen shape (see g07/g05). Degrees here come
+        // from the CAPPED stream (the declared semantics — intersection
+        // ≤ union by construction), i.e. from exploding the same
+        // size-filtered arrays the pairs explode from, so the
+        // orders⋈lineitem join runs once, not four times.
+        val capped = t(s, d, "orders")
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-          .distinct()
-        val small = cs.join(
-          cs.groupBy("c").agg(count(lit(1)).as("cd")).filter(col("cd") <= 64)
-            .select("c"),
-          "c")
-        val deg = small.groupBy("sk").agg(count(lit(1)).as("deg"))
-        small.select(col("c"), col("sk").as("s1"))
-          .join(small.select(col("c"), col("sk").as("s2")), Seq("c"))
-          .filter(col("s1") < col("s2"))
+          .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
+          .filter(size(col("arr")) <= 64)
+          .localCheckpoint()
+        val deg = capped.select(explode(col("arr")).as("sk"))
+          .groupBy("sk").agg(count(lit(1)).as("deg"))
+          .localCheckpoint()
+        capped
+          .select(explode(expr(
+            """flatten(transform(arr, (x, i) ->
+              |  transform(slice(arr, i + 2, size(arr) - i - 1),
+              |            y -> struct(x AS s1, y AS s2))))""".stripMargin))
+            .as("pr"))
+          .select(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
           .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
           .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), "s2")
@@ -717,8 +803,12 @@ object GraphOps {
     // (deg, type, key) tie-break — no global sort at any scale.
     "g12_hub_report" -> QueryDef(
       build = (s, d) => {
+        // r11: checkpoint the |nodes|-row degree table — the scalar
+        // total and the ranked scan both consume it, and without the
+        // checkpoint each leg re-ran purchaseEdges (orders⋈lineitem +
+        // distinct) from scratch.
         val deg = purchaseEdges(s, d)
-          .groupBy("u").agg(count(lit(1)).as("deg"))
+          .groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
         val tot = deg.agg(sum("deg").as("tot_deg"))
         deg.crossJoin(broadcast(tot))
           .select(

@@ -89,9 +89,12 @@ object PipelineOps {
     "x03_tfidf" -> QueryDef(
       build = (s, d) => {
         val docs = t(s, d, "documents")
-        val toks = docs.select(col("doc_id"),
-          size(TextFns.tokens(col("text"))).as("doc_len"),
-          explode(TextFns.tokens(col("text"))).as("tok"))
+        // r11: tokenize once into an array column (see t11) — the fused
+        // select re-ran the regex split per exploded row.
+        val toks = docs
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .select(col("doc_id"), size(col("tk")).as("doc_len"),
+            explode(col("tk")).as("tok"))
         val tf = toks.groupBy("doc_id", "tok", "doc_len")
           .agg(count(lit(1)).as("n"))
         val df = tf.groupBy("tok").agg(count(lit(1)).as("docfreq"))

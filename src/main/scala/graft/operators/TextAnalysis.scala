@@ -532,9 +532,14 @@ object TextAnalysis {
     "t11_keyword_extract" -> QueryDef(
       build = (s, d) => {
         val docs = t(s, d, "documents")
-        val toks = docs.select(col("doc_id"),
-          size(TextFns.tokens(col("text"))).as("doc_len"),
-          explode(TextFns.tokens(col("text"))).as("tok"))
+        // r11: tokenize ONCE into an array column, then size/explode the
+        // ARRAY — size(tokens(text)) inside the explode-select re-ran
+        // the regex split on every exploded row (~|tokens| splits per
+        // doc, the stage's whole cpu at sf0.1).
+        val toks = docs
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("tk"))
+          .select(col("doc_id"), size(col("tk")).as("doc_len"),
+            explode(col("tk")).as("tok"))
         val tf = toks.groupBy("doc_id", "tok", "doc_len")
           .agg(count(lit(1)).as("n"))
         val df = tf.groupBy("tok").agg(count(lit(1)).as("docfreq"))
