@@ -1523,51 +1523,95 @@ object Dedup {
     // guarantee (hamming ≤ k−1 certain; beyond that, luck). The detected
     // sets are NESTED by construction — a 16-bit chunk match implies
     // both its 8-bit halves match — so the sweep is a true monotone
-    // curve (pinned in DedupSpec). One signature pass feeds all three
-    // schemes: a single explode to (k, chunk, value), one
-    // co-partitioned self-join, one distinct, one aggregate — the
-    // sweep costs one d04, not three (d19's pattern at the blocking
-    // layer instead of the threshold layer).
+    // curve (pinned in DedupSpec), and the nesting is also the
+    // execution plan: ONE 8-bit-chunk blocking join generates the
+    // superset candidate set, scheme membership for k=4/k=2 is a
+    // bitwise test on each pair's signature XOR, and one ungrouped
+    // aggregate emits all six counters — the sweep costs one d04 at
+    // the finest width, not three exploded schemes.
     "d23_blocking_width" -> QueryDef(
       build = (s, d) => {
         import org.apache.spark.sql.GraftShim
+        // r11 OPTIMIZATION ROUND: the three schemes are NESTED BY
+        // CONSTRUCTION (an aligned 32-bit chunk match implies both its
+        // 16-bit halves match, which imply their 8-bit halves), so ONE
+        // blocking self-join at the finest width (k=8) generates a
+        // candidate superset of all three schemes, and membership in
+        // k=4 / k=2 is a pure bitwise test on the pair's signature XOR
+        // — no per-scheme explode, no per-scheme join, one distinct
+        // over the k=8 set instead of three nested sets (the r11-build
+        // shape exploded 14 chunk rows per doc and joined/distinct'd
+        // every scheme's candidates separately). Counts are identical:
+        // "candidate of scheme k" ⟺ some aligned 64/k-bit chunk of the
+        // XOR is zero, exactly the per-scheme join predicate.
         val sigs = t(s, d, "documents")
           .select(col("doc_id"), GraftShim.column(graft.plans.SimHashExpr(
             GraftShim.expression(TextFns.tokens(col("text"))))).as("sim"))
-        val schemes = Seq(2, 4, 8)
-        val chunkStructs = schemes.flatMap { k =>
-          val bits = 64 / k
-          val mask = (1L << bits) - 1
-          (0 until k).map(c => struct(lit(k).as("k"),
-            lit(c).as("chunk"),
-            shiftright(col("sim"), c * bits).bitwiseAND(lit(mask))
-              .as("ch")))
-        }
+        val chunkStructs = (0 until 8).map(c => struct(
+          lit(c).as("chunk"),
+          shiftright(col("sim"), c * 8).bitwiseAND(lit(255L)).as("ch")))
         val chunks = sigs
           .select(col("doc_id"), col("sim"),
             explode(array(chunkStructs: _*)).as("cd"))
-          .select(col("doc_id"), col("sim"), col("cd.k").as("k"),
+          .select(col("doc_id"), col("sim"),
             col("cd.chunk").as("chunk"), col("cd.ch").as("ch"))
-          .repartition(col("k"), col("chunk"), col("ch"))
-        chunks.alias("x")
+          .repartition(col("chunk"), col("ch"))
+        // scheme-k membership: some aligned 64/k-bit chunk of the XOR
+        // is all-zero (k=8 holds for every candidate by construction).
+        // hamming + the two membership flags are computed MAP-SIDE from
+        // the signature XOR so the distinct shuffles two small ints and
+        // two booleans per pair, never the high-entropy 64-bit XOR
+        // (measured: carrying xorv through the exchange compressed ~40%
+        // worse than the derived columns).
+        def member(xorv: org.apache.spark.sql.Column, k: Int)
+            : org.apache.spark.sql.Column = {
+          val bits = 64 / k
+          val mask = (1L << bits) - 1
+          (0 until k).map(c =>
+            shiftright(xorv, c * bits).bitwiseAND(lit(mask)) === 0L)
+            .reduce(_ || _)
+        }
+        val xorv = col("x.sim").bitwiseXOR(col("y.sim"))
+        val cand = chunks.alias("x")
           .join(chunks.alias("y"),
-            col("x.k") === col("y.k") && col("x.chunk") === col("y.chunk") &&
+            col("x.chunk") === col("y.chunk") &&
               col("x.ch") === col("y.ch") &&
               col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.k").as("k"), col("x.doc_id").as("a_id"),
-            col("y.doc_id").as("b_id"),
-            bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
-              .as("hamming"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+            bit_count(xorv).cast("long").as("hamming"),
+            member(xorv, 4).as("m4"), member(xorv, 2).as("m2"))
           .distinct()
-          .groupBy(col("k"))
-          .agg(count(lit(1)).as("n_candidates"),
-            coalesce(sum(when(col("hamming") <= 8, 1L).otherwise(0L)),
-              lit(0L)).as("n_detected"))
-          .select(col("k").cast("long").as("n_chunks"),
-            expr("CAST(64 div k AS BIGINT)").as("chunk_bits"),
-            col("n_candidates"), col("n_detected"),
-            when(col("n_candidates") === 0, lit(0L)).otherwise(
-              expr("(n_detected * 20000 + n_candidates) div (n_candidates * 2)"))
+        val det = col("hamming") <= 8
+        val agg = cand
+          .agg(
+            count(lit(1)).as("c8"),
+            coalesce(sum(when(det, 1L).otherwise(0L)), lit(0L)).as("d8"),
+            coalesce(sum(when(col("m4"), 1L).otherwise(0L)), lit(0L))
+              .as("c4"),
+            coalesce(sum(when(col("m4") && det, 1L).otherwise(0L)),
+              lit(0L)).as("d4"),
+            coalesce(sum(when(col("m2"), 1L).otherwise(0L)), lit(0L))
+              .as("c2"),
+            coalesce(sum(when(col("m2") && det, 1L).otherwise(0L)),
+              lit(0L)).as("d2"))
+        // re-emit the per-scheme rows; a scheme with zero candidates
+        // contributes no row, matching the old groupBy(k) exactly
+        agg.select(explode(array(
+            struct(lit(2L).as("n_chunks"), lit(32L).as("chunk_bits"),
+              col("c2").as("n_candidates"), col("d2").as("n_detected")),
+            struct(lit(4L).as("n_chunks"), lit(16L).as("chunk_bits"),
+              col("c4").as("n_candidates"), col("d4").as("n_detected")),
+            struct(lit(8L).as("n_chunks"), lit(8L).as("chunk_bits"),
+              col("c8").as("n_candidates"), col("d8").as("n_detected"))))
+            .as("r"))
+          .select(col("r.n_chunks").as("n_chunks"),
+            col("r.chunk_bits").as("chunk_bits"),
+            col("r.n_candidates").as("n_candidates"),
+            col("r.n_detected").as("n_detected"))
+          .filter(col("n_candidates") > 0)
+          .select(col("n_chunks"), col("chunk_bits"), col("n_candidates"),
+            col("n_detected"),
+            expr("(n_detected * 20000 + n_candidates) div (n_candidates * 2)")
               .as("yield_bp"))
           .orderBy("n_chunks")
       },
