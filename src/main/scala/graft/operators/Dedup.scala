@@ -1555,7 +1555,10 @@ object Dedup {
             explode(array(chunkStructs: _*)).as("cd"))
           .select(col("doc_id"), col("sim"),
             col("cd.chunk").as("chunk"), col("cd.ch").as("ch"))
-          .repartition(col("chunk"), col("ch"))
+          // pinned width (GraphOps.widen rationale): AQE would coalesce
+          // this ~1 MB exchange to one task and serialize the block
+          // join + distinct below, whose output is ~100× its input
+          .transform(GraphOps.widen(_, col("chunk"), col("ch")))
         // scheme-k membership: some aligned 64/k-bit chunk of the XOR
         // is all-zero (k=8 holds for every candidate by construction).
         // hamming + the two membership flags are computed MAP-SIDE from

@@ -40,6 +40,35 @@ object GraphOps {
 
   private def t(s: SparkSession, d: String, n: String) = Tables(s, d, n)
 
+  /** Re-spread a small grouped table to the session's full shuffle
+    * width before a stage that EXPLODES it (pair generation fans each
+    * row out ~C(64,2)×): AQE coalesces the grouping exchange by its
+    * input bytes (a few MB of arrays → 1-2 partitions) because it
+    * cannot see the downstream fan-out, serializing the heaviest stage
+    * of the query. The explicit numPartitions pins the exchange against
+    * AQE coalescing, and the value is the session's shuffle-partition
+    * conf — the already-parameterised scale knob (32 locally, ~2×cores
+    * on a cluster) — never a constant. Measured on g08 at sf0.1: the
+    * pair stage ran 2 tasks × ~5 s cpu before, 32 tasks after.
+    */
+  private[operators] def widen(df: DataFrame, cols: Column*): DataFrame =
+    widenBy(1)(df, cols: _*)
+
+  /** widen with a divisor: width = max(1, shuffle.partitions / div).
+    * The pair-generation stages use div=4 — full width maximizes
+    * parallel wall but each extra task is another partial-aggregate
+    * hash map over the SAME ≤C(|suppliers|,2) group space, so combine
+    * ratio (and with it shuffle bytes and allocation pressure) degrades
+    * with width; a quarter of the session width measured as the balance
+    * point at sf0.1 (see OPTIMIZATION_r11.md).
+    */
+  private[operators] def widenBy(div: Int)(df: DataFrame, cols: Column*)
+      : DataFrame =
+    df.repartition(
+      math.max(1,
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt / div),
+      cols: _*)
+
   private val R0 = 1000000000000L // rank unit: 1.0 == 10^12
   private val Iters = 6
 
@@ -341,12 +370,12 @@ object GraphOps {
         // pair once in-row instead of materializing deg² join rows and
         // filtering half away). grouped is checkpointed because the
         // pair stream and the excluded-hub count both consume it.
-        val grouped = t(s, d, "orders")
+        val grouped0 = t(s, d, "orders")
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
           .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
-          .localCheckpoint()
-        val shared = grouped.filter(size(col("arr")) <= 64)
+        val groupedW = widenBy(4)(grouped0, col("c")).localCheckpoint()
+        val shared = groupedW.filter(size(col("arr")) <= 64)
           .select(explode(expr(
             """flatten(transform(arr, (x, i) ->
               |  transform(slice(arr, i + 2, size(arr) - i - 1),
@@ -358,7 +387,7 @@ object GraphOps {
           coalesce(sum(expr("shared * (shared - 1) div 2")), lit(0L))
             .as("butterflies"),
           count(lit(1)).as("n_supplier_pairs"))
-        val excl = grouped.filter(size(col("arr")) > 64)
+        val excl = groupedW.filter(size(col("arr")) > 64)
           .agg(count(lit(1)).as("n_hub_customers_excluded"))
         agg.crossJoin(excl) // 1x1 scalar join
       },
@@ -400,11 +429,11 @@ object GraphOps {
         // orders⋈lineitem join runs once, not four times. grouped and
         // deg are checkpointed: pair stream + two degree joins consume
         // them and the rename legs defeat exchange reuse.
-        val grouped = t(s, d, "orders")
+        val grouped = widenBy(4)(t(s, d, "orders")
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
-          .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
-          .localCheckpoint()
+          .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr")),
+          col("c")).localCheckpoint()
         val deg = grouped.select(explode(col("arr")).as("sk"))
           .groupBy("sk").agg(count(lit(1)).as("deg"))
           .localCheckpoint()
@@ -506,6 +535,9 @@ object GraphOps {
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
           .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
+          .transform(widenBy(4)(_, col("c"))) // see widenBy: AQE coalesces the
+          // tiny grouped exchange to 1-2 tasks and serializes the pair
+          // explosion below
           .filter(size(col("arr")) <= 64) // the g05 hub cap, now free
           .select(explode(expr(
             """flatten(transform(arr, (x, i) ->
@@ -746,12 +778,12 @@ object GraphOps {
         // ≤ union by construction), i.e. from exploding the same
         // size-filtered arrays the pairs explode from, so the
         // orders⋈lineitem join runs once, not four times.
-        val capped = t(s, d, "orders")
+        val capped = widenBy(4)(t(s, d, "orders")
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
           .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
-          .filter(size(col("arr")) <= 64)
-          .localCheckpoint()
+          .filter(size(col("arr")) <= 64),
+          col("c")).localCheckpoint()
         val deg = capped.select(explode(col("arr")).as("sk"))
           .groupBy("sk").agg(count(lit(1)).as("deg"))
           .localCheckpoint()

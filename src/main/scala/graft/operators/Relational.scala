@@ -1960,7 +1960,11 @@ object Relational {
           (dsumRaw(when(col("dow") === i, col("price"))) * lit(1000000))
             .cast("decimal(38,0)").as(nm)
         val aggs = dayNames.zipWithIndex.map { case (nm, i) => dayMicros(i, nm) }
+        // r11: checkpoint the ≤|weeks|-row pivot table — the year leg
+        // and the +52-week leg otherwise each re-ran the full
+        // lineitem∪orders scan + pivot aggregate.
         val ws = w.groupBy("wk").agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint()
         val y = ws.filter(
           expr("year(date_add(date '1970-01-05', cast(wk * 7 as int))) = 2000"))
         val z = ws.select(
