@@ -80,7 +80,9 @@ object ConnectedComponents {
       // SMALL-STAR: all of u's neighbors are now < u; point each
       // non-min neighbor AND u itself at m = min(N(u)) — v > m holds
       // for every emitted edge, preserving the orientation invariant
-      val mins2 = ls.groupBy("u").agg(min("v").as("m"))
+      // r11: checkpointed — the join leg and the union leg below both
+      // consume mins2, and without it each re-ran the aggregate over ls
+      val mins2 = ls.groupBy("u").agg(min("v").as("m")).localCheckpoint()
       e = ls.join(hint(mins2), "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
