@@ -939,16 +939,22 @@ object Dedup {
         if (!fits) System.err.println(
           s"[graft] d13: shared-span set exceeds $maxB rows - " +
             "falling back to a shuffle join")
-        val perDoc = spans.groupBy("doc_id")
-          .agg(count(lit(1)).as("n_spans"))
-        val sharedPerDoc = spans
-          .join(if (fits) broadcast(shared) else shared, "h")
-          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-        perDoc.join(sharedPerDoc, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("n_spans"),
-            coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-            (coalesce(col("n_shared"), lit(0L)) * 2 > col("n_spans"))
-              .as("dup_heavy"))
+        // r11 (§1.2/§2.4): ONE doc-keyed aggregate computes both counts.
+        // The r10 shape re-ran the tokenize+shingle+md5 span pass twice
+        // more (perDoc + sharedPerDoc) and joined the two aggregates
+        // back together; a LEFT join against the (unique-keyed) sliver
+        // tags each span instance in place — sharedness is then a
+        // conditional count inside the same hash aggregate, and docs
+        // with zero shared spans fall out as n_shared = 0 exactly as
+        // the old coalesce-after-left-join did.
+        val sliver = (if (fits) broadcast(shared) else shared)
+          .withColumn("is_sh", lit(1L))
+        spans.join(sliver, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            sum(coalesce(col("is_sh"), lit(0L))).as("n_shared"))
+          .select(col("doc_id"), col("n_spans"), col("n_shared"),
+            (col("n_shared") * 2 > col("n_spans")).as("dup_heavy"))
           .orderBy("doc_id")
       },
       oracle = Some("""

@@ -69,6 +69,29 @@ object GraphOps {
         df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt / div),
       cols: _*)
 
+  /** Ordered-pair stream off a SORTED distinct array column: one output
+    * row per unordered pair (s1 < s2), plus the pass-through columns in
+    * `keep`. r11 second pass (§4 expression choice, measured on g08's
+    * pair stage with E33Probe): the previous
+    * `explode(flatten(transform(arr, (x,i) -> transform(slice(..),
+    * y -> struct(x,y)))))` chain runs as INTERPRETED expression code —
+    * it copies a suffix slice per element, builds a struct PER PAIR and
+    * flattens the nested array-of-arrays, ~3 allocations per pair
+    * (measured ~5 µs/pair: 33 s cpu for the 6.5M-pair stage at sf0.1).
+    * Two chained Generates emit the same multiset with no per-pair
+    * allocation — posexplode picks s1 and its index (codegen'd
+    * GenerateExec), explode over the remaining suffix emits s2; the only
+    * copy left is one suffix slice per (row, index), amortized ≤ 2
+    * element copies per pair. Same rows, same downstream aggregate.
+    */
+  private[operators] def pairStream(df: DataFrame, arr: String,
+                                    keep: Column*): DataFrame =
+    df.select(keep :+ col(arr) :+
+        posexplode(col(arr)).as(Seq("i", "s1")): _*)
+      .select(keep :+ col("s1") :+
+        explode(expr(s"slice($arr, i + 2, size($arr) - i - 1)"))
+          .as("s2"): _*)
+
   private val R0 = 1000000000000L // rank unit: 1.0 == 10^12
   private val Iters = 6
 
@@ -269,12 +292,8 @@ object GraphOps {
         t(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("arr"))
-          .select(explode(expr(
-            """flatten(transform(arr, (x, i) ->
-              |  transform(slice(arr, i + 2, size(arr) - i - 1),
-              |            y -> struct(x AS p1, y AS p2))))""".stripMargin))
-            .as("pr"))
-          .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+          .transform(pairStream(_, "arr"))
+          .select(col("s1").as("p1"), col("s2").as("p2"))
           .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
           .orderBy(col("n_orders").desc, col("p1"), col("p2"))
           .limit(20)
@@ -376,12 +395,7 @@ object GraphOps {
           .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
         val groupedW = widenBy(4)(grouped0, col("c")).localCheckpoint()
         val shared = groupedW.filter(size(col("arr")) <= 64)
-          .select(explode(expr(
-            """flatten(transform(arr, (x, i) ->
-              |  transform(slice(arr, i + 2, size(arr) - i - 1),
-              |            y -> struct(x AS s1, y AS s2))))""".stripMargin))
-            .as("pr"))
-          .select(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
+          .transform(pairStream(_, "arr"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
         val agg = shared.agg(
           coalesce(sum(expr("shared * (shared - 1) div 2")), lit(0L))
@@ -438,12 +452,7 @@ object GraphOps {
           .groupBy("sk").agg(count(lit(1)).as("deg"))
           .localCheckpoint()
         val pairs = grouped.filter(size(col("arr")) <= 64)
-          .select(explode(expr(
-            """flatten(transform(arr, (x, i) ->
-              |  transform(slice(arr, i + 2, size(arr) - i - 1),
-              |            y -> struct(x AS s1, y AS s2))))""".stripMargin))
-            .as("pr"))
-          .select(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
+          .transform(pairStream(_, "arr"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
         pairs
           .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
@@ -539,12 +548,7 @@ object GraphOps {
           // tiny grouped exchange to 1-2 tasks and serializes the pair
           // explosion below
           .filter(size(col("arr")) <= 64) // the g05 hub cap, now free
-          .select(explode(expr(
-            """flatten(transform(arr, (x, i) ->
-              |  transform(slice(arr, i + 2, size(arr) - i - 1),
-              |            y -> struct(x AS s1, y AS s2))))""".stripMargin))
-            .as("pr"))
-          .select(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
+          .transform(pairStream(_, "arr"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
           .filter(col("shared") >= 2)
         // r11: both directions via ONE in-row generator — the r10
@@ -788,12 +792,7 @@ object GraphOps {
           .groupBy("sk").agg(count(lit(1)).as("deg"))
           .localCheckpoint()
         capped
-          .select(explode(expr(
-            """flatten(transform(arr, (x, i) ->
-              |  transform(slice(arr, i + 2, size(arr) - i - 1),
-              |            y -> struct(x AS s1, y AS s2))))""".stripMargin))
-            .as("pr"))
-          .select(col("pr.s1").as("s1"), col("pr.s2").as("s2"))
+          .transform(pairStream(_, "arr"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
           .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
           .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), "s2")

@@ -1368,10 +1368,24 @@ object TextAnalysis {
           .select(col("bg"),
             log(col("cp").cast("double") / col("cb"))
               .cast("decimal(30,6)").as("l"))
+        // r11 (§3.1): the model table is |distinct train bigrams| rows —
+        // broadcast it while it fits so the INSTANCE-level eval stream
+        // (the big side, one row per eval-corpus bigram) is never
+        // shuffled for the join; the probe reads the already-cached cb
+        // (an early-terminating limit scan), and past the cap the join
+        // degrades loudly to the shuffled shape — the only one when the
+        // train vocab outgrows an executor.
+        val maxB = s.conf.getOption("graft.t27.maxBroadcastBigrams")
+          .map(_.toLong).getOrElse(5000000L)
+        val fits = cb.limit((maxB + 1).min(Int.MaxValue.toLong).toInt)
+          .count() <= maxB
+        if (!fits) System.err.println(
+          s"[graft] t27: train bigram table exceeds $maxB rows - " +
+            "falling back to a shuffle join")
         docs.filter(col("doc_id") % 2 === 1)
           .select(col("doc_id"),
             explode(TextFns.shingles(col("tk"), 2)).as("bg"))
-          .join(ll, Seq("bg"), "left")
+          .join(if (fits) broadcast(ll) else ll, Seq("bg"), "left")
           .crossJoin(broadcast(v))
           .filter(col("v") > 0)
           .withColumn("oov", when(col("l").isNull, 1L).otherwise(0L))
