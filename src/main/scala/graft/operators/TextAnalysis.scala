@@ -412,7 +412,18 @@ object TextAnalysis {
             // decimal cast rounds HALF_UP at 6 dp itself (dsumRaw proof)
             log(col("cp").cast("double") / col("cb"))
               .cast("decimal(30,6)").as("l"))
-        inst.join(ll, "bg")
+        // r11 (§3.1, t27's twin): the model table is vocab-bounded —
+        // broadcast it under the same conf-gated size probe so the
+        // instance stream (one row per corpus bigram) never shuffles
+        // for the surprisal join; loud shuffled fallback past the cap.
+        val maxB = s.conf.getOption("graft.t08.maxBroadcastBigrams")
+          .map(_.toLong).getOrElse(5000000L)
+        val fits = bgc.limit((maxB + 1).min(Int.MaxValue.toLong).toInt)
+          .count() <= maxB
+        if (!fits) System.err.println(
+          s"[graft] t08: bigram table exceeds $maxB rows - " +
+            "falling back to a shuffle join")
+        inst.join(if (fits) broadcast(ll) else ll, "bg")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_bigrams"), sum("l").as("sl"))
           .select(col("doc_id"), col("n_bigrams"),
