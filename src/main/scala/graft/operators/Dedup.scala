@@ -1581,15 +1581,54 @@ object Dedup {
             .reduce(_ || _)
         }
         val xorv = col("x.sim").bitwiseXOR(col("y.sim"))
-        val cand = chunks.alias("x")
+        // r11 third pass (§2.3 narrower types): the distinct's key is
+        // really just the (a_id, b_id) pair — hamming/m4/m2 are
+        // FUNCTIONS of it — so pack the pair into ONE long
+        // (a_id<<32|b_id) and the three derived values into a second
+        // small long (bits 0-6 hamming, 7 m4, 8 m2). The ~100×-input
+        // candidate stream then hash-aggregates two longs instead of a
+        // 5-column row: half the bytes in the partial-distinct maps and
+        // across the exchange, 2 hash/equality ops instead of 5.
+        // Identical distinct multiset (pk ↔ (a,b) is a bijection below
+        // the bound). Only sound while doc_id < 2^32 — probed via the
+        // parquet column max (one column-pruned aggregate); past the
+        // bound the distinct degrades LOUDLY to the unpacked shape.
+        val maxDoc = Option(t(s, d, "documents")
+          .agg(max(col("doc_id"))).head.get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val packable = maxDoc < (1L << 32)
+        if (!packable)
+          System.err.println(
+            s"[graft] d23: max doc_id $maxDoc >= 2^32 — packed pair " +
+              "key unsafe, degrading to the unpacked distinct")
+        val joined = chunks.alias("x")
           .join(chunks.alias("y"),
             col("x.chunk") === col("y.chunk") &&
               col("x.ch") === col("y.ch") &&
               col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-            bit_count(xorv).cast("long").as("hamming"),
-            member(xorv, 4).as("m4"), member(xorv, 2).as("m2"))
-          .distinct()
+        val cand =
+          if (packable)
+            joined
+              .select(
+                shiftleft(col("x.doc_id"), 32)
+                  .bitwiseOR(col("y.doc_id")).as("pk"),
+                bit_count(xorv).cast("long")
+                  .bitwiseOR(when(member(xorv, 4), lit(128L))
+                    .otherwise(lit(0L)))
+                  .bitwiseOR(when(member(xorv, 2), lit(256L))
+                    .otherwise(lit(0L))).as("meta"))
+              .distinct()
+              .select(
+                col("meta").bitwiseAND(lit(127L)).as("hamming"),
+                (col("meta").bitwiseAND(lit(128L)) =!= lit(0L)).as("m4"),
+                (col("meta").bitwiseAND(lit(256L)) =!= lit(0L)).as("m2"))
+          else
+            joined
+              .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+                bit_count(xorv).cast("long").as("hamming"),
+                member(xorv, 4).as("m4"), member(xorv, 2).as("m2"))
+              .distinct()
+              .select(col("hamming"), col("m4"), col("m2"))
         val det = col("hamming") <= 8
         val agg = cand
           .agg(

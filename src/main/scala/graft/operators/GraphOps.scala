@@ -92,6 +92,45 @@ object GraphOps {
         explode(expr(s"slice($arr, i + 2, size($arr) - i - 1)"))
           .as("s2"): _*)
 
+  /** pairStream + count per unordered pair, with a PACKED grouping key
+    * (§2.3 narrower types): the ~ΣC(deg,2)-row pair stream is hash-
+    * aggregated on ONE long (`s1<<32|s2`) instead of a 2-long struct —
+    * half the grouping-key bytes in the partial-aggregate hash maps and
+    * across the exchange, one hash/equality op instead of two. Unpacked
+    * right after the aggregate, so consumers see the identical
+    * (s1, s2, cnt) rows. Only sound while every id < 2^32 — `idBound`
+    * is the caller's cheap upper-bound probe over the id DIMENSION
+    * table (suppliers/parts: one column-pruned max(), negligible next
+    * to the pair stage at any scale); past the bound the aggregation
+    * degrades LOUDLY to the two-column groupBy, the always-correct
+    * shape (e.g. partkeys cross 2^32 near SF ~21k, ~21 TB).
+    */
+  private[operators] def pairCounts(df: DataFrame, arr: String,
+                                    cnt: String, idBound: => Long)
+      : DataFrame =
+    if (idBound < (1L << 32)) {
+      pairStream(df, arr)
+        .select((shiftleft(col("s1"), 32).bitwiseOR(col("s2"))).as("pk"))
+        .groupBy("pk").agg(count(lit(1)).as(cnt))
+        .select(shiftrightunsigned(col("pk"), 32).as("s1"),
+          col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("s2"), col(cnt))
+    } else {
+      System.err.println(
+        s"[graft] pairCounts: id bound $idBound >= 2^32 — packed pair " +
+          "key unsafe, degrading to the two-column aggregation")
+      pairStream(df, arr).groupBy("s1", "s2").agg(count(lit(1)).as(cnt))
+    }
+
+  /** Upper bound on an id domain via its DIMENSION table (TPC-H
+    * referential integrity: every l_suppkey/l_partkey references a
+    * supplier/part row). One column-pruned max() — trivial next to the
+    * pair stage it guards at any scale.
+    */
+  private def maxIdOf(s: SparkSession, d: String, table: String,
+                      idCol: String): Long =
+    Option(t(s, d, table).agg(max(col(idCol))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+
   private val R0 = 1000000000000L // rank unit: 1.0 == 10^12
   private val Iters = 6
 
@@ -292,9 +331,9 @@ object GraphOps {
         t(s, d, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("arr"))
-          .transform(pairStream(_, "arr"))
-          .select(col("s1").as("p1"), col("s2").as("p2"))
-          .groupBy("p1", "p2").agg(count(lit(1)).as("n_orders"))
+          .transform(pairCounts(_, "arr", "n_orders",
+            maxIdOf(s, d, "part", "p_partkey")))
+          .select(col("s1").as("p1"), col("s2").as("p2"), col("n_orders"))
           .orderBy(col("n_orders").desc, col("p1"), col("p2"))
           .limit(20)
       },
@@ -395,8 +434,8 @@ object GraphOps {
           .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
         val groupedW = widenBy(4)(grouped0, col("c")).localCheckpoint()
         val shared = groupedW.filter(size(col("arr")) <= 64)
-          .transform(pairStream(_, "arr"))
-          .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+          .transform(pairCounts(_, "arr", "shared",
+            maxIdOf(s, d, "supplier", "s_suppkey")))
         val agg = shared.agg(
           coalesce(sum(expr("shared * (shared - 1) div 2")), lit(0L))
             .as("butterflies"),
@@ -452,8 +491,8 @@ object GraphOps {
           .groupBy("sk").agg(count(lit(1)).as("deg"))
           .localCheckpoint()
         val pairs = grouped.filter(size(col("arr")) <= 64)
-          .transform(pairStream(_, "arr"))
-          .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+          .transform(pairCounts(_, "arr", "shared",
+            maxIdOf(s, d, "supplier", "s_suppkey")))
         pairs
           .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
           .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), "s2")
@@ -548,8 +587,7 @@ object GraphOps {
           // tiny grouped exchange to 1-2 tasks and serializes the pair
           // explosion below
           .filter(size(col("arr")) <= 64) // the g05 hub cap, now free
-          .transform(pairStream(_, "arr"))
-          .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+          .transform(pairCounts(_, "arr", "shared", maxIdOf(s, d, "supplier", "s_suppkey")))
           .filter(col("shared") >= 2)
         // r11: both directions via ONE in-row generator — the r10
         // p.unionAll(p.swap) duplicated the whole pair-generation
@@ -792,8 +830,8 @@ object GraphOps {
           .groupBy("sk").agg(count(lit(1)).as("deg"))
           .localCheckpoint()
         capped
-          .transform(pairStream(_, "arr"))
-          .groupBy("s1", "s2").agg(count(lit(1)).as("shared"))
+          .transform(pairCounts(_, "arr", "shared",
+            maxIdOf(s, d, "supplier", "s_suppkey")))
           .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
           .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), "s2")
           .select(col("s1"), col("s2"), col("shared"),
