@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import Checkpoints.CutSyntax
+
 /** Distributed connected components via alternating large-star /
   * small-star edge rewrites (Kiveris et al., "Connected Components in
   * MapReduce and Beyond", SoCC'14) — the scale-path replacement for
@@ -14,7 +16,9 @@ import org.apache.spark.sql.functions._
   * Every round is hash-shuffle joins/aggregations keyed by node id —
   * no collect_list adjacency (a hot node's neighbor set never has to
   * fit in one row), no driver-side graph. Lineage is truncated per
-  * round with localCheckpoint, same as all iterative plans here.
+  * round with Checkpoints.cut (localCheckpoint by default, reliable
+  * checkpoint under `graft.checkpoint.dir`), same as all iterative
+  * plans here.
   */
 object ConnectedComponents {
 
@@ -28,18 +32,22 @@ object ConnectedComponents {
     // node universe derive from it, and the caller's edge plan is
     // typically an expensive join (g03: orders⋈lineitem distinct) that
     // would otherwise execute twice
-    val base = edges.localCheckpoint()
+    val base = edges.cut()
     // canonical directed form: u > v (edge points at the smaller id)
-    var e = base
+    // r12: the row count every convergence round needs is OBSERVED off
+    // the checkpoint's own materializing job (Checkpoints.cutCounted) —
+    // the r11 shape paid a separate count() job per round plus an
+    // isEmpty() job up front.
+    var (e, prevCount) = base
       .filter(col("a_id") =!= col("b_id"))
       .select(greatest(col("a_id"), col("b_id")).as("u"),
         least(col("a_id"), col("b_id")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .cutCounted()
     val nodes = base
       .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
       .distinct()
-      .localCheckpoint()
+      .cut()
     // r11: the per-round star-min tables are |nodes|-bounded, so the
     // adj⋈mins / ls⋈mins2 joins BROADCAST them while the node set fits
     // an executor (size-aware, the g01/g06 hint pattern; conf-gated so
@@ -58,12 +66,12 @@ object ConnectedComponents {
     // empty except <=> set equality). A hash-signature probe would be
     // cheaper but admits a collision terminating the loop on a non-star
     // edge set — this operator backs an exact-oracle query, so the
-    // convergence test must be exact too. Cost: one anti-join over the
-    // (shrinking) edge set per round, distributed, nothing driver-side.
-    def count1(df: DataFrame): Long = df.agg(count(lit(1))).head().getLong(0)
-    var prevCount = count1(e)
+    // convergence test must be exact too. Cost: the counts ride the
+    // checkpoint fills (observed, zero extra jobs); the exact except()
+    // anti-join only runs on count equality, i.e. ~once, at the
+    // fixpoint itself.
     var rounds = 0
-    var converged = e.isEmpty
+    var converged = prevCount == 0L
     while (!converged && rounds < maxRounds) {
       val prevE = e
       // LARGE-STAR: for every node u, connect each strictly-larger
@@ -76,20 +84,20 @@ object ConnectedComponents {
         .filter(col("v") > col("u") && col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
-        .localCheckpoint()
+        .cut()
       // SMALL-STAR: all of u's neighbors are now < u; point each
       // non-min neighbor AND u itself at m = min(N(u)) — v > m holds
       // for every emitted edge, preserving the orientation invariant
       // r11: checkpointed — the join leg and the union leg below both
       // consume mins2, and without it each re-ran the aggregate over ls
-      val mins2 = ls.groupBy("u").agg(min("v").as("m")).localCheckpoint()
-      e = ls.join(hint(mins2), "u")
+      val mins2 = ls.groupBy("u").agg(min("v").as("m")).cut()
+      val (e1, curCount) = ls.join(hint(mins2), "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionAll(mins2.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
-      val curCount = count1(e)
+        .cutCounted()
+      e = e1
       converged = curCount == prevCount && e.except(prevE).isEmpty
       prevCount = curCount
       rounds += 1

@@ -153,15 +153,39 @@ object Dedup {
       .select(col("doc_id"), col("sim"), col("cd.chunk").as("chunk"),
         col("cd.ch").as("ch"))
       .repartition(col("chunk"), col("ch"))
+    // r12 (§2.4): the per-pair `distinct` is GONE — duplicates in chunk
+    // blocking arise only from a pair matching in several chunks, so
+    // keeping each join match iff its join chunk is the pair's MINIMAL
+    // zero chunk of sim-XOR (both sims ride the chunk rows already)
+    // emits exactly one row per candidate pair. A shuffle+hash distinct
+    // over the ~n²/2^bits candidate stream (its volume GROWS
+    // quadratically with corpus size — PROBE_r11) becomes a codegen'd
+    // bitwise filter evaluated map-side in the join stage.
+    val xorv = col("x.sim").bitwiseXOR(col("y.sim"))
     chunks.alias("x")
       .join(chunks.alias("y"),
         col("x.chunk") === col("y.chunk") && col("x.ch") === col("y.ch") &&
           col("x.doc_id") < col("y.doc_id"))
+      .filter(col("x.chunk") === minZeroChunk(xorv, 4))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-        bit_count(col("x.sim").bitwiseXOR(col("y.sim"))).cast("long")
-          .as("hamming"))
-      .distinct()
+        bit_count(xorv).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Index of the LOWEST all-zero aligned (64/k)-bit chunk of a
+    * signature XOR (-1 when none, unreachable on blocking-join
+    * matches: the joined chunk is zero by the join predicate). The
+    * minimal-witness filter `joinChunk === minZeroChunk(xor)` keeps
+    * exactly one row per candidate pair across all matching chunks —
+    * the distinct multiset, with no distinct.
+    */
+  private[operators] def minZeroChunk(xorv: org.apache.spark.sql.Column,
+                                      k: Int): org.apache.spark.sql.Column = {
+    val bits = 64 / k
+    val mask = (1L << bits) - 1
+    (0 until k).foldRight(lit(-1): org.apache.spark.sql.Column)((c, els) =>
+      when(shiftright(xorv, c * bits).bitwiseAND(lit(mask)) === 0L, lit(c))
+        .otherwise(els))
   }
 
   /** LSH candidate pairs: equal band-hash in ≥1 of BANDS bands. */
@@ -1544,10 +1568,11 @@ object Dedup {
         // blocking self-join at the finest width (k=8) generates a
         // candidate superset of all three schemes, and membership in
         // k=4 / k=2 is a pure bitwise test on the pair's signature XOR
-        // — no per-scheme explode, no per-scheme join, one distinct
-        // over the k=8 set instead of three nested sets (the r11-build
-        // shape exploded 14 chunk rows per doc and joined/distinct'd
-        // every scheme's candidates separately). Counts are identical:
+        // — no per-scheme explode, no per-scheme join, and (r12) no
+        // distinct at all: the minimal-witness chunk filter below
+        // de-duplicates map-side (the r11-build shape exploded 14 chunk
+        // rows per doc and joined/distinct'd every scheme's candidates
+        // separately). Counts are identical:
         // "candidate of scheme k" ⟺ some aligned 64/k-bit chunk of the
         // XOR is zero, exactly the per-scheme join predicate.
         val sigs = t(s, d, "documents")
@@ -1581,54 +1606,25 @@ object Dedup {
             .reduce(_ || _)
         }
         val xorv = col("x.sim").bitwiseXOR(col("y.sim"))
-        // r11 third pass (§2.3 narrower types): the distinct's key is
-        // really just the (a_id, b_id) pair — hamming/m4/m2 are
-        // FUNCTIONS of it — so pack the pair into ONE long
-        // (a_id<<32|b_id) and the three derived values into a second
-        // small long (bits 0-6 hamming, 7 m4, 8 m2). The ~100×-input
-        // candidate stream then hash-aggregates two longs instead of a
-        // 5-column row: half the bytes in the partial-distinct maps and
-        // across the exchange, 2 hash/equality ops instead of 5.
-        // Identical distinct multiset (pk ↔ (a,b) is a bijection below
-        // the bound). Only sound while doc_id < 2^32 — probed via the
-        // parquet column max (one column-pruned aggregate); past the
-        // bound the distinct degrades LOUDLY to the unpacked shape.
-        val maxDoc = Option(t(s, d, "documents")
-          .agg(max(col("doc_id"))).head.get(0))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-        val packable = maxDoc < (1L << 32)
-        if (!packable)
-          System.err.println(
-            s"[graft] d23: max doc_id $maxDoc >= 2^32 — packed pair " +
-              "key unsafe, degrading to the unpacked distinct")
-        val joined = chunks.alias("x")
+        // r12 (§2.4, replacing the r11 packed-key distinct): the
+        // distinct is GONE. A pair appears once per matching 8-bit
+        // chunk (≤8 duplicates), so keeping each join match iff its
+        // join chunk is the pair's MINIMAL zero chunk of the XOR emits
+        // exactly one row per candidate pair — the identical distinct
+        // multiset. The measured dominant cost of this key (the ~39M-row
+        // candidate distinct at sf0.1, ~n²/2⁸ growth — OPTIMIZATION_r11
+        // "Not yet optimized") becomes a codegen'd bitwise filter in the
+        // join stage; the only remaining aggregate is the six-counter
+        // one-row reduction, and the doc_id packing (plus its 2³²
+        // soundness probe) is unnecessary and deleted.
+        val cand = chunks.alias("x")
           .join(chunks.alias("y"),
             col("x.chunk") === col("y.chunk") &&
               col("x.ch") === col("y.ch") &&
               col("x.doc_id") < col("y.doc_id"))
-        val cand =
-          if (packable)
-            joined
-              .select(
-                shiftleft(col("x.doc_id"), 32)
-                  .bitwiseOR(col("y.doc_id")).as("pk"),
-                bit_count(xorv).cast("long")
-                  .bitwiseOR(when(member(xorv, 4), lit(128L))
-                    .otherwise(lit(0L)))
-                  .bitwiseOR(when(member(xorv, 2), lit(256L))
-                    .otherwise(lit(0L))).as("meta"))
-              .distinct()
-              .select(
-                col("meta").bitwiseAND(lit(127L)).as("hamming"),
-                (col("meta").bitwiseAND(lit(128L)) =!= lit(0L)).as("m4"),
-                (col("meta").bitwiseAND(lit(256L)) =!= lit(0L)).as("m2"))
-          else
-            joined
-              .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-                bit_count(xorv).cast("long").as("hamming"),
-                member(xorv, 4).as("m4"), member(xorv, 2).as("m2"))
-              .distinct()
-              .select(col("hamming"), col("m4"), col("m2"))
+          .filter(col("x.chunk") === minZeroChunk(xorv, 8))
+          .select(bit_count(xorv).cast("long").as("hamming"),
+            member(xorv, 4).as("m4"), member(xorv, 2).as("m2"))
         val det = col("hamming") <= 8
         val agg = cand
           .agg(

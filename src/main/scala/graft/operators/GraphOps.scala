@@ -4,6 +4,8 @@ import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import Checkpoints.CutSyntax
+
 /** §2 extension — whole-graph analytics over the purchase graph
   * (customer—supplier edges derived from orders ⋈ lineitem). The
   * reference's TPC surface stops at joins/aggregations; a training-data
@@ -121,15 +123,52 @@ object GraphOps {
       pairStream(df, arr).groupBy("s1", "s2").agg(count(lit(1)).as(cnt))
     }
 
-  /** Upper bound on an id domain via its DIMENSION table (TPC-H
+  /** Packing bound on an id domain via its DIMENSION table (TPC-H
     * referential integrity: every l_suppkey/l_partkey references a
-    * supplier/part row). One column-pruned max() — trivial next to the
-    * pair stage it guards at any scale.
+    * supplier/part row). One column-pruned min/max aggregate — trivial
+    * next to the pair stage it guards at any scale — memoized per
+    * (dir, table, col): g05/g07/g08/g11 all probe supplier, and the
+    * probe is a plan-build-time Spark action, so without the memo each
+    * consumer re-ran the same job (r11 ADVICE).
+    *
+    * Returns Long.MaxValue — i.e. "not packable", selecting pairCounts'
+    * always-correct unpacked aggregation — when:
+    *  - the dimension table is ABSENT from the data dir (fact-only
+    *    inputs, e.g. planted test fixtures: r11's unguarded read crashed
+    *    five GraphSpec tests with PATH_NOT_FOUND);
+    *  - any id is NEGATIVE (a negative long sign-extends when OR'd into
+    *    s1<<32|s2 and would silently collide pairs — r11 ADVICE);
+    *  - the probe itself fails for any other reason (never let an
+    *    optimization guard crash the operator).
+    * Ids are cast to long first so integral id columns of any width
+    * probe uniformly.
     */
+  private val idBoundCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String),
+      java.lang.Long]()
+
   private def maxIdOf(s: SparkSession, d: String, table: String,
                       idCol: String): Long =
-    Option(t(s, d, table).agg(max(col(idCol))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    idBoundCache.computeIfAbsent((d, table, idCol), _ =>
+      try {
+        val row = t(s, d, table)
+          .agg(min(col(idCol).cast("long")), max(col(idCol).cast("long")))
+          .head
+        if (row.isNullAt(0) || row.isNullAt(1)) 0L
+        else if (row.getLong(0) < 0L) {
+          System.err.println(
+            s"[graft] pairCounts: $table.$idCol has negative ids " +
+              s"(min ${row.getLong(0)}) — packed pair key unsafe")
+          Long.MaxValue
+        } else row.getLong(1)
+      } catch {
+        case e: Exception =>
+          System.err.println(
+            s"[graft] pairCounts: cannot probe $table.$idCol (" +
+              e.getMessage.linesIterator.next() +
+              ") — using the unpacked pair aggregation")
+          Long.MaxValue
+      })
 
   private val R0 = 1000000000000L // rank unit: 1.0 == 10^12
   private val Iters = 6
@@ -200,9 +239,9 @@ object GraphOps {
         // with its source degree (edges ⋈ deg) just so deg could be
         // re-derived from the cache, paying a join over |edges| rows
         // and caching a dead 8-byte column through all 6 iterations.
-        HotCache.withCached(edges.localCheckpoint()) { e =>
+        HotCache.withCached(edges.cut()) { e =>
           val deg = e.groupBy("u").agg(count(lit(1)).as("deg"))
-            .localCheckpoint()
+            .cut()
           // Size-aware rank-state join (the d10 guard pattern): the rank
           // table is |nodes| rows — broadcasting it keeps the (much
           // bigger) edge list un-shuffled across all 6 iterations, the
@@ -244,7 +283,7 @@ object GraphOps {
           // just to see deg. Identical recurrence, identical output.
           var ranks = deg.select(col("u").as("node"), col("deg"),
               (if (useDec) dec(R0) else lit(R0)).as("rank"))
-            .localCheckpoint()
+            .cut()
           for (_ <- 1 to Iters) {
             // per-NODE contribution first (|nodes| divisions), then the
             // broadcast onto edges — the r9 shape divided per EDGE row
@@ -264,7 +303,7 @@ object GraphOps {
                  else
                   expr(s"${R0 * 15 / 100}L + (85 * coalesce(sc, 0L)) div 100"))
                   .as("rank"))
-              .localCheckpoint()
+              .cut()
           }
           ranks.selectExpr(
               "CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type",
@@ -363,7 +402,7 @@ object GraphOps {
           e.agg(lit(r.toLong).as("round"),
             countDistinct("u").as("n_nodes"),
             (count(lit(1)) / 2).cast("long").as("n_edges"))
-        var e = purchaseEdges(s, d).localCheckpoint()
+        var e = purchaseEdges(s, d).cut()
         // r11: the surviving-node set is |nodes|-bounded, so both
         // per-round semi-joins BROADCAST it while it fits an executor
         // (size-aware like g01's rank hint — past the cap each round
@@ -380,11 +419,11 @@ object GraphOps {
         var out = trace(e, 0)
         for (r <- 1 to 4) {
           val keep = e.groupBy("u").agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= 3).select("u").localCheckpoint()
+            .filter(col("deg") >= 3).select("u").cut()
           e = e.join(hint(keep), Seq("u"), "left_semi")
             .join(hint(keep.withColumnRenamed("u", "v")), Seq("v"),
               "left_semi")
-            .select("u", "v").localCheckpoint()
+            .select("u", "v").cut()
           out = out.unionAll(trace(e, r))
         }
         out.orderBy("round")
@@ -432,7 +471,7 @@ object GraphOps {
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
           .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
-        val groupedW = widenBy(4)(grouped0, col("c")).localCheckpoint()
+        val groupedW = widenBy(4)(grouped0, col("c")).cut()
         val shared = groupedW.filter(size(col("arr")) <= 64)
           .transform(pairCounts(_, "arr", "shared",
             maxIdOf(s, d, "supplier", "s_suppkey")))
@@ -486,10 +525,10 @@ object GraphOps {
           .join(t(s, d, "lineitem"), col("o_orderkey") === col("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
           .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr")),
-          col("c")).localCheckpoint()
+          col("c")).cut()
         val deg = grouped.select(explode(col("arr")).as("sk"))
           .groupBy("sk").agg(count(lit(1)).as("deg"))
-          .localCheckpoint()
+          .cut()
         val pairs = grouped.filter(size(col("arr")) <= 64)
           .transform(pairCounts(_, "arr", "shared",
             maxIdOf(s, d, "supplier", "s_suppkey")))
@@ -690,7 +729,7 @@ object GraphOps {
     // combinatorially on the dense bipartite sf graphs.
     "g09_bfs_reach" -> QueryDef(
       build = (s, d) => {
-        val edges = purchaseEdges(s, d).localCheckpoint()
+        val edges = purchaseEdges(s, d).cut()
         // r11: frontier and visited are |nodes|-bounded, so the
         // per-round semi/anti joins BROADCAST them while they fit
         // (size-aware like g01/g06) — the edge list is then never
@@ -704,7 +743,7 @@ object GraphOps {
           if (nCapped <= maxBc) broadcast(df) else df
         var visited = edges.select(col("u").as("node"))
           .filter(col("node") === 3L).distinct()
-          .withColumn("dist", lit(0L)).localCheckpoint()
+          .withColumn("dist", lit(0L)).cut()
         var frontier = visited.select("node")
         for (r <- 1 to 4) {
           val next = edges
@@ -712,8 +751,8 @@ object GraphOps {
               "left_semi")
             .select(col("v").as("node")).distinct()
             .join(hint(visited.select("node")), Seq("node"), "left_anti")
-            .withColumn("dist", lit(r.toLong)).localCheckpoint()
-          visited = visited.unionAll(next).localCheckpoint()
+            .withColumn("dist", lit(r.toLong)).cut()
+          visited = visited.unionAll(next).cut()
           frontier = next.select("node")
         }
         visited.groupBy("dist").agg(count(lit(1)).as("n_nodes"))
@@ -749,9 +788,9 @@ object GraphOps {
         // the r10 plan re-derived purchaseEdges (orders⋈lineitem +
         // distinct) FOUR times (edge stream + two degree legs + the
         // bucket census; the renamed join legs defeat exchange reuse).
-        val edges = purchaseEdges(s, d).localCheckpoint()
+        val edges = purchaseEdges(s, d).cut()
         val deg = edges.groupBy(col("u").as("node"))
-          .agg(count(lit(1)).as("deg")).localCheckpoint()
+          .agg(count(lit(1)).as("deg")).cut()
         val bucketOf = (c: org.apache.spark.sql.Column) =>
           when(c < 4, 0L).when(c < 16, 1L).when(c < 64, 2L)
             .when(c < 256, 3L).otherwise(4L)
@@ -825,10 +864,10 @@ object GraphOps {
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
           .groupBy("c").agg(sort_array(collect_set(col("sk"))).as("arr"))
           .filter(size(col("arr")) <= 64),
-          col("c")).localCheckpoint()
+          col("c")).cut()
         val deg = capped.select(explode(col("arr")).as("sk"))
           .groupBy("sk").agg(count(lit(1)).as("deg"))
-          .localCheckpoint()
+          .cut()
         capped
           .transform(pairCounts(_, "arr", "shared",
             maxIdOf(s, d, "supplier", "s_suppkey")))
@@ -877,7 +916,7 @@ object GraphOps {
         // checkpoint each leg re-ran purchaseEdges (orders⋈lineitem +
         // distinct) from scratch.
         val deg = purchaseEdges(s, d)
-          .groupBy("u").agg(count(lit(1)).as("deg")).localCheckpoint()
+          .groupBy("u").agg(count(lit(1)).as("deg")).cut()
         val tot = deg.agg(sum("deg").as("tot_deg"))
         deg.crossJoin(broadcast(tot))
           .select(

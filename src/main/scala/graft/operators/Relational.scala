@@ -6,6 +6,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Checkpoints.CutSyntax
+
 /** §2.A — the relational-analytics surface (TPC-style) mirroring the
   * reference's TPC-DS + reviews workloads
   * (/root/reference/tpc-ds-gen/TPCDSPreparation.scala,
@@ -1964,7 +1966,7 @@ object Relational {
         // and the +52-week leg otherwise each re-ran the full
         // lineitem∪orders scan + pivot aggregate.
         val ws = w.groupBy("wk").agg(aggs.head, aggs.tail: _*)
-          .localCheckpoint()
+          .cut()
         val y = ws.filter(
           expr("year(date_add(date '1970-01-05', cast(wk * 7 as int))) = 2000"))
         val z = ws.select(
