@@ -1414,15 +1414,25 @@ object Dedup {
           .select(col("doc_id"),
             array_distinct(TextFns.shingles(col("tk"), 3)).as("sh"))
           .withColumn("sz", size(col("sh"))))
-        val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+        // r12 (VERDICT item 7, measured A/B in OPTIMIZATION_r12.md):
+        // the r11 shape self-joined the inverted index on the shingle
+        // hash — every SINGLE-OCCURRENCE shingle (the long tail of the
+        // distribution) was still shuffled, sorted and probed by the
+        // sort-merge join only to emit nothing. Grouping the index by
+        // hash instead (one exchange either way) drops singleton groups
+        // with a size filter BEFORE pair generation, and the pair
+        // stream + packed-key count reuse the graph family's codegen'd
+        // machinery (GraphOps.pairCounts). collect_list preserves
+        // per-instance multiset semantics exactly like the self-join.
+        val docBound = GraphOps.maxIdOf(s, d, "documents", "doc_id")
+        val shared = sets.select(col("doc_id"), explode(col("sh")).as("g"))
           .select(col("doc_id"), xxhash64(col("g")).as("h"))
-          .repartition(col("h"))
+          .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("arr"))
+          .filter(size(col("arr")) >= 2)
         val sizes = sets.select(col("doc_id"), col("sz"))
-        val pairs = inv.alias("x")
-          .join(inv.alias("y"),
-            col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
+        val pairs = GraphOps.pairCounts(shared, "arr", "inter", docBound)
+          .filter(col("s1") =!= col("s2"))
+          .select(col("s1").as("a_id"), col("s2").as("b_id"), col("inter"))
           .join(sizes.withColumnRenamed("doc_id", "a_id")
             .withColumnRenamed("sz", "sza"), Seq("a_id"))
           .join(sizes.withColumnRenamed("doc_id", "b_id")

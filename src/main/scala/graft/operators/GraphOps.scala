@@ -108,11 +108,26 @@ object GraphOps {
     * shape (e.g. partkeys cross 2^32 near SF ~21k, ~21 TB).
     */
   private[operators] def pairCounts(df: DataFrame, arr: String,
-                                    cnt: String, idBound: => Long)
-      : DataFrame =
+                                    cnt: String, idBound: => Long,
+                                    rawRoute: => Boolean = false)
+      : DataFrame = {
+    // r12 (§2.2/§5, VERDICT item 3 — the pair-agg spill at scale): when
+    // `rawRoute` (scale-derived, see pairAggRaw) the raw packed pair
+    // stream is shuffled to full session width FIRST and aggregated
+    // once post-shuffle. Measured sf1 A/B (OPTIMIZATION_r12.md): the
+    // partial-aggregate maps over the ~ΣC(deg,2) group space outgrow
+    // per-task execution memory at 10× and spill — shuffle-raw is
+    // 30-45% cheaper cpu (g05 122-187→83-103 s, g08 144-180→102-121 s)
+    // despite 2.1× exchange bytes. Below the threshold the combining
+    // partial aggregate wins (sf0.1: g05 7.0 vs 10.4 s) and stays.
+    def width = math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     if (idBound < (1L << 32)) {
-      pairStream(df, arr)
+      val stream = pairStream(df, arr)
         .select((shiftleft(col("s1"), 32).bitwiseOR(col("s2"))).as("pk"))
+      val routed =
+        if (rawRoute) stream.repartition(width, col("pk")) else stream
+      routed
         .groupBy("pk").agg(count(lit(1)).as(cnt))
         .select(shiftrightunsigned(col("pk"), 32).as("s1"),
           col("pk").bitwiseAND(lit(0xFFFFFFFFL)).as("s2"), col(cnt))
@@ -120,7 +135,39 @@ object GraphOps {
       System.err.println(
         s"[graft] pairCounts: id bound $idBound >= 2^32 — packed pair " +
           "key unsafe, degrading to the two-column aggregation")
-      pairStream(df, arr).groupBy("s1", "s2").agg(count(lit(1)).as(cnt))
+      val stream = pairStream(df, arr)
+      val routed =
+        if (rawRoute) stream.repartition(width, col("s1"), col("s2"))
+        else stream
+      routed.groupBy("s1", "s2").agg(count(lit(1)).as(cnt))
+    }
+  }
+
+  /** Scale-adaptive routing signal for [[pairCounts]] (§2.2: derive the
+    * partitioning choice from input size, never a constant tuned for
+    * one scale). `auto` compares the fact-table scan bytes (driver-side
+    * file statistics — no Spark job) against
+    * `graft.pairs.shuffleRawMinBytes` (default 64 MB: sf0.1's 10.8 MB
+    * lineitem keeps the combining partial aggregate, sf1's 130 MB
+    * routes raw — the measured crossover sits between them, and on a
+    * cluster per-task memory is the same constraint the byte threshold
+    * proxies). `graft.pairs.aggMode` = partial|shuffle pins the route
+    * for tests and A/B runs.
+    */
+  private def pairAggRaw(s: SparkSession, d: String): Boolean =
+    sys.env.get("GRAFT_PAIR_AGG") // bench A/B hook (Bench can't set confs)
+      .orElse(s.conf.getOption("graft.pairs.aggMode"))
+      .getOrElse("auto") match {
+      case "partial" => false
+      case "shuffle" => true
+      case _ =>
+        try {
+          val bytes = t(s, d, "lineitem").queryExecution.optimizedPlan
+            .stats.sizeInBytes
+          val thr = s.conf.getOption("graft.pairs.shuffleRawMinBytes")
+            .map(_.toLong).getOrElse(64L << 20)
+          bytes >= BigInt(thr)
+        } catch { case _: Exception => false }
     }
 
   /** Packing bound on an id domain via its DIMENSION table (TPC-H
@@ -147,8 +194,8 @@ object GraphOps {
     new java.util.concurrent.ConcurrentHashMap[(String, String, String),
       java.lang.Long]()
 
-  private def maxIdOf(s: SparkSession, d: String, table: String,
-                      idCol: String): Long =
+  private[operators] def maxIdOf(s: SparkSession, d: String, table: String,
+                                 idCol: String): Long =
     idBoundCache.computeIfAbsent((d, table, idCol), _ =>
       try {
         val row = t(s, d, table)
@@ -371,7 +418,7 @@ object GraphOps {
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .groupBy("ok").agg(sort_array(collect_set(col("pk"))).as("arr"))
           .transform(pairCounts(_, "arr", "n_orders",
-            maxIdOf(s, d, "part", "p_partkey")))
+            maxIdOf(s, d, "part", "p_partkey"), pairAggRaw(s, d)))
           .select(col("s1").as("p1"), col("s2").as("p2"), col("n_orders"))
           .orderBy(col("n_orders").desc, col("p1"), col("p2"))
           .limit(20)
@@ -474,7 +521,7 @@ object GraphOps {
         val groupedW = widenBy(4)(grouped0, col("c")).cut()
         val shared = groupedW.filter(size(col("arr")) <= 64)
           .transform(pairCounts(_, "arr", "shared",
-            maxIdOf(s, d, "supplier", "s_suppkey")))
+            maxIdOf(s, d, "supplier", "s_suppkey"), pairAggRaw(s, d)))
         val agg = shared.agg(
           coalesce(sum(expr("shared * (shared - 1) div 2")), lit(0L))
             .as("butterflies"),
@@ -531,7 +578,7 @@ object GraphOps {
           .cut()
         val pairs = grouped.filter(size(col("arr")) <= 64)
           .transform(pairCounts(_, "arr", "shared",
-            maxIdOf(s, d, "supplier", "s_suppkey")))
+            maxIdOf(s, d, "supplier", "s_suppkey"), pairAggRaw(s, d)))
         pairs
           .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
           .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), "s2")
@@ -626,7 +673,8 @@ object GraphOps {
           // tiny grouped exchange to 1-2 tasks and serializes the pair
           // explosion below
           .filter(size(col("arr")) <= 64) // the g05 hub cap, now free
-          .transform(pairCounts(_, "arr", "shared", maxIdOf(s, d, "supplier", "s_suppkey")))
+          .transform(pairCounts(_, "arr", "shared",
+            maxIdOf(s, d, "supplier", "s_suppkey"), pairAggRaw(s, d)))
           .filter(col("shared") >= 2)
         // r11: both directions via ONE in-row generator — the r10
         // p.unionAll(p.swap) duplicated the whole pair-generation
@@ -870,7 +918,7 @@ object GraphOps {
           .cut()
         capped
           .transform(pairCounts(_, "arr", "shared",
-            maxIdOf(s, d, "supplier", "s_suppkey")))
+            maxIdOf(s, d, "supplier", "s_suppkey"), pairAggRaw(s, d)))
           .join(deg.select(col("sk").as("s1"), col("deg").as("d1")), "s1")
           .join(deg.select(col("sk").as("s2"), col("deg").as("d2")), "s2")
           .select(col("s1"), col("s2"), col("shared"),
