@@ -114,12 +114,15 @@ object GraphOps {
     // r12 (§2.2/§5, VERDICT item 3 — the pair-agg spill at scale): when
     // `rawRoute` (scale-derived, see pairAggRaw) the raw packed pair
     // stream is shuffled to full session width FIRST and aggregated
-    // once post-shuffle. Measured sf1 A/B (OPTIMIZATION_r12.md): the
-    // partial-aggregate maps over the ~ΣC(deg,2) group space outgrow
-    // per-task execution memory at 10× and spill — shuffle-raw is
-    // 30-45% cheaper cpu (g05 122-187→83-103 s, g08 144-180→102-121 s)
-    // despite 2.1× exchange bytes. Below the threshold the combining
-    // partial aggregate wins (sf0.1: g05 7.0 vs 10.4 s) and stays.
+    // once post-shuffle. Measured sf1 same-session A/B
+    // (OPTIMIZATION_r12.md): the partial-aggregate maps over the
+    // ~ΣC(deg,2) group space outgrow per-task execution memory at 10×
+    // and spill — shuffle-raw cuts WALL 30-49% (g05 14.3→8.1 s,
+    // g07 13.5→6.9, g08 12.7→8.9, g11 11.7→7.5) and cpu 6-19%,
+    // despite 2.1× exchange bytes (the spill stalls are wait, not
+    // cpu). Below the threshold the combining partial aggregate wins
+    // (sf0.1 isolated: g05 cpu [15.0, 8.5] partial vs [19.9, 10.0]
+    // raw, exchange 38.5 vs 83.8 MB) and stays.
     def width = math.max(1,
       df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
     if (idBound < (1L << 32)) {
