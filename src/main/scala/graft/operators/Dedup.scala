@@ -72,19 +72,51 @@ object Dedup {
     * full-outer-join rewrite below beats the shared-cache design under
     * any protocol that times keys cold.
     */
+  /** Inverted-index pair-intersection counts WITHOUT the self-join —
+    * r12 §2.4, the d20 rewrite generalized to every count-aggregating
+    * index join (jaccardTruth → d18/d19, d05, d16). The self-join on
+    * the blocking key(s) shuffled the exploded index TWICE (both join
+    * branches read the same exchange, but every probe row still flows
+    * through the sort-merge machinery), and every SINGLE-OCCURRENCE
+    * key — the long tail of a shingle-frequency distribution — was
+    * sorted and probed only to emit nothing. Grouping the index by the
+    * same key(s) instead (one exchange, same key) drops singleton
+    * groups with a size filter BEFORE pair generation and emits each
+    * group's doc pairs in-row through the graph family's codegen'd
+    * generator + packed-key count (GraphOps.pairCounts).
+    *
+    * Emits the IDENTICAL (a_id, b_id, inter) multiset as
+    *   inv.alias(x).join(inv.alias(y), keys match && x.doc_id < y.doc_id)
+    *      .groupBy(a, b).count()
+    * because: collect_list preserves per-instance multiplicity, the
+    * sorted array emits each unordered instance pair exactly once,
+    * same-doc pairs (s1 == s2, possible only via in-doc key collisions)
+    * are dropped exactly as the strict inequality dropped them, and
+    * NULL keys are filtered up front exactly as the join's null-hostile
+    * equality dropped them. `docBound` guards the packed key (ids must
+    * fit 32 bits; past the bound pairCounts degrades loudly to the
+    * unpacked aggregate).
+    */
+  private def invPairCounts(inv: DataFrame, docBound: Long,
+                            keys: org.apache.spark.sql.Column*): DataFrame =
+    GraphOps.pairCounts(
+      inv.filter(keys.map(_.isNotNull).reduce(_ && _))
+        .groupBy(keys: _*)
+        .agg(sort_array(collect_list(col("doc_id"))).as("arr"))
+        .filter(size(col("arr")) >= 2),
+      "arr", "inter", docBound)
+      .filter(col("s1") =!= col("s2"))
+      .select(col("s1").as("a_id"), col("s2").as("b_id"), col("inter"))
+
   private def jaccardTruth(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val sets = docs.select(col("doc_id"),
       TextFns.shingleHashes(col("text"), 3).as("sh"))
       .withColumn("sz", size(col("sh")))
     val inv = sets.select(col("doc_id"), explode(col("sh")).as("h"))
-      .repartition(col("h"))
     val sizes = sets.select(col("doc_id"), col("sz"))
-    inv.alias("x")
-      .join(inv.alias("y"),
-        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-      .agg(count(lit(1)).as("inter"))
+    invPairCounts(inv, GraphOps.maxIdOf(s, d, "documents", "doc_id"),
+      col("h"))
       .join(sizes.withColumnRenamed("doc_id", "a_id")
         .withColumnRenamed("sz", "sza"), Seq("a_id"))
       .join(sizes.withColumnRenamed("doc_id", "b_id")
@@ -469,20 +501,18 @@ object Dedup {
           .select(col("doc_id"), col("lang"),
             TextFns.shingleHashes(col("text"), 3).as("sh"))
           .withColumn("sz", size(col("sh")))
-        // The inverted-index join shuffles only (doc_id, lang, h); the
-        // per-doc set sizes rejoin by doc_id AFTER the count aggregation
-        // (plain equi-joins — sizes scale with the corpus, so no
-        // broadcast), keeping every wide shuffle payload-free.
+        // r12: the (h, lang)-keyed SELF-JOIN is gone — invPairCounts
+        // groups the index by the same keys (one exchange either way),
+        // drops singleton shingles before pair generation and counts
+        // pairs on the packed key (see the helper's equivalence note).
+        // The per-doc set sizes rejoin by doc_id AFTER the count
+        // aggregation (plain equi-joins — sizes scale with the corpus,
+        // so no broadcast), keeping every wide shuffle payload-free.
         val inv = sets.select(col("doc_id"), col("lang"),
           explode(col("sh")).as("h"))
-          .repartition(col("h"), col("lang"))
         val sizes = sets.select(col("doc_id"), col("sz"))
-        inv.alias("x")
-          .join(inv.alias("y"),
-            col("x.h") === col("y.h") && col("x.lang") === col("y.lang") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
+        invPairCounts(inv, GraphOps.maxIdOf(s, d, "documents", "doc_id"),
+          col("h"), col("lang"))
           .join(sizes.withColumnRenamed("doc_id", "a_id")
             .withColumnRenamed("sz", "sza"), Seq("a_id"))
           .join(sizes.withColumnRenamed("doc_id", "b_id")
@@ -1090,16 +1120,13 @@ object Dedup {
           .select(col("doc_id"), col("lang"),
             TextFns.shingleHashes(col("text"), 3).as("sh"))
           .withColumn("sz", size(col("sh")))
+        // r12: same invPairCounts rewrite as d05 (the operators share
+        // the (h, lang)-keyed index shape; only the threshold differs).
         val inv = sets.select(col("doc_id"), col("lang"),
           explode(col("sh")).as("h"))
-          .repartition(col("h"), col("lang"))
         val sizes = sets.select(col("doc_id"), col("sz"))
-        inv.alias("x")
-          .join(inv.alias("y"),
-            col("x.h") === col("y.h") && col("x.lang") === col("y.lang") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .agg(count(lit(1)).as("inter"))
+        invPairCounts(inv, GraphOps.maxIdOf(s, d, "documents", "doc_id"),
+          col("h"), col("lang"))
           .join(sizes.withColumnRenamed("doc_id", "a_id")
             .withColumnRenamed("sz", "sza"), Seq("a_id"))
           .join(sizes.withColumnRenamed("doc_id", "b_id")
@@ -1418,21 +1445,16 @@ object Dedup {
         // the r11 shape self-joined the inverted index on the shingle
         // hash — every SINGLE-OCCURRENCE shingle (the long tail of the
         // distribution) was still shuffled, sorted and probed by the
-        // sort-merge join only to emit nothing. Grouping the index by
-        // hash instead (one exchange either way) drops singleton groups
-        // with a size filter BEFORE pair generation, and the pair
-        // stream + packed-key count reuse the graph family's codegen'd
-        // machinery (GraphOps.pairCounts). collect_list preserves
-        // per-instance multiset semantics exactly like the self-join.
-        val docBound = GraphOps.maxIdOf(s, d, "documents", "doc_id")
-        val shared = sets.select(col("doc_id"), explode(col("sh")).as("g"))
+        // sort-merge join only to emit nothing. invPairCounts groups
+        // the index by the same hash instead (one exchange either way),
+        // drops singleton groups before pair generation, and counts
+        // pairs through the graph family's codegen'd generator + packed
+        // key — see the helper's equivalence note.
+        val inv = sets.select(col("doc_id"), explode(col("sh")).as("g"))
           .select(col("doc_id"), xxhash64(col("g")).as("h"))
-          .groupBy("h").agg(sort_array(collect_list(col("doc_id"))).as("arr"))
-          .filter(size(col("arr")) >= 2)
         val sizes = sets.select(col("doc_id"), col("sz"))
-        val pairs = GraphOps.pairCounts(shared, "arr", "inter", docBound)
-          .filter(col("s1") =!= col("s2"))
-          .select(col("s1").as("a_id"), col("s2").as("b_id"), col("inter"))
+        val pairs = invPairCounts(inv,
+          GraphOps.maxIdOf(s, d, "documents", "doc_id"), col("h"))
           .join(sizes.withColumnRenamed("doc_id", "a_id")
             .withColumnRenamed("sz", "sza"), Seq("a_id"))
           .join(sizes.withColumnRenamed("doc_id", "b_id")
